@@ -1,0 +1,69 @@
+package graft.log
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.meta.{Json, SegmentMeta, TableMeta}
+
+/** Log actions, the four verbs of the reference
+  * (transaction_log/actions.rs:19-39): AddSegment / RemoveSegment /
+  * UpdateTableMeta (full replacement) / UpdateTableCoverage. The reference
+  * defines-but-never-emits RemoveSegment in v0.1; our maintenance operators
+  * (compaction, MERGE, expire) emit it.
+  */
+sealed trait LogAction {
+  def toJson: JsonNode
+}
+
+object LogAction {
+  final case class AddSegment(segment: SegmentMeta) extends LogAction {
+    def toJson: JsonNode = { val n = Json.obj(); n.set[JsonNode]("add_segment", segment.toJson); n }
+  }
+  final case class RemoveSegment(segmentId: String) extends LogAction {
+    def toJson: JsonNode = {
+      val n = Json.obj(); n.putObject("remove_segment").put("segment_id", segmentId); n
+    }
+  }
+  final case class UpdateTableMeta(meta: TableMeta) extends LogAction {
+    def toJson: JsonNode = { val n = Json.obj(); n.set[JsonNode]("update_table_meta", meta.toJson); n }
+  }
+  final case class UpdateTableCoverage(bucketSpec: String, coveragePath: String) extends LogAction {
+    def toJson: JsonNode = {
+      val n = Json.obj()
+      val c = n.putObject("update_table_coverage")
+      c.put("bucket_spec", bucketSpec); c.put("coverage_path", coveragePath); n
+    }
+  }
+
+  def fromJson(n: JsonNode): LogAction =
+    if (n.has("add_segment")) AddSegment(SegmentMeta.fromJson(n.get("add_segment")))
+    else if (n.has("remove_segment")) RemoveSegment(Json.getStr(n.get("remove_segment"), "segment_id"))
+    else if (n.has("update_table_meta")) UpdateTableMeta(TableMeta.fromJson(n.get("update_table_meta")))
+    else if (n.has("update_table_coverage")) {
+      val c = n.get("update_table_coverage")
+      UpdateTableCoverage(Json.getStr(c, "bucket_spec"), Json.getStr(c, "coverage_path"))
+    }
+    else throw new IllegalArgumentException(s"unknown log action: $n")
+}
+
+/** One commit file: `{version, base_version, timestamp, actions[]}`
+  * (reference: transaction_log/actions.rs:46-60). */
+final case class Commit(version: Long, baseVersion: Long, timestampMillis: Long,
+                        actions: Seq[LogAction]) {
+  def toJson: JsonNode = {
+    val n = Json.obj()
+    n.put("version", version)
+    n.put("base_version", baseVersion)
+    n.put("timestamp", timestampMillis)
+    val a = n.putArray("actions")
+    actions.foreach(x => a.add(x.toJson))
+    n
+  }
+}
+
+object Commit {
+  def fromJson(n: JsonNode): Commit =
+    Commit(
+      Json.getLong(n, "version"),
+      Json.getLong(n, "base_version"),
+      Json.getLong(n, "timestamp"),
+      Json.elems(n.get("actions")).map(LogAction.fromJson))
+}

@@ -1,0 +1,136 @@
+package graft.meta
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Bucket granularity for coverage bucketing.
+  *
+  * Mirrors the reference's `TimeBucket::{Seconds,Minutes,Hours,Days}(u32)`
+  * with the same parser surface: `"1h"`, `"15m"`, unit aliases
+  * (s/sec/secs/second/seconds, m/min/..., h/hr/..., d/day/days),
+  * case-insensitive, rejecting 0, overflow, and unknown units like `1w`
+  * (reference: crates/timeseries-table-core/src/metadata/table_metadata.rs:217-300).
+  */
+final case class TimeBucket(count: Long, unit: TimeBucket.Unit) {
+  require(count > 0, "bucket count must be > 0")
+  require(count <= 0xffffffffL, "bucket count exceeds u32 domain")
+  def lengthSeconds: Long = count * unit.seconds
+  def spec: String = s"$count${unit.suffix}"
+}
+
+object TimeBucket {
+  sealed abstract class Unit(val suffix: String, val seconds: Long)
+  case object Seconds extends Unit("s", 1L)
+  case object Minutes extends Unit("m", 60L)
+  case object Hours   extends Unit("h", 3600L)
+  case object Days    extends Unit("d", 86400L)
+
+  private val aliases: Map[String, Unit] = Map(
+    "s" -> Seconds, "sec" -> Seconds, "secs" -> Seconds,
+    "second" -> Seconds, "seconds" -> Seconds,
+    "m" -> Minutes, "min" -> Minutes, "mins" -> Minutes,
+    "minute" -> Minutes, "minutes" -> Minutes,
+    "h" -> Hours, "hr" -> Hours, "hrs" -> Hours,
+    "hour" -> Hours, "hours" -> Hours,
+    "d" -> Days, "day" -> Days, "days" -> Days,
+  )
+
+  /** Parse `"15m"` etc.; throws IllegalArgumentException on bad input. */
+  def parse(s: String): TimeBucket = {
+    val t = s.trim.toLowerCase
+    val (digits, unit) = t.span(_.isDigit)
+    require(digits.nonEmpty, s"bucket spec '$s' has no count")
+    val count =
+      try java.lang.Long.parseLong(digits)
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"bucket count overflow in '$s'") }
+    require(count > 0, s"bucket count must be positive in '$s'")
+    require(count <= 0xffffffffL, s"bucket count overflow in '$s'")
+    val u = aliases.getOrElse(unit.trim,
+      throw new IllegalArgumentException(s"unknown bucket unit '$unit' in '$s'"))
+    TimeBucket(count, u)
+  }
+}
+
+/** Time-index spec pinned at table creation.
+  * Reference: metadata/table_metadata.rs:323-344. */
+final case class TimeIndexSpec(
+    timestampColumn: String,
+    entityColumns: Seq[String],
+    bucket: TimeBucket,
+    timezone: Option[String])
+
+/** Clustering spec for the token table: Z-order / Hilbert columns.
+  * New (north rule); not in the reference. */
+final case class ClusterSpec(columns: Seq[String], curve: String) {
+  require(curve == "zorder" || curve == "hilbert" || curve == "none",
+    s"unknown curve '$curve'")
+}
+
+/** Table kind: the reference pins v0.1 to TimeSeries; we add Clustered for
+  * the token table (reference: metadata/table_metadata.rs:27-34). */
+sealed trait TableKind
+object TableKind {
+  final case class TimeSeries(spec: TimeIndexSpec) extends TableKind
+  final case class Clustered(spec: ClusterSpec)    extends TableKind
+}
+
+/** Table metadata — the payload of an UpdateTableMeta action (full
+  * replacement, last-writer-wins on replay).
+  * Reference: metadata/table_metadata.rs:59-63 (entity identity pinning),
+  * transaction_log/table_state.rs:95-105 (last-meta-wins). */
+final case class TableMeta(
+    name: String,
+    kind: TableKind,
+    schemaJson: Option[String],                    // Spark StructType JSON once adopted
+    entityIdentity: Option[Map[String, String]]) { // pinned from first entity append
+
+  def schema: Option[StructType] =
+    schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+
+  def toJson: JsonNode = {
+    val n = Json.obj()
+    n.put("name", name)
+    kind match {
+      case TableKind.TimeSeries(s) =>
+        val k = n.putObject("time_series")
+        k.put("timestamp_column", s.timestampColumn)
+        val ec = k.putArray("entity_columns"); s.entityColumns.foreach(ec.add)
+        k.put("bucket", s.bucket.spec)
+        s.timezone.foreach(k.put("timezone", _))
+      case TableKind.Clustered(s) =>
+        val k = n.putObject("clustered")
+        val cc = k.putArray("columns"); s.columns.foreach(cc.add)
+        k.put("curve", s.curve)
+    }
+    schemaJson.foreach(n.put("schema", _))
+    entityIdentity.foreach { m =>
+      val e = n.putObject("entity_identity")
+      m.toSeq.sortBy(_._1).foreach { case (k, v) => e.put(k, v) }
+    }
+    n
+  }
+}
+
+object TableMeta {
+  def fromJson(n: JsonNode): TableMeta = {
+    val kind =
+      if (n.has("time_series")) {
+        val k = n.get("time_series")
+        TableKind.TimeSeries(TimeIndexSpec(
+          Json.getStr(k, "timestamp_column"),
+          Json.elems(k.get("entity_columns")).map(_.asText()),
+          TimeBucket.parse(Json.getStr(k, "bucket")),
+          Json.optStr(k, "timezone")))
+      } else if (n.has("clustered")) {
+        val k = n.get("clustered")
+        TableKind.Clustered(ClusterSpec(
+          Json.elems(k.get("columns")).map(_.asText()),
+          Json.getStr(k, "curve")))
+      } else throw new IllegalArgumentException(s"commit meta missing table kind: $n")
+    val identity = Option(n.get("entity_identity")).map { e =>
+      Json.fields(e).map { case (k, v) => k -> v.asText() }
+    }
+    TableMeta(Json.getStr(n, "name"), kind, Json.optStr(n, "schema"), identity)
+  }
+}
