@@ -1,0 +1,396 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import graft.coverage.{Bitmap, BucketMath}
+import graft.log._
+import graft.meta._
+import graft.scan.TsFileIndex
+
+/** The table handle: transaction-log + replayed state + scan/append/
+  * maintenance entry points. Spark-native rebuild of the reference's
+  * `TimeSeriesTable` (crates/timeseries-table-core/src/table.rs:53-57).
+  *
+  * Metadata (log replay, coverage bitmaps, commit protocol) is driver-side
+  * and O(files); every data-plane operation (stats, coverage construction,
+  * rewrite, scan) is a distributed Spark job. Readers are snapshot-isolated:
+  * `scan` captures CURRENT once and then touches only immutable files.
+  */
+final class TsTable private (val root: String, val store: LogStore) {
+
+  @volatile private var cachedState: TableState = TableState.rebuild(store)
+
+  def state: TableState = cachedState
+  def version: Long = cachedState.version
+
+  /** Reload state only if CURRENT advanced (reference table.rs:205-251). */
+  def refresh(): Boolean = {
+    val cur = store.currentVersion()
+    if (cur != cachedState.version) { cachedState = TableState.rebuildAt(store, cur); true }
+    else false
+  }
+
+  def meta: TableMeta = cachedState.tableMeta.getOrElse(
+    throw CorruptLogException("table has no metadata"))
+
+  def timeSpec: Option[TimeIndexSpec] = meta.kind match {
+    case TableKind.TimeSeries(s) => Some(s)
+    case _ => None
+  }
+  def clusterSpec: Option[ClusterSpec] = meta.kind match {
+    case TableKind.Clustered(s) => Some(s)
+    case _ => None
+  }
+
+  // ---------------------------------------------------------------- scan
+
+  /** DataFrame over the current snapshot via our manifest-backed FileIndex:
+    * file pruning from per-file stats + Spark's native vectorized Parquet
+    * scan (reference R1, ts_table_provider.rs:240-295). */
+  def scan(spark: SparkSession): DataFrame = scanState(spark, cachedState)
+
+  /** Time travel: scan the table as of a pinned version. */
+  def scanAt(spark: SparkSession, version: Long): DataFrame =
+    scanState(spark, TableState.rebuildAt(store, version))
+
+  private[graft] def scanState(spark: SparkSession, st: TableState): DataFrame = {
+    val schema = st.tableMeta.flatMap(_.schema).getOrElse {
+      if (st.liveSegments.isEmpty) new StructType()
+      else spark.read.parquet(st.liveSegments.map(abs).head).schema
+    }
+    if (st.liveSegments.isEmpty) {
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val index = new TsFileIndex(spark, new HPath(root), st.liveSegments, schema)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = new StructType(),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(relation)
+  }
+
+  /** Native range scan (reference R16, table/scan.rs:311-354): half-open
+    * [startMicros, endMicros) on the time column; file pruning via stats,
+    * row filtering by Spark (null timestamps drop, matching the reference's
+    * null⇒false mask, scan.rs:149-157). */
+  def scanRange(spark: SparkSession, startMicros: Long, endMicros: Long): DataFrame = {
+    if (startMicros >= endMicros) throw InvalidRangeException(startMicros, endMicros)
+    val ts = timeSpec.getOrElse(throw new IllegalStateException("not a time-series table")).timestampColumn
+    scan(spark).where(
+      col(ts) >= lit(microsToTs(startMicros)) && col(ts) < lit(microsToTs(endMicros)))
+  }
+
+  private def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def abs(seg: SegmentMeta): String = s"$root/${seg.path}"
+
+  // -------------------------------------------------------------- append
+
+  /** Append a DataFrame as one or more new immutable segments — the 9-step
+    * pipeline of the reference (table/append.rs:92-350), Spark-first:
+    * the data plane (write, stats, coverage, identity) runs as Spark jobs
+    * and footer reads; only the commit is driver file IO. OCC with rebase
+    * retry on version conflicts. Returns the committed version. */
+  def append(df: DataFrame, maxRetries: Int = 3): Long = {
+    val spark = df.sparkSession
+    val commitId = UUID.randomUUID().toString.take(8)
+    val stagingRel = s".staging-$commitId"
+    val stagingAbs = s"$root/$stagingRel"
+
+    // (1) write data files once; all retries below are metadata-only
+    df.write.mode("overwrite").parquet(stagingAbs)
+    val written = listParquet(stagingAbs)
+    require(written.nonEmpty, "append produced no data files")
+
+    // canonical on-disk schema (reference adopts from the Parquet footer,
+    // append.rs:130-151)
+    val diskSchema = spark.read.parquet(stagingAbs).schema
+
+    // (2) per-file stats from footers only — no data scan
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fileStats = written.map(f => f -> FooterStats.read(conf, f))
+
+    // (3) time-series extras: coverage bitmaps + entity identity
+    val tsExtras = timeSpec.map { spec =>
+      val tsCol = spec.timestampColumn
+      if (!diskSchema.fieldNames.contains(tsCol))
+        throw SchemaMismatchException(s"time column '$tsCol' missing from appended data")
+      val identity = extractEntityIdentity(spark, stagingAbs, spec, fileStats)
+      val perFileCov = computeCoverage(spark, stagingAbs, spec)
+      (identity, perFileCov)
+    }
+
+    // move staged files into data/ under deterministic names
+    val moved: Seq[(String, String)] = written.zipWithIndex.map { case (src, i) =>
+      val rel = f"data/$commitId-$i%05d.parquet"
+      val dst = s"$root/$rel"
+      Files.createDirectories(Paths.get(s"$root/data"))
+      Files.move(Paths.get(stripScheme(src)), Paths.get(stripScheme(dst)))
+      src -> rel
+    }
+    deleteRecursively(Paths.get(stripScheme(stagingAbs)))
+
+    val segs = moved.zip(fileStats).map { case ((src, rel), (_, fs)) =>
+      val segId = SegmentMeta.segmentIdV1(rel, Paths.get(stripScheme(s"$root/$rel")))
+      val cov = tsExtras.flatMap(_._2.get(src)).map { bm =>
+        val covRel = s"_coverage/segments/segcov-$segId.cov"
+        writeBytes(s"$root/$covRel", bm.serialize())
+        covRel
+      }
+      SegmentMeta(segId, rel, "parquet", fs.rowCount, Some(fs.fileSize), fs.stats, cov)
+    }
+
+    var attempt = 0
+    while (true) {
+      val st = cachedState
+      try {
+        return commitAppend(spark, st, segs, diskSchema, tsExtras)
+      } catch {
+        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
+          attempt += 1
+          refresh() // rebase and re-validate against the new snapshot
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def commitAppend(
+      spark: SparkSession,
+      st: TableState,
+      segs: Seq[SegmentMeta],
+      diskSchema: StructType,
+      tsExtras: Option[(Option[Map[String, String]], Map[String, Bitmap])]): Long = {
+
+    var m = st.tableMeta.getOrElse(meta)
+    var metaChanged = false
+
+    // schema adopt-or-enforce: dynamic-then-frozen, exact match
+    // (reference append.rs:144-163, schema_compat.rs:96-150)
+    m.schema match {
+      case None =>
+        m = m.copy(schemaJson = Some(diskSchema.json)); metaChanged = true
+      case Some(existing) =>
+        if (existing != diskSchema)
+          throw SchemaMismatchException(
+            s"schema mismatch: table has ${existing.simpleString}, append has ${diskSchema.simpleString}")
+    }
+
+    // entity identity pin-or-enforce (reference append.rs:166-196)
+    tsExtras.flatMap(_._1).foreach { identity =>
+      m.entityIdentity match {
+        case None =>
+          m = m.copy(entityIdentity = Some(identity)); metaChanged = true
+        case Some(pinned) =>
+          if (pinned != identity)
+            throw EntityIdentityException(s"entity identity mismatch: table pinned $pinned, append has $identity")
+      }
+    }
+
+    // coverage overlap check + new table snapshot (reference append.rs:200-290)
+    val coverageAction = tsExtras.map { case (_, perFile) =>
+      val spec = timeSpec.get
+      // precondition: every existing segment must carry a coverage sidecar,
+      // else the overlap check would be unsound (reference append.rs:50-61)
+      val uncovered = st.liveSegments.filter(_.coveragePath.isEmpty)
+      if (uncovered.nonEmpty)
+        throw new IllegalStateException(
+          s"cannot append: ${uncovered.size} existing segments lack coverage sidecars")
+      val tableCov = loadTableCoverage(st, heal = false)
+      val appendCov = perFile.values.foldLeft(Bitmap.empty)(_ union _)
+      val overlap = appendCov.intersect(tableCov)
+      if (!overlap.isEmpty)
+        throw CoverageOverlapException(segs.head.path, overlap.cardinality, overlap.runList.head._1)
+      val newCov = tableCov.union(appendCov)
+      val newVersion = st.version + 1
+      val covRel = s"_coverage/table/$newVersion-tblcov-${UUID.randomUUID().toString.take(8)}.cov"
+      writeBytes(s"$root/$covRel", newCov.serialize())
+      LogAction.UpdateTableCoverage(spec.bucket.spec, covRel)
+    }
+
+    val actions: Seq[LogAction] =
+      (if (metaChanged) Seq(LogAction.UpdateTableMeta(m)) else Nil) ++
+      segs.map(LogAction.AddSegment) ++ coverageAction.toSeq
+
+    val v = store.commitWithExpectedVersion(st.version, actions)
+    cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
+    v
+  }
+
+  /** Distinct bucket ids per staged file — ONE distributed job; the bucket
+    * domain is tiny so the collect is metadata-sized. Bucket id =
+    * floorDiv(epochSeconds, len) with pre-epoch clamp to 0, matching
+    * BucketMath / the reference's release-mode clamp (bucket.rs:66-75). */
+  private def computeCoverage(spark: SparkSession, stagingAbs: String,
+                              spec: TimeIndexSpec): Map[String, Bitmap] = {
+    val lenSec = spec.bucket.lengthSeconds
+    val rows = spark.read.parquet(stagingAbs)
+      .select(
+        input_file_name().as("f"),
+        // greatest(...,0) clamps pre-epoch (reference bucket.rs:66-75);
+        // integer `div` truncation == floor on the clamped non-negative domain
+        expr(s"greatest(unix_micros(`${spec.timestampColumn}`), 0L) div ${1000000L * lenSec}L")
+          .as("b"))
+      .where(col("b").isNotNull)
+      .distinct()
+      .collect()
+    rows.groupBy(_.getString(0)).map { case (f, rs) =>
+      val ids = rs.map { r =>
+        val b = r.getLong(1)
+        if (b > Int.MaxValue) throw BucketDomainOverflowException(b)
+        b.toInt
+      }
+      normalizeFileUri(f) -> Bitmap(ids.toSeq)
+    }
+  }
+
+  /** Entity identity via footer-stats fast path (min==max per column ⇒
+    * constant), falling back to a distinct().limit(2) scan — the same
+    * two-tier scheme as the reference (formats/parquet/entity_identity.rs). */
+  private def extractEntityIdentity(
+      spark: SparkSession, stagingAbs: String, spec: TimeIndexSpec,
+      fileStats: Seq[(String, FooterStats.FileStats)]): Option[Map[String, String]] = {
+    if (spec.entityColumns.isEmpty) return None
+    val identity = spec.entityColumns.map { c =>
+      val perFile = fileStats.map(_._2.stats.get(c))
+      val fast = perFile.forall {
+        case Some(ColStats(Some(StatVal.S(mn)), Some(StatVal.S(mx)), nulls)) => mn == mx && nulls == 0
+        case _ => false
+      }
+      val headVal = perFile.headOption.flatten.flatMap(_.min)
+      if (fast && perFile.flatMap(_.flatMap(_.min)).distinct.size == 1) {
+        c -> headVal.get.asInstanceOf[StatVal.S].v
+      } else {
+        val d = spark.read.parquet(stagingAbs).select(col(c)).distinct().limit(2).collect()
+        if (d.length != 1) throw EntityIdentityException(
+          s"entity column '$c' must have exactly one value across the appended segment, found ${d.length}")
+        if (d(0).isNullAt(0)) throw EntityIdentityException(s"entity column '$c' is null")
+        c -> d(0).get(0).toString
+      }
+    }.toMap
+    Some(identity)
+  }
+
+  // ------------------------------------------------------------ coverage
+
+  /** Load the table coverage snapshot with the reference's three-tier
+    * scheme (table/coverage.rs:29-180): snapshot pointer → recover by
+    * unioning per-segment sidecars → optional heal rewrite. */
+  def loadTableCoverage(st: TableState = cachedState, heal: Boolean = false): Bitmap = {
+    val spec = timeSpec.getOrElse(return Bitmap.empty)
+    st.tableCoverage match {
+      case Some(ptr) =>
+        if (ptr.bucketSpec != spec.bucket.spec)
+          throw CorruptLogException(
+            s"coverage pointer bucket '${ptr.bucketSpec}' != table bucket '${spec.bucket.spec}'")
+        val p = Paths.get(stripScheme(s"$root/${ptr.coveragePath}"))
+        if (Files.exists(p)) Bitmap.deserialize(Files.readAllBytes(p))
+        else recoverCoverage(st, heal)
+      case None =>
+        if (st.liveSegments.isEmpty) Bitmap.empty else recoverCoverage(st, heal)
+    }
+  }
+
+  private def recoverCoverage(st: TableState, heal: Boolean): Bitmap = {
+    val cov = st.liveSegments.flatMap(_.coveragePath).foldLeft(Bitmap.empty) { (acc, rel) =>
+      acc.union(Bitmap.deserialize(Files.readAllBytes(Paths.get(stripScheme(s"$root/$rel")))))
+    }
+    if (heal) {
+      val covRel = s"_coverage/table/${st.version}-tblcov-healed.cov"
+      writeBytes(s"$root/$covRel", cov.serialize()) // best-effort, no commit
+    }
+    cov
+  }
+
+  /** Metadata-only coverage analytics (reference table/coverage.rs:279-360):
+    * half-open [startMicros, endMicros), answered from bitmaps without
+    * touching data files. */
+  def coverageRatioForRange(startMicros: Long, endMicros: Long): Double = {
+    if (startMicros >= endMicros) throw InvalidRangeException(startMicros, endMicros)
+    val spec = timeSpec.getOrElse(throw new IllegalStateException("not a time-series table"))
+    loadTableCoverage().coverageRatio(
+      BucketMath.expectedBucketsMicros(startMicros, endMicros, spec.bucket))
+  }
+
+  def maxGapLenForRange(startMicros: Long, endMicros: Long): Long = {
+    if (startMicros >= endMicros) throw InvalidRangeException(startMicros, endMicros)
+    val spec = timeSpec.getOrElse(throw new IllegalStateException("not a time-series table"))
+    loadTableCoverage().maxGapLen(
+      BucketMath.expectedBucketsMicros(startMicros, endMicros, spec.bucket))
+  }
+
+  def lastFullyCoveredWindow(endMicros: Long, lenBuckets: Long): Option[(Int, Int)] = {
+    val spec = timeSpec.getOrElse(throw new IllegalStateException("not a time-series table"))
+    val endBucket = BucketMath.bucketIdFromMicros(endMicros, spec.bucket)
+    loadTableCoverage().lastWindowAtOrBefore(endBucket, lenBuckets)
+  }
+
+  // --------------------------------------------------------------- utils
+
+  private def listParquet(dir: String): Seq[String] = {
+    val d = Paths.get(stripScheme(dir))
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+    finally s.close()
+  }
+
+  private def writeBytes(path: String, bytes: Array[Byte]): Unit = {
+    val p = Paths.get(stripScheme(path))
+    Files.createDirectories(p.getParent)
+    Files.write(p, bytes)
+  }
+
+  private def stripScheme(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
+  /** Canonical local path for matching input_file_name() URIs against
+    * staging paths (input_file_name yields "file:///x", staging "/x"). */
+  private def normalizeFileUri(p: String): String = stripScheme(p)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try { import scala.jdk.CollectionConverters._; s.iterator().asScala.foreach(deleteRecursively) }
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+}
+
+object TsTable {
+  /** Bootstrap: verify version==0, commit v1 = UpdateTableMeta
+    * (reference table.rs:156-202). */
+  def create(root: String, meta: TableMeta): TsTable = {
+    val store = LogStore(root)
+    if (store.currentVersion() != 0L)
+      throw ConflictException(0L, store.currentVersion())
+    store.initDirs()
+    store.commitWithExpectedVersion(0L, Seq(LogAction.UpdateTableMeta(meta)))
+    new TsTable(root, store)
+  }
+
+  /** Open an existing table (reference table.rs:115-147). */
+  def open(root: String): TsTable = {
+    val store = LogStore(root)
+    if (store.currentVersion() == 0L)
+      throw CorruptLogException(s"no table at $root")
+    val t = new TsTable(root, store)
+    t.meta // force: reject tables without metadata
+    t
+  }
+}

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.data.TokenGen
+import graft.log.ConflictException
+import graft.meta._
+import graft.table._
+
+/** End-to-end table tests: create → append → scan with the token table and
+  * the reference-shaped prices table (FIXTURES.md F1/F2), mirroring the
+  * reference's append-pipeline and coverage-pipeline integration tests. */
+class TsTableSpec extends SparkFunSuite {
+
+  private def tokenMeta = TableMeta("tokens",
+    TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None)
+
+  private def pricesMeta(bucket: String = "1m", entities: Seq[String] = Seq("symbol")) =
+    TableMeta("prices",
+      TableKind.TimeSeries(TimeIndexSpec("ts", entities, TimeBucket.parse(bucket), None)),
+      None, None)
+
+  private def pricesDf(rows: Seq[(Long, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("epoch_s", "symbol", "price")
+      .select(col("epoch_s").cast("timestamp").as("ts"), col("symbol"), col("price"))
+  }
+
+  test("token table: create, append, scan returns identical rows") {
+    val root = tmpDir("tok-tbl")
+    val t = TsTable.create(root, tokenMeta)
+    val df = TokenGen.generate(spark, 1000, numFiles = 8)
+    val v = t.append(df)
+    assert(v == 2L)
+    assert(t.state.liveSegments.size == 8)
+    val got = t.scan(spark).orderBy("doc_id").collect()
+    val want = TokenGen.generate(spark, 1000).orderBy("doc_id").collect()
+    assert(got.length == 1000)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0))
+      assert(g.getSeq[Int](1) == w.getSeq[Int](1), s"token mismatch for ${g.getString(0)}")
+      assert(g.getInt(2) == w.getInt(2))
+      assert(g.getString(3) == w.getString(3))
+    }
+    // per-file stats recorded for the clustering columns
+    val seg = t.state.liveSegments.head
+    assert(seg.stats.contains("doc_id") && seg.stats.contains("n_tok") && seg.stats.contains("source"))
+    assert(seg.stats("n_tok").min.get.isInstanceOf[StatVal.L])
+  }
+
+  test("token table: stats pruning prunes files, results unchanged") {
+    val root = tmpDir("tok-prune")
+    val t = TsTable.create(root, tokenMeta)
+    // two appends with disjoint doc_id ranges -> disjoint stats
+    t.append(TokenGen.generate(spark, 500, idStart = 0, numFiles = 2))
+    t.append(TokenGen.generate(spark, 500, idStart = 1000000, numFiles = 2))
+    // physical "number of files read" metric of the parquet scan node
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    }
+    val df = t.scan(spark).where(col("doc_id") < "doc-000001000000")
+    assert(df.count() == 500)
+    assert(filesRead(df) == 2, "expected 2 files after pruning") // only the low range
+    // impossible predicate prunes everything
+    assert(filesRead(t.scan(spark).where(col("n_tok") > 100000)) == 0)
+    // != never prunes (reference: no prune on !=)
+    assert(filesRead(t.scan(spark).where(col("n_tok") =!= 70)) == 4)
+  }
+
+  test("prices table: append computes coverage; ratio/gap/window queries answer from metadata") {
+    val root = tmpDir("prices")
+    val t = TsTable.create(root, pricesMeta())
+    // rows at 1s/61s/180s => buckets {0,1,3} at 1m (reference sparse fixture)
+    t.append(pricesDf(Seq((1L, "A", 10.0), (61L, "A", 11.0), (180L, "A", 12.0))))
+    assert(t.coverageRatioForRange(0L, 240L * 1000000L) == 0.75)
+    assert(t.maxGapLenForRange(0L, 240L * 1000000L) == 1L)
+    assert(t.lastFullyCoveredWindow(240L * 1000000L, 1L).contains((3, 3)))
+    assert(t.lastFullyCoveredWindow(240L * 1000000L, 2L).contains((0, 1)))
+    intercept[InvalidRangeException](t.coverageRatioForRange(10L, 10L))
+  }
+
+  test("prices table: overlapping append is rejected with overlap details") {
+    val root = tmpDir("prices-ovl")
+    val t = TsTable.create(root, pricesMeta())
+    t.append(pricesDf(Seq((1L, "A", 10.0), (61L, "A", 11.0))))
+    val e = intercept[CoverageOverlapException] {
+      t.append(pricesDf(Seq((30L, "A", 99.0)))) // bucket 0 already covered
+    }
+    assert(e.overlapCount == 1L && e.exampleBucket == 0)
+    // non-overlapping append succeeds afterwards
+    t.append(pricesDf(Seq((130L, "A", 13.0))))
+    assert(t.loadTableCoverage().cardinality == 3L)
+  }
+
+  test("prices table: schema is adopted then frozen (exact enforcement)") {
+    import spark.implicits._
+    val root = tmpDir("prices-schema")
+    val t = TsTable.create(root, pricesMeta())
+    t.append(pricesDf(Seq((1L, "A", 10.0))))
+    assert(t.meta.schema.get.fieldNames.toSeq == Seq("ts", "symbol", "price"))
+    // extra column -> reject
+    val bad = pricesDf(Seq((70L, "A", 1.0))).withColumn("extra", lit(1))
+    intercept[SchemaMismatchException](t.append(bad))
+    // type change -> reject
+    val bad2 = Seq((130L, "A", "not-a-double")).toDF("epoch_s", "symbol", "price")
+      .select(col("epoch_s").cast("timestamp").as("ts"), col("symbol"), col("price"))
+    intercept[SchemaMismatchException](t.append(bad2))
+  }
+
+  test("prices table: entity identity pinned on first append, enforced after") {
+    val root = tmpDir("prices-entity")
+    val t = TsTable.create(root, pricesMeta())
+    t.append(pricesDf(Seq((1L, "NVDA", 10.0))))
+    assert(t.meta.entityIdentity.contains(Map("symbol" -> "NVDA")))
+    intercept[EntityIdentityException] {
+      t.append(pricesDf(Seq((70L, "AMD", 9.0))))
+    }
+    // two symbols in one append: not a single identity
+    intercept[EntityIdentityException] {
+      t.append(pricesDf(Seq((130L, "NVDA", 1.0), (190L, "AMD", 2.0))))
+    }
+  }
+
+  test("scanRange: half-open range, null timestamps dropped") {
+    import spark.implicits._
+    val root = tmpDir("prices-range")
+    val t = TsTable.create(root, pricesMeta(entities = Nil))
+    val withNull = Seq((Some(1L), "A", 10.0), (Some(61L), "A", 11.0), (None, "A", 99.0))
+      .toDF("epoch_s", "symbol", "price")
+      .select(col("epoch_s").cast("timestamp").as("ts"), col("symbol"), col("price"))
+    t.append(withNull)
+    val got = t.scanRange(spark, 0L, 61L * 1000000L).collect()
+    assert(got.length == 1 && got(0).getDouble(2) == 10.0) // 61s excluded (half-open), null dropped
+    intercept[InvalidRangeException](t.scanRange(spark, 5L, 5L))
+  }
+
+  test("snapshot isolation: pinned scan unaffected by later commits; time travel works") {
+    val root = tmpDir("tok-snap")
+    val t = TsTable.create(root, tokenMeta)
+    t.append(TokenGen.generate(spark, 100, numFiles = 1))
+    val v2 = t.version
+    val pinned = t.scanAt(spark, v2)
+    t.append(TokenGen.generate(spark, 100, idStart = 5000, numFiles = 1))
+    assert(pinned.count() == 100)                        // already-built plan
+    assert(t.scanAt(spark, v2).count() == 100)           // re-built at pinned version
+    assert(t.scan(spark).count() == 200)                 // fresh snapshot sees both
+  }
+
+  test("create on non-empty root conflicts; open of missing table errors") {
+    val root = tmpDir("tok-create")
+    TsTable.create(root, tokenMeta)
+    intercept[ConflictException](TsTable.create(root, tokenMeta))
+    intercept[graft.log.CorruptLogException](TsTable.open(tmpDir("missing")))
+    val opened = TsTable.open(root)
+    assert(opened.meta.name == "tokens")
+  }
+
+  test("concurrent appends: OCC rebase-retry makes both land") {
+    val root = tmpDir("tok-occ")
+    val t1 = TsTable.create(root, tokenMeta)
+    val t2 = TsTable.open(root)
+    t1.append(TokenGen.generate(spark, 50, idStart = 0, numFiles = 1))
+    // t2 holds a stale snapshot (v1); append must rebase and commit at v3
+    t2.append(TokenGen.generate(spark, 50, idStart = 1000, numFiles = 1))
+    t1.refresh()
+    assert(t1.state.liveSegments.size == 2)
+    assert(t1.scan(spark).count() == 100)
+  }
+}
