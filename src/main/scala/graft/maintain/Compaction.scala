@@ -1,0 +1,141 @@
+package graft.maintain
+
+import java.util.UUID
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.log.{ConflictException, CommitFileExistsException, LogAction}
+import graft.meta.SegmentMeta
+import graft.table.{FooterStats, TsTable}
+
+/** Bin-packing small-file compaction with space-filling-curve clustering —
+  * the centerpiece of the north rule (new vs the reference, whose roadmap
+  * lists compaction as unbuilt, README.md:374-376; the atomic
+  * RemoveSegment+AddSegment swap reuses the reference's own replay verbs,
+  * transaction_log/actions.rs:19-39).
+  *
+  * Scale design:
+  *  - The PLAN is O(files) driver-side arithmetic over manifest stats — no
+  *    data is read to decide what to rewrite.
+  *  - Each bin's REWRITE is one distributed job:
+  *    read(bin files) → curve key (codegen'd CurveKey3) →
+  *    repartitionByRange(outFiles, key, salt) → sortWithinPartitions(key) →
+  *    write. Range partitioning samples the key distribution, so skewed
+  *    sources land balanced output files; the salt column breaks ties for
+  *    heavily-duplicated curve keys (hot sources) without perturbing the
+  *    final order (sort is on the full (key, salt) prefix order).
+  *  - Bins commit independently (atomic swap per bin) and journal to the
+  *    lineage log, so a crashed job resumes by skipping completed bins and
+  *    concurrent readers stay snapshot-isolated throughout.
+  */
+object Compaction {
+
+  final case class Bin(id: String, segments: Seq[SegmentMeta]) {
+    def bytes: Long = segments.flatMap(_.fileSize).sum
+    def rows: Long = segments.map(_.rowCount).sum
+  }
+
+  final case class Report(jobId: String, binsPlanned: Int, binsExecuted: Int,
+                          binsSkipped: Int, rowsRewritten: Long, bytesRewritten: Long,
+                          filesIn: Int, filesOut: Int, millis: Long)
+
+  /** Plan rewrite groups ("bins"): small files below the threshold are
+    * packed greedily into groups of up to `groupFactor × targetFileSize`
+    * bytes. Each group is ONE distributed rewrite with a GLOBAL
+    * range-partition over the curve key — clustering quality (and hence
+    * post-maintenance scan pruning) needs many inputs sorted together,
+    * not per-output-file sorts; the group cap only bounds the unit of
+    * checkpoint/resume and of commit atomicity. A group is worth
+    * rewriting when it has ≥ 2 inputs. Deterministic given the manifest.
+    */
+  def plan(segments: Seq[SegmentMeta], targetFileSize: Long,
+           smallFileThreshold: Double = 0.9, groupFactor: Int = 64): Seq[Bin] = {
+    val small = segments
+      .filter(s => s.fileSize.exists(_ < (targetFileSize * smallFileThreshold).toLong))
+      .sortBy(_.segmentId)
+    val cap = targetFileSize * groupFactor
+    val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[SegmentMeta]]
+    var size = 0L
+    for (s <- small) {
+      val sz = s.fileSize.getOrElse(0L)
+      if (bins.isEmpty || size + sz > cap) { bins += scala.collection.mutable.ArrayBuffer(s); size = sz }
+      else { bins.last += s; size += sz }
+    }
+    bins.zipWithIndex.collect {
+      case (b, i) if b.size >= 2 => Bin(f"$i%05d", b.toSeq)
+    }.toSeq
+  }
+
+  /** Execute a compaction+clustering pass. Resumable: pass the same jobId
+    * to skip already-committed bins. Returns the metrics report. */
+  def run(spark: SparkSession, table: TsTable, targetFileSize: Long,
+          jobId: String = UUID.randomUUID().toString.take(8),
+          curve: Option[String] = None,
+          maxRetries: Int = 5): Report = {
+    val t0 = System.currentTimeMillis()
+    val journal = new LineageJournal(table.root, jobId)
+    val done = journal.completedBins()
+    table.refresh()
+    val curveName = curve.orElse(table.clusterSpec.map(_.curve)).getOrElse("none")
+    val bins = plan(table.state.liveSegments, targetFileSize)
+    var executed = 0; var skipped = 0
+    var rows = 0L; var bytes = 0L; var filesIn = 0; var filesOut = 0
+
+    for (bin <- bins) {
+      if (done.contains(bin.id)) { skipped += 1 }
+      else {
+        val b0 = System.currentTimeMillis()
+        val liveIds = table.state.segments.keySet
+        val inputs = bin.segments.filter(s => liveIds.contains(s.segmentId))
+        if (inputs.size >= 2) {
+          val outFiles = math.max(1, math.ceil(bin.bytes.toDouble / targetFileSize).toInt)
+          val fit = ClusterKey.fit(table.state.liveSegments)
+          val added = rewriteBin(spark, table, inputs, outFiles, curveName, fit, maxRetries)
+          executed += 1
+          rows += inputs.map(_.rowCount).sum
+          bytes += inputs.flatMap(_.fileSize).sum
+          filesIn += inputs.size; filesOut += added.size
+          journal.record(BinRecord(bin.id, inputs.map(_.segmentId), Some(table.version),
+            Some(BinMetrics(inputs.map(_.rowCount).sum, inputs.flatMap(_.fileSize).sum, inputs.size,
+              added.map(_.rowCount).sum, added.flatMap(_.fileSize).sum, added.size,
+              System.currentTimeMillis() - b0))))
+        } else skipped += 1
+      }
+    }
+    Report(jobId, bins.size, executed, skipped, rows, bytes, filesIn, filesOut,
+      System.currentTimeMillis() - t0)
+  }
+
+  /** Rewrite one bin: cluster-sorted copy-on-write, atomic Remove+Add. */
+  private def rewriteBin(spark: SparkSession, table: TsTable, inputs: Seq[SegmentMeta],
+                         outFiles: Int, curve: String, fit: ClusterKey.Fit,
+                         maxRetries: Int): Seq[SegmentMeta] = {
+    val paths = inputs.map(s => s"${table.root}/${s.path}")
+    val df = spark.read.parquet(paths: _*)
+    val sorted = clusterSorted(df, curve, outFiles, fit)
+    table.swapSegments(sorted, inputs.map(_.segmentId), maxRetries)
+  }
+
+  /** Apply the clustering layout: curve key + salt → GLOBAL range partition
+    * over the whole bin → in-partition sort → key columns dropped before
+    * write (byte-identical user schema). The salt breaks ties when curve
+    * keys collide heavily (hot source × narrow n_tok) so range
+    * partitioning stays balanced under Zipf skew; it is a suffix of the
+    * sort order, never perturbing curve locality.
+    * "lexico" = hierarchical (source, n_tok, doc_id) sort: perfect
+    * leading-column pruning, no multi-dim balance — offered as the
+    * alternative layout. */
+  def clusterSorted(df: DataFrame, curve: String, outFiles: Int,
+                    fit: ClusterKey.Fit = ClusterKey.Fit.default): DataFrame = curve match {
+    case "zorder" | "hilbert" =>
+      df.withColumn("__ckey", ClusterKey.tokenTableKey(curve, fit))
+        .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(1024L)))
+        .repartitionByRange(outFiles, col("__ckey"), col("__salt"))
+        .sortWithinPartitions(col("__ckey"), col("__salt"))
+        .drop("__ckey", "__salt")
+    case "lexico" =>
+      df.repartitionByRange(outFiles, col("source"), col("n_tok"), col("doc_id"))
+        .sortWithinPartitions(col("source"), col("n_tok"), col("doc_id"))
+    case _ =>
+      df.repartition(outFiles)
+  }
+}

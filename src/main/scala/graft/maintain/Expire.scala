@@ -1,0 +1,94 @@
+package graft.maintain
+
+import java.nio.file.{Files, Paths}
+import graft.log.TableState
+import graft.meta.Json
+import graft.table.TsTable
+
+/** Snapshot expiration + manifest rewrite (north rule; the reference lists
+  * both as roadmap — README.md:374-376, checkpoints note in
+  * docs/blog/how-i-built-this/how-i-built-this.md:38-39).
+  *
+  * Semantics:
+  *  - `expire(table, keepFromVersion)` declares versions < keepFromVersion
+  *    no longer time-travelable. Data files referenced ONLY by expired
+  *    versions (i.e. removed by some commit ≤ the watermark and not live in
+  *    the watermark state — re-adds handled by replay) are deleted together
+  *    with their coverage sidecars.
+  *  - Manifest rewrite: the watermark state is written as a checkpoint
+  *    (`NNNNNNNNNN.ckpt.json`) BEFORE any deletion, then commits older than
+  *    the watermark are dropped — replay cost stays O(commits since last
+  *    checkpoint) forever, the Iceberg/Delta checkpoint idea rebuilt on the
+  *    reference's log layout. CURRENT and commit semantics are unchanged;
+  *    readers at or above the watermark are untouched (snapshot isolation
+  *    holds for every retained version).
+  *
+  * All driver-side metadata IO — O(commits + expired files), no Spark job.
+  */
+object Expire {
+
+  final case class Report(watermark: Long, dataFilesDeleted: Int, bytesDeleted: Long,
+                          sidecarsDeleted: Int, commitsDropped: Int)
+
+  def expire(table: TsTable, keepFromVersion: Long): Report = {
+    val store = table.store
+    val current = store.currentVersion()
+    require(keepFromVersion >= 1 && keepFromVersion <= current,
+      s"watermark $keepFromVersion out of range [1, $current]")
+
+    // 1) checkpoint the watermark state (manifest rewrite) — before deletes
+    val wmState = TableState.rebuildAt(store, keepFromVersion)
+    val ckpt = store.checkpointPath(keepFromVersion)
+    if (!Files.exists(ckpt)) {
+      val tmp = Files.createTempFile(store.logDir, ".ckpt", ".tmp")
+      Files.writeString(tmp, Json.write(wmState.toJson))
+      Files.move(tmp, ckpt, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    // 2) orphans: every segment ever added at v ≤ watermark that is not
+    //    live at the watermark (removed and never re-added by replay) —
+    //    retained versions ≥ watermark can only reference watermark-live
+    //    or later-added segments, so deletion is safe for all of them.
+    val startV = store.latestCheckpointVersion(keepFromVersion - 1) match {
+      case Some(v) => v + 1 // earlier history already compacted away
+      case None    => 1L
+    }
+    val seen = scala.collection.mutable.Map.empty[String, graft.meta.SegmentMeta]
+    var v = startV
+    while (v <= keepFromVersion) {
+      if (Files.exists(store.commitPath(v))) {
+        store.readCommit(v).actions.foreach {
+          case graft.log.LogAction.AddSegment(s) => seen(s.segmentId) = s
+          case _ => ()
+        }
+      }
+      v += 1
+    }
+    val orphans = (seen -- wmState.segments.keySet).values.toSeq.sortBy(_.path)
+
+    var bytes = 0L; var files = 0; var sidecars = 0
+    orphans.foreach { seg =>
+      val p = Paths.get(strip(s"${table.root}/${seg.path}"))
+      if (Files.exists(p)) { bytes += Files.size(p); Files.delete(p); files += 1 }
+      seg.coveragePath.foreach { cp =>
+        val cpp = Paths.get(strip(s"${table.root}/$cp"))
+        if (Files.deleteIfExists(cpp)) sidecars += 1
+      }
+    }
+
+    // 3) drop commit files and stale checkpoints < watermark (replay now
+    //    starts at the watermark checkpoint)
+    var dropped = 0
+    v = startV
+    while (v < keepFromVersion) {
+      if (Files.deleteIfExists(store.commitPath(v))) dropped += 1
+      Files.deleteIfExists(store.checkpointPath(v))
+      v += 1
+    }
+    Report(keepFromVersion, files, bytes, sidecars, dropped)
+  }
+
+  private def strip(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+}

@@ -129,7 +129,7 @@ final class TsTable private (val root: String, val store: LogStore) {
       if (!diskSchema.fieldNames.contains(tsCol))
         throw SchemaMismatchException(s"time column '$tsCol' missing from appended data")
       val identity = extractEntityIdentity(spark, stagingAbs, spec, fileStats)
-      val perFileCov = computeCoverage(spark, stagingAbs, spec)
+      val perFileCov = computeCoverage(spark, Seq(stagingAbs), spec)
       (identity, perFileCov)
     }
 
@@ -229,14 +229,77 @@ final class TsTable private (val root: String, val store: LogStore) {
     v
   }
 
+  /** Copy-on-write swap: write `df` as new segments and atomically commit
+    * RemoveSegment(removeIds) + AddSegment(new) in ONE commit — the
+    * maintenance primitive behind compaction, clustering and MERGE.
+    * Concurrent readers pinned at the old version keep seeing the old
+    * files (nothing is deleted here; snapshot expiration deletes later).
+    * OCC: on conflict, rebase and re-verify every removed id is still
+    * live — if another job already swapped one, this swap aborts. */
+  private[graft] def swapSegments(df: DataFrame, removeIds: Seq[String],
+                                  maxRetries: Int = 3): Seq[SegmentMeta] = {
+    val spark = df.sparkSession
+    val commitId = UUID.randomUUID().toString.take(8)
+    val stagingAbs = s"$root/.staging-$commitId"
+    df.write.mode("overwrite").parquet(stagingAbs)
+    val written = listParquet(stagingAbs)
+    require(written.nonEmpty, "rewrite produced no data files")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fileStats = written.map(f => f -> FooterStats.read(conf, f))
+    val moved = written.zipWithIndex.map { case (src, i) =>
+      val rel = f"data/$commitId-$i%05d.parquet"
+      Files.createDirectories(Paths.get(s"$root/data"))
+      Files.move(Paths.get(stripScheme(src)), Paths.get(stripScheme(s"$root/$rel")))
+      rel
+    }
+    deleteRecursively(Paths.get(stripScheme(stagingAbs)))
+    // time-series tables: rewritten segments need coverage sidecars so the
+    // append overlap-check precondition keeps holding after compaction
+    val covByPath: Map[String, String] = timeSpec match {
+      case Some(spec) =>
+        computeCoverage(spark, moved.map(rel => s"$root/$rel"), spec).map { case (p, bm) =>
+          val rel = p.stripPrefix(stripScheme(root) + "/")
+          val segId = SegmentMeta.segmentIdV1(rel, Paths.get(p))
+          val covRel = s"_coverage/segments/segcov-$segId.cov"
+          writeBytes(s"$root/$covRel", bm.serialize())
+          rel -> covRel
+        }
+      case None => Map.empty
+    }
+    val segs = moved.zip(fileStats).map { case (rel, (_, fs)) =>
+      val segId = SegmentMeta.segmentIdV1(rel, Paths.get(stripScheme(s"$root/$rel")))
+      SegmentMeta(segId, rel, "parquet", fs.rowCount, Some(fs.fileSize), fs.stats, covByPath.get(rel))
+    }
+    var attempt = 0
+    while (true) {
+      refresh()
+      val st = cachedState
+      val missing = removeIds.filterNot(st.segments.contains)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"swap aborted: segments already rewritten by a concurrent job: $missing")
+      val actions: Seq[LogAction] =
+        removeIds.map(LogAction.RemoveSegment) ++ segs.map(LogAction.AddSegment)
+      try {
+        val v = store.commitWithExpectedVersion(st.version, actions)
+        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
+        return segs
+      } catch {
+        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Distinct bucket ids per staged file — ONE distributed job; the bucket
     * domain is tiny so the collect is metadata-sized. Bucket id =
     * floorDiv(epochSeconds, len) with pre-epoch clamp to 0, matching
     * BucketMath / the reference's release-mode clamp (bucket.rs:66-75). */
-  private def computeCoverage(spark: SparkSession, stagingAbs: String,
+  private def computeCoverage(spark: SparkSession, paths: Seq[String],
                               spec: TimeIndexSpec): Map[String, Bitmap] = {
     val lenSec = spec.bucket.lengthSeconds
-    val rows = spark.read.parquet(stagingAbs)
+    val rows = spark.read.parquet(paths: _*)
       .select(
         input_file_name().as("f"),
         // greatest(...,0) clamps pre-epoch (reference bucket.rs:66-75);

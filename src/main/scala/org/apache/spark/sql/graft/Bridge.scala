@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made the converters `private[sql]`
+  * (ExpressionUtils in columnNodeSupport.scala), so this one-file shim
+  * lives in the org.apache.spark.sql namespace — same technique open-source
+  * table formats use to host custom Catalyst expressions on Spark 4. */
+object Bridge {
+  def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+  def ofExpr(e: Expression): Column = ExpressionUtils.column(e)
+}

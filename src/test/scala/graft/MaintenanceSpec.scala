@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.data.TokenGen
+import graft.maintain._
+import graft.meta._
+import graft.table.TsTable
+
+/** North-rule maintenance operators: bin-packing compaction with Z-order /
+  * Hilbert clustering, snapshot expiration + manifest rewrite, MERGE INTO —
+  * each gated on token-array byte equality and snapshot isolation. */
+class MaintenanceSpec extends SparkFunSuite {
+
+  private def tokenMeta(curve: String) = TableMeta("tokens",
+    TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), curve)), None, None)
+
+  private def tokenChecksum(df: org.apache.spark.sql.DataFrame): Array[org.apache.spark.sql.Row] =
+    df.select(col("doc_id"), col("n_tok"), col("source"), hash(col("tokens")).as("th"))
+      .orderBy("doc_id").collect()
+
+  test("compaction: fewer files, byte-identical rows, snapshot isolation held") {
+    val root = tmpDir("compact")
+    val t = TsTable.create(root, tokenMeta("zorder"))
+    t.append(TokenGen.generate(spark, 2000, numFiles = 20)) // pathological small files
+    val before = tokenChecksum(t.scan(spark))
+    val vBefore = t.version
+    val report = Compaction.run(spark, t, targetFileSize = 512L * 1024 * 1024)
+    assert(report.binsExecuted >= 1)
+    assert(t.state.liveSegments.size < 20)
+    // per-row equality incl. token arrays (hash proxy + full compare)
+    val after = tokenChecksum(t.scan(spark))
+    assert(after.length == before.length)
+    before.zip(after).foreach { case (b, a) => assert(b == a) }
+    val fullBefore = t.scanAt(spark, vBefore).orderBy("doc_id").collect()
+    val fullAfter = t.scan(spark).orderBy("doc_id").collect()
+    fullBefore.zip(fullAfter).foreach { case (b, a) =>
+      assert(b.getSeq[Int](1) == a.getSeq[Int](1), s"token array changed for ${b.getString(0)}")
+    }
+    // snapshot isolation: pinned pre-compaction version still reads old files
+    assert(t.scanAt(spark, vBefore).count() == 2000)
+    // clustering actually ordered files: per-file source sets should shrink
+    val seg = t.state.liveSegments.head
+    assert(seg.stats.contains("source"))
+  }
+
+  test("compaction is resumable: second run with same jobId skips completed bins") {
+    val root = tmpDir("compact-resume")
+    val t = TsTable.create(root, tokenMeta("zorder"))
+    t.append(TokenGen.generate(spark, 1000, numFiles = 10))
+    val r1 = Compaction.run(spark, t, targetFileSize = 512L * 1024 * 1024, jobId = "job-x")
+    assert(r1.binsExecuted >= 1)
+    val vAfter = t.version
+    val r2 = Compaction.run(spark, t, targetFileSize = 512L * 1024 * 1024, jobId = "job-x")
+    assert(r2.binsExecuted == 0) // all bins journaled as complete
+    assert(t.version == vAfter)  // no new commits
+    val journal = new LineageJournal(root, "job-x")
+    val recs = journal.readAll()
+    assert(recs.nonEmpty && recs.forall(_.metrics.exists(_.rowsIn > 0)))
+  }
+
+  test("hilbert clustering: same rows, valid curve") {
+    val root = tmpDir("compact-hil")
+    val t = TsTable.create(root, tokenMeta("hilbert"))
+    t.append(TokenGen.generate(spark, 1000, numFiles = 8))
+    val before = tokenChecksum(t.scan(spark))
+    Compaction.run(spark, t, targetFileSize = 512L * 1024 * 1024)
+    val after = tokenChecksum(t.scan(spark))
+    before.zip(after).foreach { case (b, a) => assert(b == a) }
+  }
+
+  test("expire: orphan files deleted, checkpoint bounds replay, retained versions intact") {
+    val root = tmpDir("expire")
+    val t = TsTable.create(root, tokenMeta("zorder"))
+    t.append(TokenGen.generate(spark, 500, numFiles = 5))
+    Compaction.run(spark, t, targetFileSize = 512L * 1024 * 1024)
+    val vCompacted = t.version
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    val filesBefore = java.nio.file.Files.list(dataDir).count()
+    val report = Expire.expire(t, vCompacted)
+    assert(report.dataFilesDeleted == 5) // the 5 pre-compaction inputs
+    val filesAfter = java.nio.file.Files.list(dataDir).count()
+    assert(filesBefore - filesAfter == 5)
+    assert(report.commitsDropped >= 1)
+    // table still opens and scans correctly from the checkpoint
+    val t2 = TsTable.open(root)
+    assert(t2.version == vCompacted)
+    assert(t2.scan(spark).count() == 500)
+    // expired version is no longer reachable, retained one is
+    intercept[Exception](t2.scanAt(spark, vCompacted - 1).count())
+  }
+
+  test("merge into: updates applied, inserts added, untouched rows byte-identical, files pruned") {
+    val root = tmpDir("merge")
+    val t = TsTable.create(root, tokenMeta("zorder"))
+    // two disjoint doc_id ranges so stats can prune
+    t.append(TokenGen.generate(spark, 500, idStart = 0, numFiles = 2))
+    t.append(TokenGen.generate(spark, 500, idStart = 1000000, numFiles = 2))
+    val before = t.scan(spark).orderBy("doc_id").collect()
+
+    // updates: 50 revised docs in the LOW range (salted regeneration) + 10 new docs
+    val updIds = (0 until 50).map(i => f"doc-${i * 10}%012d")
+    val newIds = (0 until 10).map(i => f"doc-${5000000 + i}%012d")
+    val updates = TokenGen.generateForIds(spark, updIds ++ newIds, salt = "v2")
+    val report = MergeInto.merge(spark, t, updates)
+
+    assert(report.updated == 50 && report.inserted == 10)
+    // only the low-range files are candidates (stats pruning on doc_id)
+    assert(report.candidates == 2, s"expected 2 candidate files, got ${report.candidates}")
+
+    val after = t.scan(spark).orderBy("doc_id").collect().map(r => r.getString(0) -> r).toMap
+    assert(after.size == 1010)
+    // updated rows carry the salted arrays
+    val expectUpd = TokenGen.generateForIds(spark, updIds, salt = "v2").collect()
+      .map(r => r.getString(0) -> r).toMap
+    updIds.foreach { id =>
+      assert(after(id).getSeq[Int](1) == expectUpd(id).getSeq[Int](1), s"update not applied: $id")
+    }
+    // untouched rows byte-identical
+    val beforeMap = before.map(r => r.getString(0) -> r).toMap
+    beforeMap.keys.filterNot(updIds.toSet).foreach { id =>
+      assert(after(id).getSeq[Int](1) == beforeMap(id).getSeq[Int](1), s"bystander perturbed: $id")
+    }
+    // inserts present
+    newIds.foreach(id => assert(after.contains(id)))
+  }
+
+  test("merge into: no matching files -> pure insert, zero candidates") {
+    val root = tmpDir("merge-ins")
+    val t = TsTable.create(root, tokenMeta("zorder"))
+    t.append(TokenGen.generate(spark, 100, idStart = 0, numFiles = 1))
+    val updates = TokenGen.generateForIds(spark, Seq("zzz-new-doc-1", "zzz-new-doc-2"))
+    val report = MergeInto.merge(spark, t, updates)
+    assert(report.candidates == 0 && report.inserted == 2)
+    assert(t.scan(spark).count() == 102)
+  }
+}
