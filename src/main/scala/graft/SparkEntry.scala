@@ -1,13 +1,449 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.coverage.BucketMath
+import graft.maintain.{Compaction, Expire, MergeInto}
+import graft.meta._
+import graft.ops.{Ann, Dedup, Multimodal, TextOps}
+import graft.table.TsTable
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries q01–q09 exercise the relational surface the reference delegates
+  * to DataFusion and we delegate to Catalyst (SURVEY.md §2.4 R1–R16).
+  * q10–q14 run the table-format engine itself (append → compaction →
+  * Z-order → MERGE → expire → time travel → coverage) with DuckDB-checkable
+  * output. q20+ are the training-pipeline operators (dedup, ANN, text,
+  * multimodal). Column names are aliased identically in Spark and oracle
+  * SQL; double aggregations use the exact "cents" pattern
+  * (sum of floor(x*100) as BIGINT) so cross-engine hashes match.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q10_maintain_scan")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------ //
+  // Engine-table helpers: a token table derived from `documents` with
+  // pure-arithmetic tokens, so DuckDB can recompute token aggregates.
+  // tokens[i] = (doc_id*31 + i) % 50257, n_tok = 64 + doc_id % 1985.
+  // ------------------------------------------------------------------ //
+
+  private def tokenDf(s: SparkSession, dir: String, factor: Int = 31,
+                      idOffset: Long = 0L): DataFrame =
+    tbl(s, dir, "documents").select(
+      (col("doc_id") + lit(idOffset)).as("id0"), col("source"))
+      .select(
+        format_string("doc-%012d", col("id0")).as("doc_id"),
+        expr(s"transform(sequence(0, CAST(64 + id0 % 1985 AS INT) - 1, 1), i -> CAST((id0 * $factor + i) % 50257 AS INT))").as("tokens"),
+        expr("CAST(64 + id0 % 1985 AS INT)").as("n_tok"),
+        col("source"))
+
+  private def buildTokenTable(s: SparkSession, dir: String, curve: String = "zorder",
+                              nFiles: Int = 32, filter: Option[String] = None): TsTable = {
+    val root = Files.createTempDirectory("graft-engine").toString
+    val t = TsTable.create(root, TableMeta("tokens",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), curve)), None, None))
+    val df = tokenDf(s, dir)
+    t.append(filter.fold(df)(df.where(_)).repartition(nFiles)) // pathological small files
+    t
+  }
+
+  private val tokSum = "aggregate(tokens, 0L, (acc, x) -> acc + CAST(x AS BIGINT))"
+
+  /** Closed-form oracle for sum(tokens): the (a+i) % m sequence wraps at
+    * most once because n_tok < m. a = (id*factor) % m. */
+  private def tokSumOracle(id: String, factor: Int): String =
+    s"(64+($id%1985)) * (($id*$factor)%50257) + (64+($id%1985))*((64+($id%1985))-1)//2" +
+    s" - 50257*greatest(0, ($id*$factor)%50257 + (64+($id%1985)) - 50257)"
+
+  // ------------------------------------------------------------------ //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational surface (Catalyst delegation, ref §2.4) ----------
+    "q01_agg" -> ((s, dir) => tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("l_quantity") * 100).cast("long")).as("qty_c"),
+        sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")).as("rev_c"))),
+
+    "q03_join" -> ((s, dir) => tbl(s, dir, "lineitem")
+      .join(broadcast(tbl(s, dir, "orders")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev_c"))),
+
+    "q04_window" -> ((s, dir) => tbl(s, dir, "events")
+      .withColumn("ma", round(avg(col("value")).over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-4, 0)), 4))
+      .select("event_id", "user_id", "ma")),
+
+    "q05_date_trunc" -> ((s, dir) => tbl(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sv_c"))),
+
+    "q06_topk" -> ((s, dir) => tbl(s, dir, "events")
+      .orderBy(col("value").desc, col("event_id"))
+      .select("event_id", "user_id", "value").limit(100)),
+
+    "q07_filtered_agg" -> ((s, dir) => tbl(s, dir, "lineitem")
+      .where(col("l_quantity") > 25)
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("s_c"))),
+
+    "q08_3way_join" -> ((s, dir) => tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(tbl(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev_c"))),
+
+    "q09_anti_join" -> ((s, dir) => tbl(s, dir, "customer")
+      .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))),
+
+    // ---- the engine itself -------------------------------------------
+    // time-range scan THROUGH the table format: create → append (stats +
+    // coverage + commit) → scanRange (file pruning + residual filter)
+    "q02_range_scan" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-ev").toString
+      val t = TsTable.create(root, TableMeta("events",
+        TableKind.TimeSeries(TimeIndexSpec("ts", Nil, TimeBucket.parse("1h"), None)), None, None))
+      t.append(tbl(s, dir, "events").repartition(8))
+      val us = (d: String) => java.time.Instant.parse(d).toEpochMilli * 1000L
+      t.scanRange(s, us("2024-01-05T00:00:00Z"), us("2024-01-12T00:00:00Z"))
+        .select("event_id", "user_id", "event_type", "value")
+    }),
+
+    // full maintenance pass: pathological small files → bin-packed,
+    // Z-ordered compaction → scan with token integrity aggregate
+    "q10_maintain_scan" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir)
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
+        expr(tokSum).as("tok_sum"))
+    }),
+
+    // MERGE INTO: revise every doc_id%10==0 (factor-37 tokens), insert
+    // brand-new ids (offset 10^7) for doc_id%97==0; untouched rows must
+    // remain byte-identical — all visible to the oracle via closed forms
+    "q11_merge_scan" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir)
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      val updates = tokenDf(s, dir, factor = 37).where("CAST(substring(doc_id, 5) AS BIGINT) % 10 = 0")
+      val inserts = tokenDf(s, dir, factor = 31, idOffset = 10000000L)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 97 = 10000000 % 97")
+      MergeInto.merge(s, t, updates.unionByName(inserts))
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"), expr(tokSum).as("tok_sum"))
+    }),
+
+    // snapshot expiration after compaction: orphans deleted, checkpointed
+    // manifest replays, data intact
+    "q12_expire_scan" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir)
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      Expire.expire(t, t.version)
+      TsTable.open(t.root).scan(s).select("doc_id", "source", "n_tok")
+    }),
+
+    // time travel: scan pinned at the version before the second append
+    "q13_timetravel" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir, filter = Some("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0"))
+      val pinned = t.version
+      t.append(tokenDf(s, dir).where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1").repartition(4))
+      t.scanAt(s, pinned).select("doc_id", "source", "n_tok")
+    }),
+
+    // coverage analytics (ref §2.2 C1-C10) as a query: minute buckets with
+    // no events inside [min(ts), max(ts)], answered from the bitmap
+    "q14_coverage_gaps" -> ((s, dir) => {
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-cov").toString
+      val t = TsTable.create(root, TableMeta("events",
+        TableKind.TimeSeries(TimeIndexSpec("ts", Nil, TimeBucket.parse("1m"), None)), None, None))
+      t.append(tbl(s, dir, "events").repartition(4))
+      val mm = tbl(s, dir, "events")
+        .agg(min(unix_micros(col("ts").cast("timestamp"))), max(unix_micros(col("ts").cast("timestamp")))).head()
+      val expected = BucketMath.expectedBucketsMicros(mm.getLong(0), mm.getLong(1) + 1, TimeBucket.parse("1m"))
+      val missing = t.loadTableCoverage().missingFrom(expected)
+      val ids = missing.runList.flatMap { case (a, b) => a to b }
+      ids.toDF("bucket_id").select(
+        // NTZ to match the events column type (and the oracle's output)
+        timestamp_seconds(col("bucket_id").cast("long") * 60).cast("timestamp_ntz").as("bucket_start"))
+    }),
+
+    // ---- dedup family --------------------------------------------------
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(tbl(s, dir, "documents")
+        .select(TextOps.fingerprint(col("text")).as("fp"), col("doc_id")), "fp", "doc_id")),
+
+    "q21_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(tbl(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.2).select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("ej"))),
+
+    "q22_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(tbl(s, dir, "documents"), "text", "doc_id", maxHamming = 16)),
+
+    "q23_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 4, threshold = 0.15)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))),
+
+    // exhaustive cosine near-dup on the vec_id%10 subset (oracle-checkable)
+    "q24_embed_neardup" -> ((s, dir) => {
+      val sub = tbl(s, dir, "embeddings").where(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Dedup.embeddingNearDupPairs(sub, "embedding", "vec_id",
+        threshold = 0.0, exhaustive = true)
+        .where(col("cos") >= 0.15)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // brute-force exact ANN top-5 for queries vec_id%100==0
+    "q25_ann_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val qs = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      Ann.bruteForceTopK(emb.where(col("vec_id") % 100 =!= 0), qs, 5)
+        .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // IVF ANN (scale path; recall measured in tests) — rows-only check
+    "q26_ivf_ann" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val qs = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      Ann.ivfTopK(emb.where(col("vec_id") % 100 =!= 0), qs, 5, numCentroids = 16, nProbe = 4)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+    }),
+
+    // ---- text analysis --------------------------------------------------
+    "q30_token_count" -> ((s, dir) => tbl(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(TextOps.tokenCount(col("text"))).as("tok_ws"),
+        sum(TextOps.subwordCountEstimate(col("text"))).as("tok_sub"),
+        count(lit(1)).as("docs"))),
+
+    "q31_quality" -> ((s, dir) => {
+      val stopSet = graft.ops.Stopwords.en.map(w => s"'$w'").mkString(",")
+      val m = TextOps.qualityMetrics(tbl(s, dir, "documents"), "text")
+      m.select(col("doc_id"), col("n_words"),
+        round(col("avg_word_len"), 3).as("awl"),
+        expr(s"aggregate(split(lower(trim(text)), '\\\\s+'), 0L, (acc, w) -> acc + IF(w IN ($stopSet), 1L, 0L))")
+          .as("sw_hits"))
+    }),
+
+    "q32_langid" -> ((s, dir) => tbl(s, dir, "documents")
+      .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
+
+    "q33_fingerprint" -> ((s, dir) => tbl(s, dir, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    "q34_rolling_fp" -> ((s, dir) => tbl(s, dir, "documents")
+      .select(col("doc_id"), TextOps.minFingerprint(col("text")).as("min_fp"))),
+
+    // ---- multimodal plumbing (decode stubbed; schema/plumbing real) -----
+    "q40_multimodal_meta" -> ((s, dir) => {
+      val blobs = Multimodal.synthesizeBlobs(tbl(s, dir, "documents"), "doc_id")
+      Multimodal.decodeMeta(blobs)
+        .select(col("media_id"), col("media_type"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.payload_bytes").as("payload_bytes"), col("valid"))
+    }),
+
+    "q41_frame_sample" -> ((s, dir) => {
+      val blobs = Multimodal.synthesizeBlobs(tbl(s, dir, "documents"), "doc_id")
+      Multimodal.sampleFrames(blobs, frameBytes = 64, stride = 4)
+        .groupBy("media_id").agg(count(lit(1)).as("frames"))
+    }),
+
+    "q42_multimodal_features" -> ((s, dir) => {
+      val blobs = Multimodal.synthesizeBlobs(tbl(s, dir, "documents"), "doc_id")
+      Multimodal.extractFeatures(blobs)
+        .select(col("media_id"), round(element_at(col("features"), 1), 4).as("f0"))
+    })
+  )
+
+  /** DuckDB oracle SQL per query (same parquet tables; column names match
+    * the Spark side exactly). Entries absent here get the weaker
+    * rows-only check (non-SQL-expressible: LSH/simhash internals use
+    * xxhash64, IVF recall, rolling fingerprints, langid heuristic). */
+  def oracleSql: Map[String, String] = {
+    val docIdNum = "CAST(substr(doc_id, 5) AS BIGINT)" // engine tables carry doc-%012d
+    Map(
+      "q01_agg" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          |  sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS qty_c,
+          |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_c
+          |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+      "q02_range_scan" ->
+        """SELECT event_id, user_id, event_type, value FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'""".stripMargin,
+
+      "q03_join" ->
+        """SELECT o_orderpriority, count(*) AS cnt,
+          |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS rev_c
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1""".stripMargin,
+
+      "q04_window" ->
+        """SELECT event_id, user_id,
+          |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma
+          |FROM events""".stripMargin,
+
+      "q05_date_trunc" ->
+        """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+          |  sum(CAST(floor(value * 100) AS BIGINT)) AS sv_c
+          |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q06_topk" ->
+        "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 100",
+
+      "q07_filtered_agg" ->
+        """SELECT count(*) AS n, sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS s_c
+          |FROM lineitem WHERE l_quantity > 25""".stripMargin,
+
+      "q08_3way_join" ->
+        """SELECT c_mktsegment, count(*) AS cnt,
+          |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS rev_c
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1""".stripMargin,
+
+      "q09_anti_join" ->
+        """SELECT c_nationkey, count(*) AS n FROM customer
+          |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY 1""".stripMargin,
+
+      "q10_maintain_scan" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents""".stripMargin,
+
+      "q11_merge_scan" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  CASE WHEN doc_id % 10 = 0 THEN ${tokSumOracle("doc_id", 37)}
+           |       ELSE ${tokSumOracle("doc_id", 31)} END AS tok_sum
+           |FROM documents
+           |UNION ALL
+           |SELECT 'doc-' || lpad(CAST(doc_id + 10000000 AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + (doc_id + 10000000) % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("(doc_id + 10000000)", 31)} AS tok_sum
+           |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
+
+      "q12_expire_scan" ->
+        """SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+          |  CAST(64 + doc_id % 1985 AS INT) AS n_tok
+          |FROM documents""".stripMargin,
+
+      "q13_timetravel" ->
+        """SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+          |  CAST(64 + doc_id % 1985 AS INT) AS n_tok
+          |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+
+      "q14_coverage_gaps" ->
+        """WITH bounds AS (SELECT date_trunc('minute', min(ts)) AS lo,
+          |                       date_trunc('minute', max(ts)) AS hi FROM events),
+          |  exp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS m FROM bounds),
+          |  got AS (SELECT DISTINCT date_trunc('minute', ts) AS m FROM events)
+          |SELECT m AS bucket_start FROM exp EXCEPT SELECT m AS bucket_start FROM got""".stripMargin,
+
+      "q20_dedup_exact" ->
+        """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+          |                               ' +', ' ', 'g'))) AS fp,
+          |  min(doc_id) AS doc_id
+          |FROM documents GROUP BY 1""".stripMargin,
+
+      "q24_embed_neardup" ->
+        """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+          |  p AS (
+          |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |      (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+          |         FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z) /
+          |      sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+          |         FROM (SELECT unnest(a.embedding) AS x) z2)) /
+          |      sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+          |         FROM (SELECT unnest(b.embedding) AS y) z3)) AS cos
+          |    FROM s a JOIN s b ON a.vec_id < b.vec_id)
+          |SELECT id_a, id_b, round(cos, 6) AS cos_r FROM p WHERE cos >= 0.15""".stripMargin,
+
+      "q25_ann_topk" ->
+        """WITH qs AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings WHERE vec_id % 100 = 0),
+          |  vs AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id % 100 <> 0),
+          |  scored AS (
+          |    SELECT q_id, vec_id,
+          |      (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+          |         FROM (SELECT unnest(v) AS x, unnest(q) AS y) z) /
+          |      sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+          |         FROM (SELECT unnest(v) AS x) z2)) /
+          |      sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+          |         FROM (SELECT unnest(q) AS y) z3)) AS cos
+          |    FROM vs CROSS JOIN qs),
+          |  ranked AS (SELECT q_id, vec_id, cos,
+          |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+          |    FROM scored)
+          |SELECT q_id, vec_id, rank, round(cos, 6) AS cos_r FROM ranked WHERE rank <= 5""".stripMargin,
+
+      "q30_token_count" ->
+        """SELECT source,
+          |  sum(CASE WHEN length(trim(text)) = 0 THEN 0
+          |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS tok_ws,
+          |  sum(CASE WHEN length(trim(text)) = 0 THEN 0
+          |           ELSE (SELECT sum(greatest(1, CAST(ceil(length(w) / 4.0) AS INT)))
+          |                 FROM unnest(regexp_split_to_array(trim(text), '\s+')) t(w)) END) AS tok_sub,
+          |  count(*) AS docs
+          |FROM documents GROUP BY 1""".stripMargin,
+
+      "q31_quality" ->
+        s"""SELECT doc_id,
+           |  CASE WHEN length(trim(text)) = 0 THEN 0
+           |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+           |  round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+           |       ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 /
+           |            len(regexp_split_to_array(trim(text), '\\s+')) END, 3) AS awl,
+           |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+           |      w -> w IN (${graft.ops.Stopwords.en.map(w => s"'$w'").mkString(",")}))) AS sw_hits
+           |FROM documents""".stripMargin,
+
+      "q33_fingerprint" ->
+        """SELECT doc_id,
+          |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+          |                          ' +', ' ', 'g'))) AS fp
+          |FROM documents""".stripMargin,
+
+      "q40_multimodal_meta" ->
+        """SELECT CAST(doc_id AS VARCHAR) AS media_id,
+          |  ['image', 'audio', 'video'][CAST((doc_id * 7) % 3 AS INT) + 1] AS media_type,
+          |  64 + (doc_id * 31) % 1985 AS width,
+          |  64 + (doc_id * 37) % 1985 AS height,
+          |  128 + (doc_id * 13) % 1024 AS payload_bytes,
+          |  true AS valid
+          |FROM documents""".stripMargin,
+
+      "q41_frame_sample" ->
+        """SELECT CAST(doc_id AS VARCHAR) AS media_id,
+          |  greatest((128 + (doc_id * 13) % 1024) // 64 - 1, 0) // 4 + 1 AS frames
+          |FROM documents WHERE (doc_id * 7) % 3 = 2""".stripMargin,
+
+      "q42_multimodal_features" ->
+        """SELECT CAST(doc_id AS VARCHAR) AS media_id,
+          |  CASE WHEN (doc_id % 256) % 8 = 0 THEN 1.0 ELSE 0.0 END AS f0
+          |FROM documents""".stripMargin
+    )
+  }
 }

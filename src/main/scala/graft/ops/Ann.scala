@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north-rule addition). Two tiers:
+  *  - brute-force exact top-k: the correctness baseline, a blocked
+  *    cross join + windowed rank — exact but O(n·q);
+  *  - IVF (inverted-file) top-k: deterministic coarse centroids, vectors
+  *    assigned to their nearest centroid, queries probe the nProbe nearest
+  *    lists only — the 100 TB path, because the data-side shuffle is one
+  *    groupBy(centroid) and each query touches nProbe/NC of the corpus.
+  */
+object Ann {
+
+  import Dedup.cosine
+
+  /** Exact top-k by cosine: every (query, vector) pair scored, per-query
+    * rank window. Queries are broadcast (they are few); ties broken by
+    * vec_id for determinism. */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                     vecCol: String = "embedding", idCol: String = "vec_id",
+                     qIdCol: String = "q_id"): DataFrame = {
+    val scored = vectors.select(col(idCol), col(vecCol).as("v"))
+      .crossJoin(broadcast(queries.select(col(qIdCol), col(vecCol).as("q"))))
+      .select(col(qIdCol), col(idCol), cosine(col("v"), col("q")).as("cos"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic coarse centroids: the vectors whose id hashes into the
+    * first `numCentroids` slots (a k-means seeding stand-in that keeps the
+    * whole pipeline reproducible with no iterative training). */
+  def centroids(vectors: DataFrame, numCentroids: Int,
+                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val w = Window.orderBy(xxhash64(col(idCol)))
+    vectors.select(col(idCol), col(vecCol))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= numCentroids)
+      .select(col("__r").as("centroid_id"), col(vecCol).as("centroid"))
+  }
+
+  /** IVF top-k: assign vectors to nearest centroid (one broadcast join +
+    * one argmax — the partitioned "index build"), then probe only the
+    * `nProbe` centroid lists nearest to each query. Recall < 1 by design;
+    * measured against bruteForceTopK in tests. */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              numCentroids: Int = 16, nProbe: Int = 4,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              qIdCol: String = "q_id"): DataFrame = {
+    val cents = centroids(vectors, numCentroids, vecCol, idCol)
+
+    def nearestLists(df: DataFrame, dfId: String, dfVec: String, n: Int): DataFrame = {
+      val scored = df.select(col(dfId), col(dfVec).as("__v"))
+        .crossJoin(broadcast(cents))
+        .select(col(dfId), col("__v"), col("centroid_id"),
+          cosine(col("__v"), col("centroid")).as("__cs"))
+      val w = Window.partitionBy(dfId).orderBy(col("__cs").desc, col("centroid_id"))
+      scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= n)
+        .select(col(dfId), col("__v"), col("centroid_id"))
+    }
+
+    val assigned = nearestLists(vectors, idCol, vecCol, 1)
+      .withColumnRenamed("__v", "v")
+    val probes = nearestLists(queries, qIdCol, vecCol, nProbe)
+      .withColumnRenamed("__v", "q")
+
+    val scored = assigned.join(probes, Seq("centroid_id"))
+      .select(col(qIdCol), col(idCol), cosine(col("v"), col("q")).as("cos"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-rule
+  * additions): token counting, quality scoring, language ID, document
+  * fingerprinting. Every kernel is built-in-function arithmetic over the
+  * text column — one narrow projection per document, no shuffle at all
+  * until an aggregation is requested, so these stream at scan speed over
+  * 100 TB. */
+object TextOps {
+
+  /** Whitespace token count (0 for blank text). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count estimate: word-boundary pieces + intra-word
+    * splits every ~4 chars (the common byte-pair average), the standard
+    * cheap pre-tokenization token estimator. */
+  def subwordCountEstimate(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(expr(s"aggregate(split(trim(${text}), '\\\\s+'), 0, (acc, w) -> acc + greatest(1, CAST(ceil(length(w) / 4.0D) AS INT)))"))
+
+  /** Quality metrics in one projection: lengths, word stats, class ratios. */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val chars = length(t).cast("double")
+    val safeChars = greatest(chars, lit(1.0))
+    df.withColumn("n_chars_q", length(t))
+      .withColumn("n_words", tokenCount(t))
+      .withColumn("avg_word_len",
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(length(regexp_replace(t, "\\s+", "")).cast("double") / col("n_words")))
+      .withColumn("punct_ratio",
+        (chars - length(regexp_replace(t, "[.,;:!?'\"()\\[\\]-]", ""))) / safeChars)
+      .withColumn("digit_ratio",
+        (chars - length(regexp_replace(t, "[0-9]", ""))) / safeChars)
+      .withColumn("upper_ratio",
+        (chars - length(regexp_replace(t, "[A-Z]", ""))) / safeChars)
+      .withColumn("stopword_ratio",
+        when(col("n_words") === 0, lit(0.0)).otherwise(
+          expr(s"aggregate(split(lower(trim($textCol)), '\\\\s+'), 0, (acc, w) -> acc + IF(w IN (${Stopwords.en.map(w => s"'$w'").mkString(",")}), 1, 0))")
+            .cast("double") / col("n_words")))
+  }
+
+  /** Composite quality score in [0,1]: length band + low punct/digit noise
+    * + healthy stopword share (the C4/Gopher-style heuristic family). */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityMetrics(df, textCol).withColumn("quality_score",
+      round(
+        (when(col("n_words").between(5, 100000), 0.25).otherwise(0.0)) +
+        (when(col("avg_word_len").between(2.0, 12.0), 0.25).otherwise(0.0)) +
+        (when(col("punct_ratio") < 0.2, 0.25).otherwise(0.0)) +
+        (when(col("stopword_ratio") > 0.05, 0.25).otherwise(0.0)), 2))
+
+  /** N-gram/stopword language ID over a fixed language set: score each
+    * language by stopword hits per word, pick the argmax ("und" when no
+    * evidence). One projection, no shuffle; the stopword tables are
+    * compile-time literals folded into codegen. */
+  def langId(text: Column): Column = {
+    val words = expr(s"split(lower(trim($text)), '\\\\s+')")
+    def score(stops: Seq[String]): Column = {
+      val set = stops.map(w => s"'$w'").mkString(",")
+      expr(s"aggregate(split(lower(trim($text)), '\\\\s+'), 0, (acc, w) -> acc + IF(w IN ($set), 1, 0))")
+        .cast("double") / greatest(size(words), lit(1)).cast("double")
+    }
+    val scored: Seq[(String, Column)] = Stopwords.tables.map { case (lang, stops) => lang -> score(stops) }
+    val best = scored.tail.foldLeft((lit(Stopwords.tables.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) => (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    when(best._2 > 0.02, best._1).otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: md5 of case/punctuation/whitespace-normalized
+    * text — the canonical "same content modulo formatting" key. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " ")))
+
+  /** Winnowing-style rolling-hash fingerprint: min/max of hashed word
+    * w-grams — robust to local edits, used for fuzzy containment. */
+  def rollingFingerprints(text: Column, window: Int = 4): Column =
+    expr(
+      s"""transform(
+         |  sequence(1, greatest(size(split(lower(trim($text)), '\\\\s+')) - ${window - 1}, 1)),
+         |  i -> xxhash64(concat_ws(' ', slice(split(lower(trim($text)), '\\\\s+'), i, $window))))""".stripMargin)
+
+  def minFingerprint(text: Column, window: Int = 4): Column =
+    array_min(rollingFingerprints(text, window))
+}
+
+/** Tiny embedded stopword tables (top function words; public knowledge). */
+object Stopwords {
+  val en = Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that",
+    "was", "for", "on", "are", "with", "as", "at", "be", "this", "have")
+  val de = Seq("der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit",
+    "sie", "auf", "für", "des", "dem", "den", "von", "zu", "im", "es", "war")
+  val fr = Seq("le", "la", "les", "et", "est", "je", "pas", "un", "une", "avec",
+    "pour", "des", "du", "de", "que", "qui", "dans", "sur", "il", "au")
+  val es = Seq("el", "la", "los", "las", "y", "es", "yo", "no", "un", "una",
+    "con", "para", "del", "de", "que", "en", "se", "por", "su", "al")
+  val tables: Seq[(String, Seq[String])] = Seq("en" -> en, "de" -> de, "fr" -> fr, "es" -> es)
+}

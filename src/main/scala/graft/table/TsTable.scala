@@ -85,8 +85,18 @@ final class TsTable private (val root: String, val store: LogStore) {
   def scanRange(spark: SparkSession, startMicros: Long, endMicros: Long): DataFrame = {
     if (startMicros >= endMicros) throw InvalidRangeException(startMicros, endMicros)
     val ts = timeSpec.getOrElse(throw new IllegalStateException("not a time-series table")).timestampColumn
-    scan(spark).where(
-      col(ts) >= lit(microsToTs(startMicros)) && col(ts) < lit(microsToTs(endMicros)))
+    val df = scan(spark)
+    // literal typed to the column (TIMESTAMP vs TIMESTAMP_NTZ) so the
+    // comparison stays cast-free on the column side and the predicate
+    // pushes down to the parquet row groups
+    val isNtz = df.schema.fields.find(_.name == ts)
+      .exists(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    def l(us: Long): Column =
+      if (isNtz) lit(java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L),
+        java.time.ZoneOffset.UTC))
+      else lit(microsToTs(us))
+    df.where(col(ts) >= l(startMicros) && col(ts) < l(endMicros))
   }
 
   private def microsToTs(us: Long): java.sql.Timestamp = {
@@ -304,7 +314,9 @@ final class TsTable private (val root: String, val store: LogStore) {
         input_file_name().as("f"),
         // greatest(...,0) clamps pre-epoch (reference bucket.rs:66-75);
         // integer `div` truncation == floor on the clamped non-negative domain
-        expr(s"greatest(unix_micros(`${spec.timestampColumn}`), 0L) div ${1000000L * lenSec}L")
+        // CAST handles TIMESTAMP_NTZ columns; session tz is UTC so the
+        // cast is value-preserving
+        expr(s"greatest(unix_micros(CAST(`${spec.timestampColumn}` AS TIMESTAMP)), 0L) div ${1000000L * lenSec}L")
           .as("b"))
       .where(col("b").isNotNull)
       .distinct()

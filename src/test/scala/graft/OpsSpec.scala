@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Training-pipeline operators tested on planted fixtures: known
+  * duplicates must be found, known non-duplicates must not, and the
+  * approximate paths (LSH, IVF) are measured against their exact
+  * counterparts. */
+class OpsSpec extends SparkFunSuite {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per key") {
+    val d = docs((1L, "aaa"), (5L, "aaa"), (3L, "bbb"), (2L, "aaa"))
+    val out = Dedup.exact(d, "text", "doc_id").orderBy("text").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("aaa", 1L), ("bbb", 3L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates, not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm windowsill every afternoon"
+    val nearDup = base.replace("warm", "cold") // one-word edit
+    val unrelated = "completely different content about spark catalyst optimizer rules and parquet row group statistics pruning"
+    val d = docs((1L, base), (2L, nearDup), (3L, unrelated), (4L, base)) // 4 = exact dup of 1
+    val pairs = Dedup.minhashLshPairs(d, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "exact dup must be found")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)), "near dup must be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("simhash: identical texts have distance 0; near-dups within threshold") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the windowsill"
+    val d = docs((1L, base), (2L, base), (3L, base.replace("lazy", "busy")))
+    val pairs = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 10)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 0L)
+    assert(m.get((1L, 3L)).exists(_ <= 10L))
+  }
+
+  test("ngram jaccard: exact math on a tiny fixture") {
+    // "abcd" vs "bcde": 3-shingles {abc,bcd} vs {bcd,cde} -> J = 1/3
+    val d = docs((1L, "abcd"), (2L, "bcde"))
+    val out = Dedup.ngramJaccardPairs(d, "text", "doc_id", shingleSize = 3, threshold = 0.0)
+      .select("jaccard").as[Double].collect()
+    assert(out.length == 1 && math.abs(out(0) - 1.0 / 3.0) < 1e-9)
+  }
+
+  test("embedding near-dup: planted duplicate vector found; LSH blocking agrees with exhaustive") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.999, 0.04, 0.0, 0.0)),  // near-dup of 1
+      (3L, Array(0.0, 1.0, 0.0, 0.0)),     // orthogonal
+      (4L, Array(1.0, 0.0, 0.0, 0.0)))     // exact dup of 1
+      .toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+      threshold = 0.95, exhaustive = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    val blocked = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+      threshold = 0.95, planes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(exact))
+    assert(blocked.contains((1L, 4L)), "exact dup always lands in the same LSH block")
+  }
+
+  test("IVF ANN recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val qs = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val corpus = emb.where(col("vec_id") % 100 =!= 0)
+    val exact = Ann.bruteForceTopK(corpus, qs, 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.ivfTopK(corpus, qs, 10, numCentroids = 8, nProbe = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall") // 4/8 lists probed
+  }
+
+  test("text ops: token counts, quality, langid, fingerprint invariance") {
+    val d = Seq(
+      (1L, "The quick brown fox, with the lazy dog!"),
+      (2L, "the   quick brown FOX  with the lazy dog"),
+      (3L, "der hund und die katze sind mit dem ball im garten"),
+      (4L, "")).toDF("doc_id", "text")
+    val counts = d.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(counts(1L) == 8 && counts(2L) == 8 && counts(4L) == 0)
+    // fingerprint: case/punct/whitespace-invariant
+    val fps = d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    // langid: german text detected
+    val langs = d.where(length(col("text")) > 0)
+      .select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(langs(3L) == "de")
+    assert(langs(1L) == "en")
+  }
+
+  test("multimodal: blob header round-trips; frames and features deterministic") {
+    val d = Seq(7L, 42L, 255L).toDF("doc_id")
+    val blobs = Multimodal.synthesizeBlobs(d, "doc_id")
+    val meta = Multimodal.decodeMeta(blobs)
+      .select("media_id", "meta.width", "meta.height", "meta.payload_bytes", "valid")
+      .collect().map(r => r.getString(0) -> (
+        r.getAs[Number](1).longValue, r.getAs[Number](2).longValue,
+        r.getAs[Number](3).longValue, r.getBoolean(4))).toMap
+    assert(meta("42") == ((64 + 42 * 31 % 1985, 64 + 42 * 37 % 1985, 128 + 42 * 13 % 1024, true)))
+    val feats = Multimodal.extractFeatures(blobs)
+      .select("media_id", "features").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    // payload is a constant byte per id -> one histogram bucket is 1.0
+    assert(feats("42").count(_ == 1.0f) == 1)
+    assert(math.abs(feats("42").sum - 1.0f) < 1e-6)
+  }
+}
