@@ -1,24 +1,103 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.data.TokenGen
+import graft.maintain.{Compaction, Expire, MergeInto}
+import graft.meta._
+import graft.table.TsTable
+
+/** Benchmark main (driver contract): one JSON line on stdout.
+  *
+  * Measures the north-rule metric — end-to-end compaction + Z-order
+  * maintenance throughput (sequences/sec) and post-maintenance scan
+  * latency — plus headline relational/pipeline queries on
+  * SPARK_GRAFT_SF_DIR. Parallelism comes from SPARK_GRAFT_CPUS; running
+  * the identical job at 8 vs 32 cores on the same input yields the
+  * scaling-efficiency evidence recorded in BENCH/BASELINE.md.
+  *
+  * Env knobs: SPARK_GRAFT_BENCH_ROWS (token-table size, default 150k),
+  * SPARK_GRAFT_BENCH_FILES (initial small files, default 200).
+  */
 object Bench {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "150000").toLong
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "200").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val q = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // ---------- maintenance benchmark on the synthetic token table ------
+    val root = Files.createTempDirectory("graft-bench").toString
+    val t = TsTable.create(root, TableMeta("tokens",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
+
+    val (_, tIngest) = time { t.append(TokenGen.generate(spark, rows, numFiles = nFiles)) }
+    q("ingest") = tIngest
+
+    def latency(df: DataFrame): Double = time(df.count())._2
+    val probeDoc = f"doc-${rows / 3}%012d"
+    q("scan_point_before") = latency(t.scan(spark).where(col("doc_id") === probeDoc))
+    q("scan_ntok_before") = latency(t.scan(spark).where(col("n_tok").between(100, 160)))
+    q("scan_source_before") = latency(t.scan(spark).where(col("source") === "src15"))
+    q("full_scan_before") = latency(t.scan(spark)
+      .select(sum(expr("aggregate(tokens, 0L, (a, x) -> a + x)"))))
+
+    // the north-rule headline: compaction + Z-order clustering
+    val (_, tCompact) = time {
+      Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    q("compact_zorder") = tCompact
+    val throughput = rows / tCompact
+
+    q("scan_point_after") = latency(t.scan(spark).where(col("doc_id") === probeDoc))
+    q("scan_ntok_after") = latency(t.scan(spark).where(col("n_tok").between(100, 160)))
+    q("scan_source_after") = latency(t.scan(spark).where(col("source") === "src15"))
+    q("full_scan_after") = latency(t.scan(spark)
+      .select(sum(expr("aggregate(tokens, 0L, (a, x) -> a + x)"))))
+
+    // MERGE INTO: 1% updates + 0.1% inserts
+    val updates = TokenGen.generate(spark, rows / 100, idStart = 0, numFiles = 4)
+    val inserts = TokenGen.generate(spark, rows / 1000, idStart = rows * 10, numFiles = 1)
+    val (_, tMerge) = time { MergeInto.merge(spark, t, updates.unionByName(inserts)) }
+    q("merge_upsert") = tMerge
+
+    val (_, tExpire) = time { Expire.expire(t, t.version) }
+    q("expire") = tExpire
+
+    // ---------- headline queries over the shared testdata ---------------
+    val headline = Seq("q01_agg", "q03_join", "q05_date_trunc", "q10_maintain_scan",
+      "q21_minhash_pairs", "q24_embed_neardup", "q25_ann_topk", "q30_token_count")
+    headline.foreach { name =>
+      val (_, sec) = time {
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+      }
+      q(name) = sec
+    }
+
+    val qs = q.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"maintenance_throughput","value":${f"$throughput%.1f"},"unit":"seq/sec","total_sec":${f"${q.values.sum}%.1f"},"rows":$rows,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

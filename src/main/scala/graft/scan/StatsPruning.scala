@@ -93,7 +93,8 @@ object StatsPruning {
             case Some(cs) => evalCmp(b, flipped, cs, rowCount, k)
             case None     => Unknown
           }
-        case _ => Unknown
+        case _ =>
+          litE.map(l => transformCmp(b, flipped, colE, l, stats, rowCount)).getOrElse(Unknown)
       }
 
     case e: StartsWith => (e.left, e.right) match {
@@ -112,6 +113,105 @@ object StatsPruning {
     }
 
     case _ => Unknown // unrecognized predicate never prunes (sound)
+  }
+
+  // ---------------------------------------------------------------------
+  // Transform-aware pruning: `f(ts) OP literal` rewritten into raw-ts
+  // bounds evaluated against file stats — the port of the reference's
+  // timestamp-transform compiler (time_predicate.rs:554-604, 876-1106:
+  // to_date / date_trunc / ts ± interval). UTC/sessions-default only;
+  // explicit non-UTC zones conservatively yield Unknown (the reference's
+  // Olson/DST widening is out of scope for v1 — soundness is preserved
+  // because Unknown never prunes).
+  // ---------------------------------------------------------------------
+
+  private val MicrosPerDay = 86400L * 1000000L
+
+  private def truncUnitMicros(fmt: String): Option[Long] = fmt.toLowerCase match {
+    case "second" => Some(1000000L)
+    case "minute" => Some(60L * 1000000L)
+    case "hour"   => Some(3600L * 1000000L)
+    case "day"    => Some(MicrosPerDay)
+    case _        => None // week/month/year: calendar-aware, skip (sound)
+  }
+
+  private def utcOk(tz: Option[String]): Boolean =
+    tz.forall(z => z == "UTC" || z == "Etc/UTC" || z == "+00:00" || z == "Z")
+
+  /** Evaluate `colExpr OP k` where colExpr is a recognized transform of a
+    * stats column. Reduces to plain ts-micros bound predicates and
+    * re-enters eval(). */
+  private def transformCmp(b: BinaryComparison, flipped: Boolean, colE: Expression,
+                           k: Literal, stats: Map[String, ColStats], rows: Long): Tri = {
+    import org.apache.spark.sql.types._
+    def tsBound(col: String, mk: (Expression, Expression) => Expression, micros: Long): Tri = {
+      val attr = AttributeReference(col, TimestampType)()
+      eval(mk(attr, Literal(micros, TimestampType)), stats, rows)
+    }
+    def opIsLt = (if (flipped) b.isInstanceOf[GreaterThan] else b.isInstanceOf[LessThan])
+    def opIsLe = (if (flipped) b.isInstanceOf[GreaterThanOrEqual] else b.isInstanceOf[LessThanOrEqual])
+    def opIsGt = (if (flipped) b.isInstanceOf[LessThan] else b.isInstanceOf[GreaterThan])
+    def opIsGe = (if (flipped) b.isInstanceOf[LessThanOrEqual] else b.isInstanceOf[GreaterThanOrEqual])
+
+    colE match {
+      // to_date(ts) / CAST(ts AS DATE): k is a DateType literal (days)
+      case Cast(inner, DateType, tz, _) if columnOf(inner).isDefined && utcOk(tz) &&
+          k.dataType == DateType && k.value != null =>
+        val col = columnOf(inner).get
+        val dayStart = k.value.asInstanceOf[Int].toLong * MicrosPerDay
+        val nextDay = dayStart + MicrosPerDay
+        if (b.isInstanceOf[EqualTo])
+          and(tsBound(col, GreaterThanOrEqual, dayStart), tsBound(col, LessThan, nextDay))
+        else if (opIsLt) tsBound(col, LessThan, dayStart)
+        else if (opIsLe) tsBound(col, LessThan, nextDay)
+        else if (opIsGt) tsBound(col, GreaterThanOrEqual, nextDay)
+        else if (opIsGe) tsBound(col, GreaterThanOrEqual, dayStart)
+        else Unknown
+
+      // date_trunc(unit, ts): k is a TimestampType literal (micros)
+      case TruncTimestamp(Literal(fmt: UTF8String, _), inner, tz) if columnOf(inner).isDefined &&
+          utcOk(tz) && k.dataType == TimestampType && k.value != null =>
+        truncUnitMicros(fmt.toString) match {
+          case None => Unknown
+          case Some(u) =>
+            val col = columnOf(inner).get
+            val kv = k.value.asInstanceOf[Long]
+            val aligned = Math.floorDiv(kv, u) * u
+            val isAligned = aligned == kv
+            if (b.isInstanceOf[EqualTo]) {
+              if (!isAligned) AlwaysFalse // Eq on unaligned literal is never true
+              else and(tsBound(col, GreaterThanOrEqual, kv), tsBound(col, LessThan, kv + u))
+            }
+            else if (opIsLt) tsBound(col, LessThan, if (isAligned) kv else aligned + u)
+            else if (opIsLe) tsBound(col, LessThan, aligned + u)
+            else if (opIsGt) tsBound(col, GreaterThanOrEqual, aligned + u)
+            else if (opIsGe) tsBound(col, GreaterThanOrEqual, if (isAligned) kv else aligned + u)
+            else Unknown
+        }
+
+      // ts ± INTERVAL (fixed-duration only): (ts + iv) OP k  ≡  ts OP (k - iv)
+      // iv arrives as CalendarInterval (legacy) or DayTimeIntervalType micros
+      case TimestampAddInterval(inner, Literal(ivVal, ivType), _)
+          if columnOf(inner).isDefined && k.dataType == TimestampType && k.value != null &&
+             (ivVal match {
+               case ci: org.apache.spark.unsafe.types.CalendarInterval => ci.months == 0
+               case _: java.lang.Long => ivType.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType]
+               case _ => false
+             }) =>
+        val shift = ivVal match {
+          case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+            ci.days.toLong * MicrosPerDay + ci.microseconds
+          case l: java.lang.Long => l.longValue()
+        }
+        val col = columnOf(inner).get
+        val attr = AttributeReference(col, TimestampType)()
+        val shifted = Literal(k.value.asInstanceOf[Long] - shift, TimestampType)
+        val rewritten = if (flipped) b.withNewChildren(Seq(shifted, attr))
+                        else b.withNewChildren(Seq(attr, shifted))
+        eval(rewritten, stats, rows)
+
+      case _ => Unknown
+    }
   }
 
   /** reference pruning.rs:6-71 table, generalized. cMin/cMax = cmp(stat, k). */

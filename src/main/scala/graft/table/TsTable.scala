@@ -239,6 +239,38 @@ final class TsTable private (val root: String, val store: LogStore) {
     v
   }
 
+  /** Append an existing Parquet file by path (reference CLI `append
+    * --parquet`, table/append.rs:370-455): validates the PAR1 magic
+    * (transaction_log/segments.rs:98-137), copies the file under
+    * `data/` when outside the table root refusing overwrite
+    * (storage/table_location.rs:51-130), then runs the standard append
+    * pipeline on its rows. */
+  def appendParquetFile(spark: SparkSession, path: String): Long = {
+    val src = Paths.get(stripScheme(path))
+    val size = Files.size(src)
+    if (size < 8L) throw SchemaMismatchException(s"'$path' too small to be parquet")
+    val ch = java.nio.channels.FileChannel.open(src)
+    val (head, tail) = try {
+      val h = java.nio.ByteBuffer.allocate(4); ch.read(h, 0L)
+      val t = java.nio.ByteBuffer.allocate(4); ch.read(t, size - 4)
+      (new String(h.array(), "US-ASCII"), new String(t.array(), "US-ASCII"))
+    } finally ch.close()
+    if (head != "PAR1" || tail != "PAR1")
+      throw SchemaMismatchException(s"'$path' is not a parquet file (bad magic)")
+    val inRoot = src.toAbsolutePath.startsWith(Paths.get(stripScheme(root)).toAbsolutePath)
+    val local =
+      if (inRoot) src
+      else {
+        val dst = Paths.get(stripScheme(root), "data", src.getFileName.toString)
+        Files.createDirectories(dst.getParent)
+        try Files.copy(src, dst)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(s"refusing to overwrite existing ${dst.getFileName}") }
+        dst
+      }
+    append(spark.read.parquet(local.toString).coalesce(1))
+  }
+
   /** Copy-on-write swap: write `df` as new segments and atomically commit
     * RemoveSegment(removeIds) + AddSegment(new) in ONE commit — the
     * maintenance primitive behind compaction, clustering and MERGE.
