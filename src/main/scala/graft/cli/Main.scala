@@ -44,7 +44,7 @@ object Main {
     try run(spark, args) finally spark.stop()
   }
 
-  private[cli] def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
+  private[graft] def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
     case "create" =>
       val root = req(args, "table")
       val kind = opt(args, "cluster-by") match {
