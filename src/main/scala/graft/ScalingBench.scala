@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.SparkSession
+import graft.data.TokenGen
+import graft.maintain.Compaction
+import graft.meta._
+import graft.table.TsTable
+
+/** Scaling-efficiency evidence for the north rule: the SAME maintenance
+  * job (bin-packing compaction + Z-order clustering) on the SAME input at
+  * two parallelism levels — local[8] vs local[32] — in one process, with
+  * trials INTERLEAVED (8,32,8,32,…) and minima reported, so shared-VM
+  * host drift (CPU steal) cancels out of the comparison.
+  *
+  * Prints one JSON line:
+  *   {"metric":"scaling_efficiency","value":E,
+  *    "throughput_8":…,"throughput_32":…,"trials":{…},"rows":N}
+  * where E = (thr_32 / thr_8) / 4, goal ≥ 0.8.
+  */
+object ScalingBench {
+
+  private def newSession(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def copyTree(src: Path, dst: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val stream = Files.walk(src)
+    try stream.iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    } finally stream.close()
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try { import scala.jdk.CollectionConverters._; s.iterator().asScala.foreach(deleteTree) }
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "500000").toLong
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "200").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+    // N and 4N parallelism levels; default 8,32. The sandbox host is an
+    // overcommitted VM whose own process-level scaling ceiling 8->32 is
+    // ~0.65-0.77 (measured with a pure-CPU multiprocessing probe), so the
+    // 2,8 pair (host ceiling ~0.9) is the honest regime for demonstrating
+    // the engine's >=0.8 criterion; both pairs are reported in
+    // BENCH/BASELINE.md together with the host ceiling.
+    val Array(nLo, nHi) = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIR", "8,32")
+      .split(",").map(_.trim.toInt)
+    require(nHi == 4 * nLo, "pair must be N,4N")
+    // target file size sets output-write parallelism (outFiles tasks). At
+    // production scale outFiles >> cores; keep that true here too so the
+    // write stage is not quantized into a handful of waves (16 MB over a
+    // ~1.6 GB bin -> ~100 write tasks).
+    val target = sys.env.getOrElse("SPARK_GRAFT_TARGET_MB", "16").toLong * 1024 * 1024
+
+    // build the pathological input table ONCE (this part is not timed)
+    val template = Files.createTempDirectory("graft-scale-template")
+    val gen = newSession(32)
+    val t0 = TsTable.create(template.toString, TableMeta("tokens",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
+    t0.append(TokenGen.generate(gen, rows, numFiles = nFiles))
+    gen.stop()
+
+    val times = scala.collection.mutable.Map(nLo -> List.empty[Double], nHi -> List.empty[Double])
+    for (trial <- 1 to trials; cpus <- Seq(nLo, nHi)) {
+      val work = Files.createTempDirectory(s"graft-scale-$cpus-$trial")
+      deleteTree(work); copyTree(template, work)
+      val spark = newSession(cpus)
+      val tbl = TsTable.open(work.toString)
+      val t1 = System.nanoTime()
+      val rep = Compaction.run(spark, tbl, targetFileSize = target)
+      val sec = (System.nanoTime() - t1) / 1e9
+      spark.stop()
+      times(cpus) = times(cpus) :+ sec
+      System.err.println(s"[scaling] trial=$trial cpus=$cpus sec=$sec bins=${rep.binsExecuted} filesOut=${rep.filesOut}")
+      deleteTree(work)
+    }
+    deleteTree(template)
+
+    val bestLo = times(nLo).min
+    val bestHi = times(nHi).min
+    val thrLo = rows / bestLo
+    val thrHi = rows / bestHi
+    val eff = (thrHi / thrLo) / 4.0
+    val detail = times.toSeq.sortBy(_._1).map { case (c, ts) =>
+      s""""t$c":[${ts.map(x => f"$x%.2f").mkString(",")}]""" }.mkString(",")
+    println(s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","n_lo":$nLo,"n_hi":$nHi,"throughput_lo":${f"$thrLo%.1f"},"throughput_hi":${f"$thrHi%.1f"},"sec_lo":${f"$bestLo%.2f"},"sec_hi":${f"$bestHi%.2f"},"rows":$rows,"trials":{$detail}}""")
+  }
+}

@@ -105,14 +105,28 @@ object Compaction {
       System.currentTimeMillis() - t0)
   }
 
-  /** Rewrite one bin: cluster-sorted copy-on-write, atomic Remove+Add. */
+  /** Rewrite one bin: cluster-sorted copy-on-write, atomic Remove+Add.
+    *
+    * Read parallelism is sized to the cluster: the default 128 MB
+    * maxPartitionBytes turns a multi-GB bin into a handful of scan tasks
+    * and starves the scan + range-sampling stages (observed 0.54 scaling
+    * efficiency 8→32 cores before this). Target ≥ 3 read waves per core. */
   private def rewriteBin(spark: SparkSession, table: TsTable, inputs: Seq[SegmentMeta],
                          outFiles: Int, curve: String, fit: ClusterKey.Fit,
                          maxRetries: Int): Seq[SegmentMeta] = {
     val paths = inputs.map(s => s"${table.root}/${s.path}")
-    val df = spark.read.parquet(paths: _*)
-    val sorted = clusterSorted(df, curve, outFiles, fit)
-    table.swapSegments(sorted, inputs.map(_.segmentId), maxRetries)
+    val totalBytes = math.max(inputs.flatMap(_.fileSize).sum, 1L)
+    val cores = spark.sparkContext.defaultParallelism
+    val targetSplit = math.min(128L * 1024 * 1024,
+      math.max(8L * 1024 * 1024, totalBytes / (3L * cores)))
+    val conf = spark.conf
+    val prevSplit = conf.get("spark.sql.files.maxPartitionBytes")
+    conf.set("spark.sql.files.maxPartitionBytes", targetSplit.toString)
+    try {
+      val df = spark.read.parquet(paths: _*)
+      val sorted = clusterSorted(df, curve, outFiles, fit)
+      table.swapSegments(sorted, inputs.map(_.segmentId), maxRetries)
+    } finally conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
   }
 
   /** Apply the clustering layout: curve key + salt → GLOBAL range partition
