@@ -70,13 +70,14 @@ object Compaction {
   def run(spark: SparkSession, table: TsTable, targetFileSize: Long,
           jobId: String = UUID.randomUUID().toString.take(8),
           curve: Option[String] = None,
+          groupFactor: Int = 64,
           maxRetries: Int = 5): Report = {
     val t0 = System.currentTimeMillis()
     val journal = new LineageJournal(table.root, jobId)
     val done = journal.completedBins()
     table.refresh()
     val curveName = curve.orElse(table.clusterSpec.map(_.curve)).getOrElse("none")
-    val bins = plan(table.state.liveSegments, targetFileSize)
+    val bins = plan(table.state.liveSegments, targetFileSize, groupFactor = groupFactor)
     var executed = 0; var skipped = 0
     var rows = 0L; var bytes = 0L; var filesIn = 0; var filesOut = 0
 

@@ -63,7 +63,7 @@ final case class TimeIndexSpec(
 /** Clustering spec for the token table: Z-order / Hilbert columns.
   * New (north rule); not in the reference. */
 final case class ClusterSpec(columns: Seq[String], curve: String) {
-  require(curve == "zorder" || curve == "hilbert" || curve == "none",
+  require(Set("zorder", "hilbert", "lexico", "none").contains(curve),
     s"unknown curve '$curve'")
 }
 

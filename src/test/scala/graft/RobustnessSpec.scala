@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.data.TokenGen
+import graft.log._
+import graft.maintain._
+import graft.meta._
+import graft.table._
+
+/** Edge cases ported from the reference's integration suites plus
+  * resume-mid-job behavior for the maintenance engine. */
+class RobustnessSpec extends SparkFunSuite {
+
+  private def tokenMeta(curve: String = "zorder") = TableMeta("tokens",
+    TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), curve)), None, None)
+
+  test("leftover tmp files in the log dir are ignored by replay (log_integration parity)") {
+    val root = tmpDir("tmp-files")
+    val t = TsTable.create(root, tokenMeta())
+    t.append(TokenGen.generate(spark, 50, numFiles = 1))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_timeseries_log", ".CURRENT123.tmp"), "junk")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_timeseries_log", ".ckpt999.tmp"), "junk")
+    val reopened = TsTable.open(root)
+    assert(reopened.version == 2L && reopened.scan(spark).count() == 50)
+  }
+
+  test("compaction resumes mid-job: pre-journaled bins are skipped, the rest execute") {
+    val root = tmpDir("resume-mid")
+    val t = TsTable.create(root, tokenMeta())
+    t.append(TokenGen.generate(spark, 2000, numFiles = 20))
+    val bins = Compaction.plan(t.state.liveSegments, targetFileSize = 4L * 1024 * 1024, groupFactor = 1)
+    assert(bins.size >= 2, s"fixture needs >=2 bins, got ${bins.size}")
+    // simulate a crash AFTER bin 0 committed: journal it manually, leave data as-is
+    val journal = new LineageJournal(root, "job-crash")
+    journal.record(BinRecord(bins.head.id, bins.head.segments.map(_.segmentId), Some(t.version), None))
+    val rep = Compaction.run(spark, t, targetFileSize = 4L * 1024 * 1024, jobId = "job-crash", groupFactor = 1)
+    assert(rep.binsSkipped >= 1, "journaled bin must be skipped")
+    assert(rep.binsExecuted >= 1, "remaining bins must execute")
+    // rows from the "crashed" bin still present (its inputs were never swapped)
+    assert(t.scan(spark).count() == 2000)
+  }
+
+  test("lexico clustering: byte-identical rows and perfect leading-column pruning") {
+    val root = tmpDir("lexico")
+    val t = TsTable.create(root, tokenMeta("lexico"))
+    t.append(TokenGen.generate(spark, 4000, numFiles = 16))
+    val before = t.scan(spark).select(col("doc_id"), hash(col("tokens")).as("h"))
+      .orderBy("doc_id").collect()
+    Compaction.run(spark, t, targetFileSize = 1L * 1024 * 1024)
+    val after = t.scan(spark).select(col("doc_id"), hash(col("tokens")).as("h"))
+      .orderBy("doc_id").collect()
+    before.zip(after).foreach { case (b, a) => assert(b == a) }
+    // hierarchical sort => each file covers a contiguous source range; a
+    // rare source should hit very few files
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    }
+    val total = t.state.liveSegments.size
+    val hit = filesRead(t.scan(spark).where(col("source") === "src15"))
+    assert(hit <= math.max(2, total / 3), s"lexico source scan read $hit of $total files")
+  }
+
+  test("time-series append without the time column is rejected") {
+    import spark.implicits._
+    val root = tmpDir("no-ts")
+    val t = TsTable.create(root, TableMeta("p",
+      TableKind.TimeSeries(TimeIndexSpec("ts", Nil, TimeBucket.parse("1m"), None)), None, None))
+    val bad = Seq((1L, 2.0)).toDF("not_ts", "price")
+    intercept[SchemaMismatchException](t.append(bad))
+  }
+
+  test("expire refuses out-of-range watermarks; double expire is idempotent") {
+    val root = tmpDir("expire-edge")
+    val t = TsTable.create(root, tokenMeta())
+    t.append(TokenGen.generate(spark, 200, numFiles = 4))
+    Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024)
+    intercept[IllegalArgumentException](Expire.expire(t, 0L))
+    intercept[IllegalArgumentException](Expire.expire(t, t.version + 1))
+    val r1 = Expire.expire(t, t.version)
+    val r2 = Expire.expire(t, t.version)
+    assert(r1.dataFilesDeleted == 4 && r2.dataFilesDeleted == 0)
+    assert(TsTable.open(root).scan(spark).count() == 200)
+  }
+
+  test("merge into a table concurrently compacted: stale candidates abort cleanly") {
+    val root = tmpDir("merge-race")
+    val t1 = TsTable.create(root, tokenMeta())
+    t1.append(TokenGen.generate(spark, 500, numFiles = 4))
+    // t2 opens the same table; t1 compacts (rewrites all files)
+    val t2 = TsTable.open(root)
+    Compaction.run(spark, t1, targetFileSize = 64L * 1024 * 1024)
+    // merge via t2 refreshes internally and must operate on live files
+    val rep = MergeInto.merge(spark, t2, TokenGen.generateForIds(spark, Seq("doc-000000000001"), salt = "v2"))
+    assert(rep.updated == 1L)
+    assert(t2.scan(spark).count() == 500)
+  }
+}
