@@ -15,8 +15,8 @@ import graft.table.TsTable
   *   create  --table ROOT (--time-column TS --bucket 1h [--timezone TZ]
   *            [--entity COL]... | --cluster-by c1,c2,c3 [--curve zorder|hilbert|lexico])
   *   append  --table ROOT --parquet FILE
-  *   query   --table ROOT --sql SQL [--explain] [--max-rows N]
-  *           [--output PATH --format csv|jsonl] [--param k=v]...
+  *   query   --table ROOT --sql SQL [--at-version V] [--explain]
+  *           [--max-rows N] [--output PATH --format csv|jsonl] [--param k=v]...
   *   compact --table ROOT [--target-file-size BYTES] [--job-id ID]
   *   expire  --table ROOT --keep-from VERSION
   *   merge   --table ROOT --updates PARQUET [--key COL]
@@ -66,7 +66,12 @@ object Main {
 
     case "query" =>
       val t = TsTable.open(req(args, "table"))
-      t.scan(spark).createOrReplaceTempView("t")
+      // --at-version pins a historical snapshot (time travel)
+      val scan = opt(args, "at-version") match {
+        case Some(v) => t.scanAt(spark, v.toLong)
+        case None    => t.scan(spark)
+      }
+      scan.createOrReplaceTempView("t")
       val params: Map[String, Any] = multi(args, "param").map { kv =>
         val Array(k, v) = kv.split("=", 2); k -> (v: Any)
       }.toMap

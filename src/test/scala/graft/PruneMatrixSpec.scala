@@ -112,6 +112,19 @@ class PruneMatrixSpec extends SparkFunSuite {
     assert(scan.limit(7).count() == 7)
   }
 
+  test("IsNull / IsNotNull pruning from null counts") {
+    import spark.implicits._
+    val root = tmpDir("prune-null")
+    val t = TsTable.create(root, TableMeta("n",
+      TableKind.Clustered(ClusterSpec(Seq("doc_id"), "none")), None, None))
+    // file A: no nulls in v; file B: all nulls in v
+    t.append(Seq((1L, Some(1.0)), (2L, Some(2.0))).toDF("id", "v").coalesce(1))
+    t.append(Seq((3L, None: Option[Double]), (4L, None)).toDF("id", "v").coalesce(1))
+    assert(filesRead(t.scan(spark).where(col("v").isNull)) == 1)    // A pruned
+    assert(filesRead(t.scan(spark).where(col("v").isNotNull)) == 1) // B pruned
+    assert(filesRead(t.scan(spark).where(col("v") > 0.5)) == 1)     // all-null file pruned
+  }
+
   test("empty table scans as zero rows with schema") {
     val root = tmpDir("prune-empty")
     val t = TsTable.create(root, TableMeta("e",

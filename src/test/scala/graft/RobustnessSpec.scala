@@ -86,6 +86,28 @@ class RobustnessSpec extends SparkFunSuite {
     assert(TsTable.open(root).scan(spark).count() == 200)
   }
 
+  test("coverage three-tier load: missing snapshot recovers from sidecars and heals") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("cov-heal")
+    val t = TsTable.create(root, TableMeta("p",
+      TableKind.TimeSeries(TimeIndexSpec("ts", Nil, TimeBucket.parse("1m"), None)), None, None))
+    import spark.implicits._
+    val df = Seq(1L, 61L, 180L).toDF("s").select(col("s").cast("timestamp").as("ts"))
+    t.append(df.coalesce(1))
+    val ptr = t.state.tableCoverage.get
+    // corrupt: delete the table snapshot sidecar
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, ptr.coveragePath))
+    // readonly fallback unions per-segment sidecars
+    val cov = t.loadTableCoverage(heal = true)
+    assert(cov.cardinality == 3L)
+    // heal wrote a best-effort snapshot without a commit
+    val healed = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "_coverage", "table")).toList
+    assert(!healed.isEmpty)
+    // coverage queries still answer
+    assert(t.coverageRatioForRange(0L, 240L * 1000000L) == 0.75)
+  }
+
   test("merge into a table concurrently compacted: stale candidates abort cleanly") {
     val root = tmpDir("merge-race")
     val t1 = TsTable.create(root, tokenMeta())
