@@ -60,32 +60,33 @@ object MergeInto {
     val candidates = live.filter(s => candidateIds.contains(s.segmentId))
 
     // --- 2. rewrite -------------------------------------------------------
-    val updCount = updates.count()
+    // updates must be key-unique or the union would duplicate rows
+    val upd = updates.dropDuplicates(key)
+    val updCount = upd.count() // the only job over the (small) update set
     if (candidates.isEmpty && updCount == 0)
       return Report(0, 0, 0, 0, 0, table.version)
 
-    val target =
-      if (candidates.isEmpty) updates.sparkSession.emptyDataFrame
+    val merged =
+      if (candidates.isEmpty) upd
       else spark.read.parquet(candidates.map(s => s"${table.root}/${s.path}"): _*)
+        .join(upd.select(col(key)), Seq(key), "left_anti")
+        .unionByName(upd)
 
-    val (merged, survivors, updated, inserted) = if (candidates.isEmpty) {
-      (updates, 0L, 0L, updCount)
-    } else {
-      val surv = target.join(updates.select(col(key)), Seq(key), "left_anti")
-      val matchedCount = target.join(updates.select(col(key)), Seq(key), "left_semi").count()
-      val survCount = target.count() - matchedCount
-      (surv.unionByName(updates), survCount, matchedCount, updCount - matchedCount)
-    }
-
-    // size the output by estimated bytes/row of the inputs (4 KiB default)
-    val inRows = math.max(candidates.map(_.rowCount).sum, 1L)
+    // size the output by estimated bytes/row of the inputs (4 KiB default);
+    // row counts come from the manifest, never from extra data passes
+    val targetRows = candidates.map(_.rowCount).sum
     val bytesPerRow =
-      if (candidates.nonEmpty) candidates.flatMap(_.fileSize).sum.toDouble / inRows
+      if (candidates.nonEmpty) candidates.flatMap(_.fileSize).sum.toDouble / math.max(targetRows, 1L)
       else 4096.0
-    val outRows = survivors + updCount
-    val outFiles = math.max(1, math.ceil(outRows * bytesPerRow / targetFileSize).toInt)
-    val clustered = Compaction.clusterSorted(merged, curve, outFiles, ClusterKey.fit(live))
+    val outFilesEst = math.max(1, math.ceil((targetRows + updCount) * bytesPerRow / targetFileSize).toInt)
+    val clustered = Compaction.clusterSorted(merged, curve, outFilesEst, ClusterKey.fit(live))
     val added = table.swapSegments(clustered, candidates.map(_.segmentId))
+
+    // report math from metadata only: out = survivors + updCount
+    val outRows = added.map(_.rowCount).sum
+    val survivors = outRows - updCount
+    val updated = targetRows - survivors
+    val inserted = updCount - updated
     Report(candidates.size, added.size, updated, inserted, survivors, table.version)
   }
 }
