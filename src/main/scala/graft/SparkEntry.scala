@@ -252,8 +252,10 @@ object SparkEntry {
     "q33_fingerprint" -> ((s, dir) => tbl(s, dir, "documents")
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
+    // md5-window variant so the DuckDB oracle can recompute it exactly;
+    // the xxhash64 variant (minFingerprint) stays the production fast path
     "q34_rolling_fp" -> ((s, dir) => tbl(s, dir, "documents")
-      .select(col("doc_id"), TextOps.minFingerprint(col("text")).as("min_fp"))),
+      .select(col("doc_id"), TextOps.minFingerprintMd5(col("text")).as("min_fp"))),
 
     // ---- multimodal plumbing (decode stubbed; schema/plumbing real) -----
     "q40_multimodal_meta" -> ((s, dir) => {
@@ -286,8 +288,8 @@ object SparkEntry {
     Map(
       "q01_agg" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-          |  sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS qty_c,
-          |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_c
+          |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
+          |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_c
           |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
       "q02_range_scan" ->
@@ -296,7 +298,7 @@ object SparkEntry {
 
       "q03_join" ->
         """SELECT o_orderpriority, count(*) AS cnt,
-          |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS rev_c
+          |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1""".stripMargin,
 
       "q04_window" ->
@@ -307,19 +309,20 @@ object SparkEntry {
 
       "q05_date_trunc" ->
         """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
-          |  sum(CAST(floor(value * 100) AS BIGINT)) AS sv_c
+          |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sv_c
           |FROM events GROUP BY 1, 2""".stripMargin,
 
       "q06_topk" ->
         "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 100",
 
       "q07_filtered_agg" ->
-        """SELECT count(*) AS n, sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS s_c
+        """SELECT count(*) AS n,
+          |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s_c
           |FROM lineitem WHERE l_quantity > 25""".stripMargin,
 
       "q08_3way_join" ->
         """SELECT c_mktsegment, count(*) AS cnt,
-          |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS rev_c
+          |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |  JOIN customer ON o_custkey = c_custkey
           |GROUP BY 1""".stripMargin,
@@ -363,6 +366,21 @@ object SparkEntry {
           |  got AS (SELECT DISTINCT date_trunc('minute', ts) AS m FROM events)
           |SELECT m AS bucket_start FROM exp EXCEPT SELECT m AS bucket_start FROM got""".stripMargin,
 
+      // exact n-gram jaccard is plain (quadratic) SQL at oracle scale;
+      // maxShingleFreq never triggers at sf0.01 (500 docs < 1000 freq cap)
+      "q23_ngram_jaccard" ->
+        """WITH sh AS (
+          |  SELECT doc_id AS id,
+          |    list_distinct(list_transform(generate_series(1, greatest(length(text)-3, 1)),
+          |                  i -> substring(text, i, 4))) AS s
+          |  FROM documents),
+          |p AS (
+          |  SELECT a.id AS id_a, b.id AS id_b,
+          |    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS sa, len(b.s) AS sb
+          |  FROM sh a JOIN sh b ON a.id < b.id)
+          |SELECT id_a, id_b, round(inter * 1.0 / (sa + sb - inter), 4) AS j
+          |FROM p WHERE inter * 1.0 / (sa + sb - inter) >= 0.15""".stripMargin,
+
       "q20_dedup_exact" ->
         """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
           |                               ' +', ' ', 'g'))) AS fp,
@@ -401,11 +419,11 @@ object SparkEntry {
 
       "q30_token_count" ->
         """SELECT source,
-          |  sum(CASE WHEN length(trim(text)) = 0 THEN 0
-          |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS tok_ws,
-          |  sum(CASE WHEN length(trim(text)) = 0 THEN 0
+          |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+          |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS tok_ws,
+          |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
           |           ELSE (SELECT sum(greatest(1, CAST(ceil(length(w) / 4.0) AS INT)))
-          |                 FROM unnest(regexp_split_to_array(trim(text), '\s+')) t(w)) END) AS tok_sub,
+          |                 FROM unnest(regexp_split_to_array(trim(text), '\s+')) t(w)) END) AS BIGINT) AS tok_sub,
           |  count(*) AS docs
           |FROM documents GROUP BY 1""".stripMargin,
 
@@ -419,6 +437,35 @@ object SparkEntry {
            |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
            |      w -> w IN (${graft.ops.Stopwords.en.map(w => s"'$w'").mkString(",")}))) AS sw_hits
            |FROM documents""".stripMargin,
+
+      // stopword-argmax language ID replicated exactly: same scores (int
+      // count / word count as double), same first-max tie-break order
+      // (en, de, fr, es), same 0.02 'und' floor as TextOps.langId
+      "q32_langid" -> {
+        val tableList = graft.ops.Stopwords.tables.map { case (lang, stops) =>
+          lang -> stops.map(w => s"'$w'").mkString(",")
+        }
+        val scoreCols = tableList.map { case (lang, set) =>
+          s"len(list_filter(ws, x -> x IN ($set))) * 1.0 / greatest(len(ws), 1) AS s_$lang"
+        }.mkString(",\n  ")
+        val mx = tableList.map(t => s"s_${t._1}").mkString("greatest(", ", ", ")")
+        val caseArms = tableList.init.map { case (lang, _) =>
+          s"WHEN s_$lang = mx THEN '$lang'"
+        }.mkString(" ")
+        s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+           |sc AS (SELECT doc_id,
+           |  $scoreCols
+           | FROM w),
+           |m AS (SELECT *, $mx AS mx FROM sc)
+           |SELECT doc_id, CASE WHEN mx <= 0.02 THEN 'und'
+           |  $caseArms ELSE '${tableList.last._1}' END AS lang_pred FROM m""".stripMargin
+      },
+
+      "q34_rolling_fp" ->
+        """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents)
+          |SELECT doc_id, list_min(list_transform(generate_series(1, greatest(len(ws)-3, 1)),
+          |  i -> md5(array_to_string(ws[i:i+3], ' ')))) AS min_fp
+          |FROM w""".stripMargin,
 
       "q33_fingerprint" ->
         """SELECT doc_id,

@@ -117,17 +117,26 @@ object Compaction {
                          maxRetries: Int): Seq[SegmentMeta] = {
     val paths = inputs.map(s => s"${table.root}/${s.path}")
     val totalBytes = math.max(inputs.flatMap(_.fileSize).sum, 1L)
-    val cores = spark.sparkContext.defaultParallelism
-    val targetSplit = math.min(128L * 1024 * 1024,
-      math.max(8L * 1024 * 1024, totalBytes / (3L * cores)))
-    val conf = spark.conf
-    val prevSplit = conf.get("spark.sql.files.maxPartitionBytes")
-    conf.set("spark.sql.files.maxPartitionBytes", targetSplit.toString)
-    try {
+    withSizedReadSplits(spark, totalBytes) {
       val df = spark.read.parquet(paths: _*)
       val sorted = clusterSorted(df, curve, outFiles, fit)
       table.swapSegments(sorted, inputs.map(_.segmentId), maxRetries)
-    } finally conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+    }
+  }
+
+  /** Run `f` with parquet read splits sized so `totalBytes` of input makes
+    * ≥ 3 scan waves per core. The default 128 MB maxPartitionBytes turns a
+    * multi-GB rewrite into a handful of scan tasks and starves the scan +
+    * range-sampling stages (measured 0.54 scaling efficiency 8→32 cores
+    * before this); shared by compaction and MERGE INTO. */
+  def withSizedReadSplits[T](spark: SparkSession, totalBytes: Long)(f: => T): T = {
+    val cores = spark.sparkContext.defaultParallelism
+    val targetSplit = math.min(128L * 1024 * 1024,
+      math.max(8L * 1024 * 1024, math.max(totalBytes, 1L) / (3L * cores)))
+    val conf = spark.conf
+    val prevSplit = conf.get("spark.sql.files.maxPartitionBytes")
+    conf.set("spark.sql.files.maxPartitionBytes", targetSplit.toString)
+    try f finally conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
   }
 
   /** Apply the clustering layout: curve key + salt → GLOBAL range partition

@@ -3,7 +3,7 @@ package graft.maintain
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.meta.{SegmentMeta, StatVal}
-import graft.table.TsTable
+import graft.table.{KeyBloom, TsTable}
 
 /** Catalyst-planned MERGE INTO (upsert) for revised sequences — new vs the
   * reference (north rule): copy-on-write over only the files whose key
@@ -31,13 +31,22 @@ object MergeInto {
   final case class Report(candidates: Int, filesOut: Int, updated: Long, inserted: Long,
                           survivors: Long, version: Long)
 
+  /** Max distinct update keys we will collect to the driver for the bloom
+    * pruning pass. Above this the update set touches most files anyway and
+    * the bloom pass would only add metadata IO. */
+  val BloomKeyCap: Long = 200000L
+
   def merge(spark: SparkSession, table: TsTable, updates: DataFrame,
             key: String = "doc_id", targetFileSize: Long = 512L * 1024 * 1024): Report = {
     table.refresh()
     val live = table.state.liveSegments
     val curve = table.clusterSpec.map(_.curve).getOrElse("none")
 
-    // --- 1. stats-based candidate selection ------------------------------
+    // updates must be key-unique or the union would duplicate rows
+    val upd = updates.dropDuplicates(key)
+    val updCount = upd.count() // the only job over the (small) update set
+
+    // --- 1a. stats-based candidate selection (per-file [min,max]) --------
     val ranges: Seq[(String, String, String)] = live.flatMap { seg =>
       seg.stats.get(key) match {
         case Some(graft.meta.ColStats(Some(StatVal.S(mn)), Some(StatVal.S(mx)), _)) =>
@@ -48,7 +57,7 @@ object MergeInto {
     val statless = live.filter(s => !ranges.exists(_._1 == s.segmentId)).map(_.segmentId)
 
     import spark.implicits._
-    val keysDf = updates.select(col(key)).distinct()
+    val keysDf = upd.select(col(key)).distinct()
     val rangesDf = ranges.toDF("segment_id", "kmin", "kmax")
     // broadcast the file ranges (manifest-sized), shuffle only the keys
     val hitIds = keysDf
@@ -56,16 +65,30 @@ object MergeInto {
         col(key) >= col("kmin") && col(key) <= col("kmax"), "inner")
       .select("segment_id").distinct().as[String].collect().toSet
 
-    val candidateIds = hitIds ++ statless // stat-less files must be rewritten (sound)
+    // --- 1b. bloom refinement: range stats are void after space-curve
+    // clustering (interleaved keys make every file span the keyspace), so
+    // test the update keys against each candidate's parquet column bloom
+    // (footer metadata only, KeyBloom). Skipped — soundly — for huge
+    // update sets or tables without a bloom key.
+    val rangeHits = live.filter(s => hitIds.contains(s.segmentId))
+    val bloomHits: Set[String] = table.bloomKeyColumn match {
+      case Some(bloomCol) if bloomCol == key && rangeHits.nonEmpty &&
+          updCount > 0 && updCount <= BloomKeyCap =>
+        val keys: Array[Any] = upd.select(col(key)).collect().map(_.get(0))
+        val files = rangeHits.map(s => (s"${table.root}/${s.path}", s.segmentId))
+        KeyBloom.filterMayContain(spark.sparkContext.hadoopConfiguration,
+          files, bloomCol, keys).toSet
+      case _ => hitIds
+    }
+
+    val candidateIds = bloomHits ++ statless // stat-less files must be rewritten (sound)
     val candidates = live.filter(s => candidateIds.contains(s.segmentId))
 
     // --- 2. rewrite -------------------------------------------------------
-    // updates must be key-unique or the union would duplicate rows
-    val upd = updates.dropDuplicates(key)
-    val updCount = upd.count() // the only job over the (small) update set
     if (candidates.isEmpty && updCount == 0)
       return Report(0, 0, 0, 0, 0, table.version)
 
+    val candBytes = candidates.flatMap(_.fileSize).sum
     val merged =
       if (candidates.isEmpty) upd
       else spark.read.parquet(candidates.map(s => s"${table.root}/${s.path}"): _*)
@@ -76,11 +99,19 @@ object MergeInto {
     // row counts come from the manifest, never from extra data passes
     val targetRows = candidates.map(_.rowCount).sum
     val bytesPerRow =
-      if (candidates.nonEmpty) candidates.flatMap(_.fileSize).sum.toDouble / math.max(targetRows, 1L)
+      if (candidates.nonEmpty) candBytes.toDouble / math.max(targetRows, 1L)
       else 4096.0
     val outFilesEst = math.max(1, math.ceil((targetRows + updCount) * bytesPerRow / targetFileSize).toInt)
-    val clustered = Compaction.clusterSorted(merged, curve, outFilesEst, ClusterKey.fit(live))
-    val added = table.swapSegments(clustered, candidates.map(_.segmentId))
+    // Sort parallelism is decoupled from the output-file estimate: a 2-file
+    // rewrite must not become a 2-task global sort (it was the dominant
+    // term of the round-1 bench). Small merges emit up to cores-many files
+    // that the next compaction bin-packs; at 10^12-row scale outFilesEst ≫
+    // cores so targetFileSize governs, exactly as in compaction.
+    val outFiles = math.max(outFilesEst, spark.sparkContext.defaultParallelism)
+    val added = Compaction.withSizedReadSplits(spark, candBytes) {
+      val clustered = Compaction.clusterSorted(merged, curve, outFiles, ClusterKey.fit(live))
+      table.swapSegments(clustered, candidates.map(_.segmentId))
+    }
 
     // report math from metadata only: out = survivors + updCount
     val outRows = added.map(_.rowCount).sum

@@ -88,6 +88,18 @@ object TextOps {
 
   def minFingerprint(text: Column, window: Int = 4): Column =
     array_min(rollingFingerprints(text, window))
+
+  /** md5-based rolling fingerprint variant: same winnowing shape but the
+    * per-window hash is md5 hex (slower than xxhash64 — use when the
+    * fingerprint must be recomputable by external SQL engines). */
+  def rollingFingerprintsMd5(text: Column, window: Int = 4): Column =
+    expr(
+      s"""transform(
+         |  sequence(1, greatest(size(split(lower(trim($text)), '\\\\s+')) - ${window - 1}, 1)),
+         |  i -> md5(concat_ws(' ', slice(split(lower(trim($text)), '\\\\s+'), i, $window))))""".stripMargin)
+
+  def minFingerprintMd5(text: Column, window: Int = 4): Column =
+    array_min(rollingFingerprintsMd5(text, window))
 }
 
 /** Tiny embedded stopword tables (top function words; public knowledge). */

@@ -107,6 +107,23 @@ final class TsTable private (val root: String, val store: LogStore) {
 
   private def abs(seg: SegmentMeta): String = s"$root/${seg.path}"
 
+  /** Parquet write options for data segments: a column bloom filter on the
+    * table's identity key (last cluster column — doc_id in the token
+    * layout). Space-curve clustering interleaves the key bits, so per-file
+    * [min,max] stops pruning MERGE candidates; the bloom answers "can key k
+    * be in this file" from footer metadata alone (KeyBloom). Adaptive
+    * sizing keeps the filter proportional to each file's actual NDV. */
+  private[graft] def segmentWriteOptions: Map[String, String] =
+    clusterSpec.map(_.columns.last) match {
+      case Some(key) => Map(
+        s"parquet.bloom.filter.enabled#$key" -> "true",
+        "parquet.bloom.filter.adaptive.enabled" -> "true")
+      case None => Map.empty
+    }
+
+  /** The column KeyBloom pruning can test, when blooms are being written. */
+  private[graft] def bloomKeyColumn: Option[String] = clusterSpec.map(_.columns.last)
+
   // -------------------------------------------------------------- append
 
   /** Append a DataFrame as one or more new immutable segments — the 9-step
@@ -121,7 +138,7 @@ final class TsTable private (val root: String, val store: LogStore) {
     val stagingAbs = s"$root/$stagingRel"
 
     // (1) write data files once; all retries below are metadata-only
-    df.write.mode("overwrite").parquet(stagingAbs)
+    df.write.options(segmentWriteOptions).mode("overwrite").parquet(stagingAbs)
     val written = listParquet(stagingAbs)
     require(written.nonEmpty, "append produced no data files")
 
@@ -283,7 +300,7 @@ final class TsTable private (val root: String, val store: LogStore) {
     val spark = df.sparkSession
     val commitId = UUID.randomUUID().toString.take(8)
     val stagingAbs = s"$root/.staging-$commitId"
-    df.write.mode("overwrite").parquet(stagingAbs)
+    df.write.options(segmentWriteOptions).mode("overwrite").parquet(stagingAbs)
     val written = listParquet(stagingAbs)
     require(written.nonEmpty, "rewrite produced no data files")
     val conf = spark.sparkContext.hadoopConfiguration

@@ -124,6 +124,36 @@ class MaintenanceSpec extends SparkFunSuite {
     newIds.foreach(id => assert(after.contains(id)))
   }
 
+  test("merge into a compacted zorder table: bloom pruning beats interleaved ranges") {
+    val root = tmpDir("merge-zorder")
+    val t = TsTable.create(root, tokenMeta("zorder"))
+    t.append(TokenGen.generate(spark, 4000, numFiles = 16))
+    // small target size so the zordered table lands as several files, each
+    // spanning nearly the whole doc_id range (curve interleaving)
+    Compaction.run(spark, t, targetFileSize = 96L * 1024)
+    val liveBefore = t.state.liveSegments.size
+    assert(liveBefore >= 4, s"need a multi-file clustered table, got $liveBefore")
+
+    // 3 point updates: each key lives in exactly one file, so bloom pruning
+    // must rewrite a strict subset even though every [min,max] matches
+    val updIds = Seq(7, 1234, 3999).map(i => f"doc-$i%012d")
+    val before = t.scan(spark).orderBy("doc_id").collect()
+    val report = MergeInto.merge(spark, t, TokenGen.generateForIds(spark, updIds, salt = "v3"))
+    assert(report.updated == 3 && report.inserted == 0)
+    assert(report.candidates < liveBefore,
+      s"bloom pruning ineffective: ${report.candidates} of $liveBefore files rewritten")
+
+    // correctness unchanged: updates applied, bystanders byte-identical
+    val after = t.scan(spark).orderBy("doc_id").collect().map(r => r.getString(0) -> r).toMap
+    assert(after.size == 4000)
+    val expectUpd = TokenGen.generateForIds(spark, updIds, salt = "v3").collect()
+      .map(r => r.getString(0) -> r).toMap
+    updIds.foreach(id => assert(after(id).getSeq[Int](1) == expectUpd(id).getSeq[Int](1)))
+    before.map(r => r.getString(0) -> r).filterNot(kv => updIds.contains(kv._1)).foreach {
+      case (id, b) => assert(after(id).getSeq[Int](1) == b.getSeq[Int](1), s"bystander perturbed: $id")
+    }
+  }
+
   test("merge into: no matching files -> pure insert, zero candidates") {
     val root = tmpDir("merge-ins")
     val t = TsTable.create(root, tokenMeta("zorder"))

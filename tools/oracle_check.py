@@ -38,6 +38,13 @@ for name in sorted(os.listdir(outdir)):
             eq = True
             for c in a.columns:
                 av, bv = a[c], b[c]
+                # Driver hashes stringified values: float64 on one side and
+                # int64 on the other ("1.0" vs "1") is a hash mismatch even
+                # when numerically equal. Flag it hard.
+                if pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(bv):
+                    eq = False
+                    print(f"--- {name} col {c}: DTYPE HASH-RISK spark={av.dtype} oracle={bv.dtype}")
+                    break
                 if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
                     if not ((pd.Series(av).astype(float) - pd.Series(bv).astype(float)).abs() < 1e-9).all():
                         eq = False; break
