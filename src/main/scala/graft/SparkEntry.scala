@@ -192,8 +192,11 @@ object SparkEntry {
       Dedup.minhashLshPairs(tbl(s, dir, "documents"), "text", "doc_id",
         threshold = 0.2).select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("ej"))),
 
+    // default radius 3 rides the lossless block-combination scheme
+    // (C(8,5) 40-bit keys); the round-1 radius-16 call degenerated to
+    // single-chunk blocking, which cannot scale past ~10^6 docs
     "q22_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(tbl(s, dir, "documents"), "text", "doc_id", maxHamming = 16)),
+      Dedup.simhashPairs(tbl(s, dir, "documents"), "text", "doc_id", maxHamming = 3)),
 
     "q23_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "text", "doc_id",

@@ -30,16 +30,31 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Deterministic coarse centroids: the vectors whose id hashes into the
-    * first `numCentroids` slots (a k-means seeding stand-in that keeps the
-    * whole pipeline reproducible with no iterative training). */
+  /** Deterministic coarse centroids: the `numCentroids` vectors with the
+    * smallest id-hash (a k-means seeding stand-in that keeps the whole
+    * pipeline reproducible with no iterative training).
+    *
+    * Plan: orderBy + limit = TakeOrderedAndProject — each partition emits
+    * its local top-k and the driver merges k×partitions rows, so the whole
+    * corpus is never sorted (the round-1 partitionless Window forced a
+    * single-task global sort of every vector). The k seed rows are then
+    * numbered on the driver — k is bounded by definition (a coarse
+    * quantizer is broadcast to every query anyway). */
   def centroids(vectors: DataFrame, numCentroids: Int,
                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val w = Window.orderBy(xxhash64(col(idCol)))
-    vectors.select(col(idCol), col(vecCol))
-      .withColumn("__r", row_number().over(w))
-      .where(col("__r") <= numCentroids)
-      .select(col("__r").as("centroid_id"), col(vecCol).as("centroid"))
+    val spark = vectors.sparkSession
+    val top = vectors.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(numCentroids)
+      .select(col(vecCol).as("centroid"))
+    val rows = top.collect().zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(i + 1, r.get(0))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("centroid_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      top.schema.fields.head.copy(name = "centroid")))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** IVF top-k: assign vectors to nearest centroid (one broadcast join +

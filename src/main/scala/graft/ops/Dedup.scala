@@ -52,22 +52,30 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val sigs = df.select(col(idCol).as("id"), minhashSignature(textCol, numHashes, shingleSize).as("sig"))
+    // Both self-join sides need the banded signatures; Catalyst does NOT
+    // reuse the exchange across the aliased sides (verified on the executed
+    // plan), so without a cache every signature (O(shingles × numHashes))
+    // is computed twice. The operator therefore materializes eagerly:
+    // persist the banded signatures, force the (threshold-filtered, small)
+    // pair result into a lineage-truncated localCheckpoint, then unpersist
+    // — long-lived sessions keep only the result blocks, never the 16×
+    // exploded signature cache.
     val banded = sigs.select(
         col("id"), col("sig"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r), b))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-      // both sides of the self-join reuse this; without persist Spark
-      // recomputes every signature (O(shingles × numHashes)) twice
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val pairs = a.join(b, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
           .cast("double") / lit(numHashes)).as("est_jaccard"))
       .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
+    try pairs.localCheckpoint(true)
+    finally banded.unpersist(false)
   }
 
   /** 64-bit SimHash over whitespace tokens (sign of per-bit weight sums). */
@@ -80,18 +88,44 @@ object Dedup {
          |            shiftleft(1L, b), 0L)),
          |  0L, (acc, v) -> acc | v)""".stripMargin)
 
-  /** SimHash near-dup pairs: 4×16-bit band blocking, verify by Hamming
-    * distance ≤ maxHamming (pigeonhole: distance ≤ 3 ⇒ some 16-bit band
-    * equal, so blocking is lossless for maxHamming ≤ 3). */
+  /** SimHash near-dup pairs with block-combination keys (the Manku/Jain/
+    * Das Sarma WWW'07 near-duplicate scheme, public): the 64-bit simhash
+    * splits into `blocks` equal chunks and every combination of
+    * m = blocks − maxHamming chunks forms a bucket key. Two hashes within
+    * Hamming distance maxHamming differ in ≤ maxHamming chunks, so they
+    * agree on at least one m-chunk combination (pigeonhole) — blocking is
+    * LOSSLESS for the radius while key entropy is m×(64/blocks) bits.
+    *
+    * Scale math at the defaults (blocks = 8 → 8-bit chunks, maxHamming = 3
+    * → m = 5, C(8,5) = 56 combos of 40-bit keys): ~10^12 distinct buckets,
+    * so at 10^10 docs the expected bucket holds ≪ 1 doc and the candidate
+    * join never degenerates into bucket² blowups (the round-1 single
+    * 16-bit-chunk design had only 65 536 buckets/band ⇒ ~10^5 docs per
+    * bucket at that scale). Identical-boilerplate hash clusters remain the
+    * skew case; the join keys them by (combo, key) so AQE skew-join splits
+    * them. For maxHamming ≥ blocks the combo width clamps to one chunk —
+    * recall-oriented approximation (losslessness is impossible there). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, blocks: Int = 8): DataFrame = {
+    require(64 % blocks == 0, "blocks must divide 64")
+    val chunkBits = 64 / blocks
+    val mask = (1L << chunkBits) - 1
+    val m = math.max(1, blocks - maxHamming)
+    val combos = (0 until blocks).combinations(m).toSeq
+    // compile-time generated key expressions: combo ci packs its m chunks
+    // into one long — pure bit arithmetic, fully codegen'd
+    val keyArr = combos.zipWithIndex.map { case (combo, ci) =>
+      val key = combo.zipWithIndex.map { case (chunk, pos) =>
+        s"shiftleft(shiftright(sh, ${chunk * chunkBits}) & ${mask}L, ${pos * chunkBits})"
+      }.mkString("(", " | ", ")")
+      s"named_struct('cb', $ci, 'k', $key)"
+    }.mkString("array(", ", ", ")")
     val hashed = df.select(col(idCol).as("id"), simhash(textCol).as("sh"))
-    val banded = hashed.select(col("id"), col("sh"),
-        posexplode(expr("transform(sequence(0, 3), b -> (shiftright(sh, b * 16) & 65535))")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "chunk"))
+    val banded = hashed.select(col("id"), col("sh"), explode(expr(keyArr)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.cb").as("cb"), col("bk.k").as("k"))
+    val a = banded.select(col("cb"), col("k"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("cb"), col("k"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("cb", "k"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sh_a ^ sh_b)").as("hamming"))
@@ -111,9 +145,12 @@ object Dedup {
         array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
     val inverted = sh.select(col("id"), explode(col("sh")).as("g"))
-    val filtered = inverted
-      .withColumn("cnt", count("*").over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
-      .where(col("cnt") <= maxShingleFreq).drop("cnt")
+    // stop-shingles (>F docs) are few by construction: a map-side-partial
+    // groupBy finds them and a broadcast anti join drops their postings —
+    // cheaper than a per-key window (shuffle + sort of ALL postings)
+    val hot = inverted.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > maxShingleFreq).select("g")
+    val filtered = inverted.join(broadcast(hot), Seq("g"), "left_anti")
     val co = filtered.as("x").join(filtered.as("y"), Seq("g"))
       .where(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -134,29 +171,60 @@ object Dedup {
   }
 
   /** Embedding near-duplicates above a cosine threshold, blocked by
-    * random-hyperplane LSH signs (8-bit blocks): only same-block pairs are
-    * compared, then verified with exact cosine. Random planes are
-    * deterministic (xxhash64-seeded pseudo-gaussians by dimension index).
+    * random-hyperplane LSH signs with multi-probe: each vector's sign
+    * pattern over `planes` deterministic pseudo-gaussian hyperplanes
+    * (xxhash64-seeded by dimension index) is its home block; the probe
+    * side additionally searches the blocks reached by flipping its
+    * lowest-|projection| bits — the least-confident signs, where a true
+    * near-duplicate most likely landed across the boundary (standard
+    * multi-probe LSH). Candidates are verified with exact cosine.
+    *
+    * Scale math at the defaults (planes = 20 → 2^20 ≈ 10^6 blocks,
+    * probes = 3): at 10^10 docs the expected block holds ~10^4 vectors —
+    * candidate pairs per block ~10^8 are bounded and embarrassingly
+    * parallel across the 10^6 blocks, vs. the round-1 default (8 planes =
+    * 256 blocks ⇒ ~4·10^7 docs/block, a pair explosion). More planes cut
+    * block sizes 2× each at a recall cost that multi-probe buys back.
     * For small/oracle use, `exhaustive = true` skips blocking. */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
-                            threshold: Double = 0.95, planes: Int = 8,
+                            threshold: Double = 0.95, planes: Int = 20,
+                            probes: Int = 3,
                             exhaustive: Boolean = false): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val withBlock =
-      if (exhaustive) base.withColumn("block", lit(0))
-      else base.withColumn("block",
-        expr(
-          s"""aggregate(sequence(0, ${planes - 1}), 0,
-             |  (acc, p) -> acc * 2 + IF(
-             |     aggregate(zip_with(v, transform(sequence(0, size(v) - 1),
-             |                                     i -> CAST(pmod(xxhash64(i, p), 2001) - 1000 AS DOUBLE) / 1000.0D),
-             |                         (x, w) -> x * w),
-             |               0.0D, (a2, t) -> a2 + t) >= 0, 1, 0))""".stripMargin))
-    val a = withBlock.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withBlock.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
+    require(probes >= 1 && probes <= planes, "probes must be in [1, planes]")
+    if (exhaustive) {
+      val a = base.select(col("id").as("id_a"), col("v").as("v_a"))
+      val b = base.select(col("id").as("id_b"), col("v").as("v_b"))
+      return a.crossJoin(b)
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+        .where(col("cos") >= threshold)
+    }
+    val withProj = base.withColumn("projs",
+      expr(
+        s"""transform(sequence(0, ${planes - 1}), p ->
+           |  aggregate(zip_with(v, transform(sequence(0, size(v) - 1),
+           |                                  i -> CAST(pmod(xxhash64(i, p), 2001) - 1000 AS DOUBLE) / 1000.0D),
+           |                     (x, w) -> x * w),
+           |            0.0D, (a2, t) -> a2 + t))""".stripMargin))
+      .withColumn("block",
+        expr(s"aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) -> acc * 2 + IF(element_at(projs, p + 1) >= 0.0D, 1L, 0L))"))
+    // probe q = 0 is the home block; probe q ≥ 1 flips the q-th smallest
+    // |projection| bit. Plane p sits at bit (planes − 1 − p); ties resolve
+    // to the first occurrence (a duplicate probe is a harmless no-op).
+    val withProbes = withProj.withColumn("blocks",
+      expr(
+        s"""transform(sequence(0, ${probes - 1}), q -> IF(q = 0, block,
+           |  block ^ shiftleft(1L, $planes - CAST(array_position(
+           |    transform(projs, x -> abs(x)),
+           |    element_at(array_sort(transform(projs, x -> abs(x))), q)) AS INT))))""".stripMargin))
+    val a = withProbes.select(explode(col("blocks")).as("block"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val b = withProbes.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("block"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
       .where(col("cos") >= threshold)
+      .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -53,22 +53,16 @@ object Multimodal {
       .withColumn("valid", col("meta.magic") === Magic)
   }
 
-  /** Feature extraction batch shape: mapPartitions over blobs with an
-    * explicit row-group-sized batch, the exact seam a vectorized decoder
-    * (Pandas UDF / JNI codec) plugs into. The fake "feature" is a
-    * deterministic 8-dim summary of the payload bytes. */
-  def extractFeatures(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val schema = StructType(df.schema.fields :+
-      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false))
-    val rdd = df.rdd.mapPartitions { it =>
-      it.map { row =>
-        val blob = row.getAs[Array[Byte]]("blob")
-        Row.fromSeq(row.toSeq :+ FakeCodec.features(blob)) // ??? real codec here
-      }
-    }
-    spark.createDataFrame(rdd, schema)
-  }
+  /** Feature extraction: a typed UDF over the blob column — the seam a
+    * real decoder (vectorized Pandas UDF / JNI codec) plugs into. Unlike a
+    * df.rdd round-trip, a column UDF keeps the rest of the projection in
+    * Tungsten format and preserves column pruning and whole-stage codegen
+    * around the single opaque call. The fake "feature" is a deterministic
+    * 8-dim summary of the payload bytes. */
+  private val featuresUdf = udf((blob: Array[Byte]) => FakeCodec.features(blob))
+
+  def extractFeatures(df: DataFrame): DataFrame =
+    df.withColumn("features", featuresUdf(col("blob"))) // ??? real codec here
 
   /** Frame sampling for "video" blobs: emit every `stride`-th frame offset
     * as (media_id, frame_idx, frame_off) — pure arithmetic explode, the
