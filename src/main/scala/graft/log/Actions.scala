@@ -7,7 +7,11 @@ import graft.meta.{Json, SegmentMeta, TableMeta}
   * (transaction_log/actions.rs:19-39): AddSegment / RemoveSegment /
   * UpdateTableMeta (full replacement) / UpdateTableCoverage. The reference
   * defines-but-never-emits RemoveSegment in v0.1; our maintenance operators
-  * (compaction, MERGE, expire) emit it.
+  * (compaction, MERGE, expire) emit it. SetTxn is our streaming addition
+  * (the Delta-Lake-style application transaction verb): it records an
+  * (appId, batchId) watermark INSIDE the same commit as the batch's
+  * AddSegments, so exactly-once ingestion survives crashes between data
+  * commit and any external journal.
   */
 sealed trait LogAction {
   def toJson: JsonNode
@@ -33,8 +37,20 @@ object LogAction {
     }
   }
 
+  final case class SetTxn(appId: String, batchId: Long) extends LogAction {
+    def toJson: JsonNode = {
+      val n = Json.obj()
+      val c = n.putObject("set_txn")
+      c.put("app_id", appId); c.put("batch_id", batchId); n
+    }
+  }
+
   def fromJson(n: JsonNode): LogAction =
     if (n.has("add_segment")) AddSegment(SegmentMeta.fromJson(n.get("add_segment")))
+    else if (n.has("set_txn")) {
+      val c = n.get("set_txn")
+      SetTxn(Json.getStr(c, "app_id"), Json.getLong(c, "batch_id"))
+    }
     else if (n.has("remove_segment")) RemoveSegment(Json.getStr(n.get("remove_segment"), "segment_id"))
     else if (n.has("update_table_meta")) UpdateTableMeta(TableMeta.fromJson(n.get("update_table_meta")))
     else if (n.has("update_table_coverage")) {

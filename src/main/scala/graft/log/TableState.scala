@@ -22,7 +22,8 @@ final case class TableState(
     version: Long,
     tableMeta: Option[TableMeta],
     segments: Map[String, SegmentMeta],
-    tableCoverage: Option[CoveragePointer]) {
+    tableCoverage: Option[CoveragePointer],
+    txns: Map[String, Long] = Map.empty) {
 
   def liveSegments: Seq[SegmentMeta] =
     segments.values.toSeq.sortBy(s => (s.path, s.segmentId))
@@ -33,6 +34,10 @@ final case class TableState(
     case LogAction.UpdateTableMeta(m)   => copy(tableMeta = Some(m))
     case LogAction.UpdateTableCoverage(spec, path) =>
       copy(tableCoverage = Some(CoveragePointer(spec, path)))
+    case LogAction.SetTxn(app, batch)   =>
+      // latest-wins watermark per application (streaming batch ids are
+      // monotonic per checkpoint, so max == latest)
+      copy(txns = txns + (app -> math.max(batch, txns.getOrElse(app, Long.MinValue))))
   }
 
   def toJson: JsonNode = {
@@ -45,6 +50,10 @@ final case class TableState(
       val tc = n.putObject("table_coverage")
       tc.put("bucket_spec", c.bucketSpec); tc.put("coverage_path", c.coveragePath)
     }
+    if (txns.nonEmpty) {
+      val tx = n.putObject("txns")
+      txns.toSeq.sortBy(_._1).foreach { case (app, batch) => tx.put(app, batch) }
+    }
     n
   }
 }
@@ -54,12 +63,16 @@ object TableState {
 
   def fromJson(n: JsonNode): TableState = {
     val segs = Json.elems(n.get("segments")).map(SegmentMeta.fromJson)
+    val txns = Option(n.get("txns")).map { tx =>
+      Json.fields(tx).map { case (app, v) => app -> v.asLong() }
+    }.getOrElse(Map.empty[String, Long])
     TableState(
       Json.getLong(n, "version"),
       Option(n.get("table_meta")).map(TableMeta.fromJson),
       segs.map(s => s.segmentId -> s).toMap,
       Option(n.get("table_coverage")).map(tc =>
-        CoveragePointer(Json.getStr(tc, "bucket_spec"), Json.getStr(tc, "coverage_path"))))
+        CoveragePointer(Json.getStr(tc, "bucket_spec"), Json.getStr(tc, "coverage_path"))),
+      txns)
   }
 
   /** Replay the log to CURRENT, starting from the newest checkpoint ≤

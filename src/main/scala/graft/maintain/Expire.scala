@@ -50,11 +50,17 @@ object Expire {
     //    live at the watermark (removed and never re-added by replay) —
     //    retained versions ≥ watermark can only reference watermark-live
     //    or later-added segments, so deletion is safe for all of them.
-    val startV = store.latestCheckpointVersion(keepFromVersion - 1) match {
-      case Some(v) => v + 1 // earlier history already compacted away
-      case None    => 1L
-    }
+    //    `seen` must be seeded with the prior checkpoint's live set: those
+    //    segments were added at versions ≤ the watermark too, and without
+    //    the seed every compact→expire cycle after the first checkpoint
+    //    would reclaim zero bytes (files removed post-checkpoint leak).
     val seen = scala.collection.mutable.Map.empty[String, graft.meta.SegmentMeta]
+    val startV = store.latestCheckpointVersion(keepFromVersion - 1) match {
+      case Some(ckptV) =>
+        TableState.rebuildAt(store, ckptV).segments.foreach { case (id, s) => seen(id) = s }
+        ckptV + 1 // earlier history already compacted away (its orphans were reclaimed then)
+      case None => 1L
+    }
     var v = startV
     while (v <= keepFromVersion) {
       if (Files.exists(store.commitPath(v))) {

@@ -190,11 +190,16 @@ object StatsPruning {
         }
 
       // ts ± INTERVAL (fixed-duration only): (ts + iv) OP k  ≡  ts OP (k - iv)
-      // iv arrives as CalendarInterval (legacy) or DayTimeIntervalType micros
-      case TimestampAddInterval(inner, Literal(ivVal, ivType), _)
+      // iv arrives as CalendarInterval (legacy) or DayTimeIntervalType
+      // micros. The CalendarInterval DAY component is added calendar-aware
+      // (a day spanning a DST transition is not 86400 s), so days != 0 is
+      // only rewritable under UTC — gate on the expression's timeZoneId;
+      // pure-micros intervals are zone-independent.
+      case TimestampAddInterval(inner, Literal(ivVal, ivType), tz)
           if columnOf(inner).isDefined && k.dataType == TimestampType && k.value != null &&
              (ivVal match {
-               case ci: org.apache.spark.unsafe.types.CalendarInterval => ci.months == 0
+               case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+                 ci.months == 0 && (ci.days == 0 || utcOk(tz))
                case _: java.lang.Long => ivType.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType]
                case _ => false
              }) =>

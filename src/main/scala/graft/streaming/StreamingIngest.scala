@@ -11,32 +11,39 @@ import graft.table.TsTable
   * extension: a `foreachBatch` sink that turns each micro-batch into one
   * transactional append — stats, coverage, overlap check and OCC commit
   * included — so a stream lands as ordinary immutable segments that
-  * compaction later bin-packs and clusters. Exactly-once at the table
-  * level comes from idempotent retry: `foreachBatch` may re-run a batch
-  * after recovery, and the batch-id guard skips batches already committed
-  * (the batch id is recorded in the lineage journal, driver-side).
+  * compaction later bin-packs and clusters.
+  *
+  * Exactly-once at the table level is transactional, not journal-based:
+  * each batch appends with `txn = (appId, batchId)` where the appId is
+  * derived from the CHECKPOINT LOCATION — the identity Spark itself keys
+  * batch replay on. The (appId, batchId) watermark lands in the SAME log
+  * commit as the batch's segments (LogAction.SetTxn), so
+  *  - a replayed batch after recovery is skipped (watermark check inside
+  *    the append's OCC loop — no crash window between data and marker);
+  *  - a second query with a different checkpoint (whose batch ids restart
+  *    at 0) gets its own watermark and is never silently dropped.
   */
 object StreamingIngest {
+
+  /** App id for the table txn watermark: the canonicalized checkpoint
+    * location — stable across restarts of the same query, distinct across
+    * different queries/checkpoints. */
+  private[graft] def appId(checkpointDir: String): String =
+    "stream:" + java.nio.file.Paths.get(
+      if (checkpointDir.startsWith("file:")) new java.net.URI(checkpointDir).getPath
+      else checkpointDir).toAbsolutePath.normalize.toString
 
   /** Attach a graft-table sink to a streaming DataFrame. Caller starts the
     * query (so tests can use Trigger.AvailableNow with MemoryStream). */
   def sink(stream: DataFrame, table: TsTable,
            checkpointDir: String): DataStreamWriter[Row] = {
-    val journal = new graft.maintain.LineageJournal(table.root, "streaming-ingest")
+    val app = appId(checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val binId = f"batch-$batchId%012d"
-        if (!journal.completedBins().contains(binId)) {
-          if (!batch.isEmpty) {
-            val t0 = System.currentTimeMillis()
-            val v = table.append(batch)
-            journal.record(graft.maintain.BinRecord(binId, Nil, Some(v),
-              Some(graft.maintain.BinMetrics(batch.count(), 0L, 0, 0L, 0L, 0,
-                System.currentTimeMillis() - t0))))
-          } else {
-            journal.record(graft.maintain.BinRecord(binId, Nil, None, None))
-          }
+        if (!batch.isEmpty) { // empty replays are naturally idempotent
+          table.append(batch, txn = Some((app, batchId)))
+          ()
         }
       }
   }

@@ -48,6 +48,11 @@ object FooterStats {
           if (st == null || st.isEmpty || (!st.hasNonNullValue && st.getNumNulls < block.getRowCount)) {
             // stats missing for this row group → poison the column (bail like the reference)
             perCol(path) = (None, None, prev._3 + (if (st != null) st.getNumNulls else 0L), false)
+          } else if (!st.hasNonNullValue) {
+            // all-null row group (numNulls == rowCount): contributes only
+            // its null count; decoding min/max would NPE on binary columns
+            // and yield a spurious 0 on numeric ones
+            if (prev._4) perCol(path) = (prev._1, prev._2, prev._3 + st.getNumNulls, true)
           } else if (prev._4) {
             val mn = decode(prim, st.genericGetMin.asInstanceOf[AnyRef])
             val mx = decode(prim, st.genericGetMax.asInstanceOf[AnyRef])

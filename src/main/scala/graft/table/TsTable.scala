@@ -130,8 +130,22 @@ final class TsTable private (val root: String, val store: LogStore) {
     * pipeline of the reference (table/append.rs:92-350), Spark-first:
     * the data plane (write, stats, coverage, identity) runs as Spark jobs
     * and footer reads; only the commit is driver file IO. OCC with rebase
-    * retry on version conflicts. Returns the committed version. */
-  def append(df: DataFrame, maxRetries: Int = 3): Long = {
+    * retry on version conflicts. Returns the committed version.
+    *
+    * `txn = Some((appId, batchId))` makes the append idempotent per
+    * application: the (appId, batchId) watermark commits atomically with
+    * the AddSegments (LogAction.SetTxn), and an append whose batchId is ≤
+    * the table's watermark for that appId is skipped — including on the
+    * OCC rebase path, so a crashed-and-replayed streaming batch can never
+    * double-land even if the first attempt's commit won a race. */
+  def append(df: DataFrame, maxRetries: Int = 3,
+             txn: Option[(String, Long)] = None): Long = {
+    // cheap pre-check: skip the data write entirely when the batch is
+    // already in the table (the authoritative check re-runs inside commit)
+    txn.foreach { case (app, batch) =>
+      refresh()
+      if (cachedState.txns.get(app).exists(_ >= batch)) return cachedState.version
+    }
     val spark = df.sparkSession
     val commitId = UUID.randomUUID().toString.take(8)
     val stagingRel = s".staging-$commitId"
@@ -183,8 +197,12 @@ final class TsTable private (val root: String, val store: LogStore) {
     var attempt = 0
     while (true) {
       val st = cachedState
+      // authoritative idempotency check against the snapshot we commit on
+      txn.foreach { case (app, batch) =>
+        if (st.txns.get(app).exists(_ >= batch)) return st.version
+      }
       try {
-        return commitAppend(spark, st, segs, diskSchema, tsExtras)
+        return commitAppend(spark, st, segs, diskSchema, tsExtras, txn)
       } catch {
         case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
           attempt += 1
@@ -199,7 +217,8 @@ final class TsTable private (val root: String, val store: LogStore) {
       st: TableState,
       segs: Seq[SegmentMeta],
       diskSchema: StructType,
-      tsExtras: Option[(Option[Map[String, String]], Map[String, Bitmap])]): Long = {
+      tsExtras: Option[(Option[Map[String, String]], Map[String, Bitmap])],
+      txn: Option[(String, Long)] = None): Long = {
 
     var m = st.tableMeta.getOrElse(meta)
     var metaChanged = false
@@ -249,7 +268,8 @@ final class TsTable private (val root: String, val store: LogStore) {
 
     val actions: Seq[LogAction] =
       (if (metaChanged) Seq(LogAction.UpdateTableMeta(m)) else Nil) ++
-      segs.map(LogAction.AddSegment) ++ coverageAction.toSeq
+      segs.map(LogAction.AddSegment) ++ coverageAction.toSeq ++
+      txn.map { case (app, batch) => LogAction.SetTxn(app, batch) }.toSeq
 
     val v = store.commitWithExpectedVersion(st.version, actions)
     cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)

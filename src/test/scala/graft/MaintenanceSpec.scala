@@ -89,6 +89,42 @@ class MaintenanceSpec extends SparkFunSuite {
     intercept[Exception](t2.scanAt(spark, vCompacted - 1).count())
   }
 
+  test("expire reclaims across cycles: compact->expire->append->compact->expire") {
+    val root = tmpDir("expire-cycles")
+    val t = TsTable.create(root, tokenMeta("zorder"))
+    t.append(TokenGen.generate(spark, 400, numFiles = 4))
+    Compaction.run(spark, t, targetFileSize = 512L * 1024 * 1024)
+    val r1 = Expire.expire(t, t.version) // writes the first checkpoint
+    assert(r1.dataFilesDeleted == 4)
+
+    // no-leak invariant: after an expire at CURRENT, data/ holds exactly
+    // the live segments — anything extra leaked past the orphan scan
+    def assertNoLeak(tag: String): Unit = {
+      val live = TsTable.open(root).state.liveSegments.size
+      val onDisk = java.nio.file.Files.list(java.nio.file.Paths.get(root, "data")).count()
+      assert(onDisk == live, s"$tag: $onDisk files on disk vs $live live segments (leak)")
+    }
+    assertNoLeak("cycle 1")
+
+    // a second maintenance cycle AFTER a checkpoint exists: this compaction
+    // removes both post-checkpoint appends AND the checkpoint-live output
+    // of the first compaction — the latter is exactly what the round-1
+    // orphan scan missed (seen-map not seeded from the checkpoint state),
+    // leaking one file per compact→expire cycle forever
+    t.append(TokenGen.generate(spark, 400, idStart = 10000, numFiles = 4))
+    Compaction.run(spark, t, targetFileSize = 512L * 1024 * 1024)
+    Expire.expire(t, t.version)
+    assert(t.scan(spark).count() == 800)
+    assertNoLeak("cycle 2")
+
+    // third cycle: everything being compacted now predates a checkpoint
+    Compaction.run(spark, TsTable.open(root), targetFileSize = 512L * 1024 * 1024)
+    val t3 = TsTable.open(root)
+    Expire.expire(t3, t3.version)
+    assert(TsTable.open(root).scan(spark).count() == 800)
+    assertNoLeak("cycle 3")
+  }
+
   test("merge into: updates applied, inserts added, untouched rows byte-identical, files pruned") {
     val root = tmpDir("merge")
     val t = TsTable.create(root, tokenMeta("zorder"))

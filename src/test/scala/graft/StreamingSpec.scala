@@ -41,7 +41,40 @@ class StreamingSpec extends SparkFunSuite {
     assert(got.length == 1 && got(0).sameElements(rows.head.tokens))
   }
 
-  test("batch replay is idempotent: re-running the sink does not duplicate rows") {
+  test("txn append: same (app, batch) replay skipped; other apps/batches land") {
+    val root = tmpDir("stream-txn")
+    val t = TsTable.create(root, tokenMeta)
+    val app = StreamingIngest.appId(tmpDir("stream-txn-ckpt"))
+
+    t.append(TokenGen.generate(spark, 50), txn = Some((app, 0L)))
+    assert(t.scan(spark).count() == 50)
+
+    // crash-replay of batch 0: skipped even with different data
+    val vBefore = t.version
+    val v = t.append(TokenGen.generate(spark, 70, idStart = 900), txn = Some((app, 0L)))
+    assert(v == vBefore && t.scan(spark).count() == 50, "replayed batch must not duplicate")
+
+    // the next batch of the same query lands
+    t.append(TokenGen.generate(spark, 30, idStart = 1000), txn = Some((app, 1L)))
+    assert(t.scan(spark).count() == 80)
+
+    // a DIFFERENT query (fresh checkpoint => batch ids restart at 0) is a
+    // separate application: its batch 0 must NOT be silently skipped
+    val other = StreamingIngest.appId(tmpDir("stream-txn-ckpt2"))
+    t.append(TokenGen.generate(spark, 20, idStart = 2000), txn = Some((other, 0L)))
+    assert(t.scan(spark).count() == 100, "fresh-checkpoint query lost its batch")
+
+    // the watermark survives log replay and checkpoint rewrite
+    val t2 = TsTable.open(root)
+    assert(t2.state.txns(app) == 1L && t2.state.txns(other) == 0L)
+    graft.maintain.Expire.expire(t2, t2.version) // writes a state checkpoint
+    val t3 = TsTable.open(root)
+    assert(t3.state.txns(app) == 1L, "txn watermark lost by checkpoint rewrite")
+    t3.append(TokenGen.generate(spark, 10, idStart = 3000), txn = Some((app, 1L)))
+    assert(t3.scan(spark).count() == 100, "replay after checkpoint must still skip")
+  }
+
+  test("foreachBatch replay through the sink is idempotent per checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val root = tmpDir("stream-idem")
@@ -55,12 +88,9 @@ class StreamingSpec extends SparkFunSuite {
     t.refresh()
     assert(t.scan(spark).count() == 50)
 
-    // new stream, FRESH checkpoint (worst case: offsets lost) but same
-    // journal -> batch 0 is recognized and skipped
-    val mem2 = MemoryStream[Tok]
-    mem2.addData(rows)
-    StreamingIngest.ingestAvailable(mem2.toDF(), t, tmpDir("stream-idem-ckpt2"))
+    // same checkpoint, restarted query, no new data: nothing lands twice
+    StreamingIngest.ingestAvailable(mem.toDF(), t, ckpt)
     t.refresh()
-    assert(t.scan(spark).count() == 50, "replayed batch must not duplicate")
+    assert(t.scan(spark).count() == 50)
   }
 }

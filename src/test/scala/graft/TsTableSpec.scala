@@ -47,6 +47,37 @@ class TsTableSpec extends SparkFunSuite {
     assert(seg.stats("n_tok").min.get.isInstanceOf[StatVal.L])
   }
 
+  test("all-null columns: append succeeds, stats carry null counts and no spurious min/max") {
+    val root = tmpDir("tok-nulls")
+    val t = TsTable.create(root, tokenMeta)
+    // a string and a numeric column that are entirely null: footer stats
+    // must record their null counts without decoding min/max (round-1 bug:
+    // NPE on binary, uninitialized 0 merged into numeric min/max)
+    val df = TokenGen.generate(spark, 100, numFiles = 2)
+      .withColumn("note", lit(null).cast("string"))
+      .withColumn("score", lit(null).cast("double"))
+    t.append(df)
+    assert(t.scan(spark).count() == 100)
+    t.state.liveSegments.foreach { seg =>
+      Seq("note", "score").foreach { c =>
+        seg.stats.get(c).foreach { cs =>
+          assert(cs.min.isEmpty && cs.max.isEmpty, s"spurious min/max for all-null $c: $cs")
+          assert(cs.nullCount > 0, s"null count missing for $c")
+        }
+      }
+      // sibling columns keep real stats
+      assert(seg.stats.get("n_tok").exists(_.min.nonEmpty))
+    }
+    // mixed case: a second append where the same columns have values —
+    // that file's stats are real while the first file's stay null-only
+    val df2 = TokenGen.generate(spark, 50, idStart = 5000, numFiles = 1)
+      .withColumn("note", lit("x")).withColumn("score", lit(1.5))
+    t.append(df2)
+    val withVals = t.state.liveSegments.filter(_.stats.get("note").exists(_.min.nonEmpty))
+    assert(withVals.nonEmpty)
+    assert(t.scan(spark).where(col("note").isNull).count() == 100)
+  }
+
   test("token table: stats pruning prunes files, results unchanged") {
     val root = tmpDir("tok-prune")
     val t = TsTable.create(root, tokenMeta)
