@@ -119,24 +119,86 @@ object StatsPruning {
   // Transform-aware pruning: `f(ts) OP literal` rewritten into raw-ts
   // bounds evaluated against file stats — the port of the reference's
   // timestamp-transform compiler (time_predicate.rs:554-604, 876-1106:
-  // to_date / date_trunc / ts ± interval). UTC/sessions-default only;
-  // explicit non-UTC zones conservatively yield Unknown (the reference's
-  // Olson/DST widening is out of scope for v1 — soundness is preserved
-  // because Unknown never prunes).
+  // to_date / date_trunc / to_unixtime / ts ± interval). Olson zones are
+  // handled by computing the literal's bucket boundaries with zoned
+  // java.time arithmetic (the reference's DST widening,
+  // time_predicate.rs:623-758, 889-1015); non-fixed-offset zones get a
+  // ±1 h safety pad so engine-specific DST gap/overlap resolution can
+  // never make pruning unsound. Month-bearing intervals rewrite through
+  // sound [28-day, 31-day] shift bounds.
   // ---------------------------------------------------------------------
 
-  private val MicrosPerDay = 86400L * 1000000L
-
-  private def truncUnitMicros(fmt: String): Option[Long] = fmt.toLowerCase match {
-    case "second" => Some(1000000L)
-    case "minute" => Some(60L * 1000000L)
-    case "hour"   => Some(3600L * 1000000L)
-    case "day"    => Some(MicrosPerDay)
-    case _        => None // week/month/year: calendar-aware, skip (sound)
-  }
+  private val MicrosPerDay  = 86400L * 1000000L
+  private val MicrosPerHour = 3600L * 1000000L
 
   private def utcOk(tz: Option[String]): Boolean =
     tz.forall(z => z == "UTC" || z == "Etc/UTC" || z == "+00:00" || z == "Z")
+
+  private def zoneOf(tz: Option[String]): Option[java.time.ZoneId] =
+    try Some(tz.map(java.time.ZoneId.of).getOrElse(java.time.ZoneOffset.UTC))
+    catch { case _: Exception => None }
+
+  /** Resolve a timestamp-valued operand to its stats column: a raw
+    * attribute, or an NTZ attribute cast to TIMESTAMP under UTC — that cast
+    * is value-preserving against our epoch-micros footer stats (Catalyst
+    * inserts it whenever an NTZ column meets a TIMESTAMP function). */
+  private def tsColumnOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case Alias(c, _)           => tsColumnOf(c)
+    case Cast(a: AttributeReference, org.apache.spark.sql.types.TimestampType, tz, _)
+        if a.dataType == org.apache.spark.sql.types.TimestampNTZType && utcOk(tz) => Some(a.name)
+    case _ => None
+  }
+
+  private def zdtMicros(zdt: java.time.ZonedDateTime): Option[Long] =
+    try {
+      val i = zdt.toInstant
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
+    } catch { case _: ArithmeticException => None }
+
+  /** The bucket [lo, hi) that `date_trunc(unit, ts) == k` confines ts to,
+    * in `zone`, plus whether the bounds are exact (fixed-offset zone) and
+    * whether k is bucket-aligned. Exact for fixed-offset zones (UTC,
+    * +05:30, …); Olson zones compute real zoned boundaries (23/25-hour
+    * days, gap-shifted midnights) and the caller pads ±1 h. None for
+    * unrecognized units. */
+  private def truncBucket(unit: String, kMicros: Long, zid: java.time.ZoneId)
+      : Option[(Boolean, Boolean, Long, Long)] = {
+    import java.time.{DayOfWeek, Instant, LocalDate, ZonedDateTime}
+    import java.time.temporal.{ChronoUnit, TemporalAdjusters}
+    val inst = Instant.ofEpochSecond(Math.floorDiv(kMicros, 1000000L),
+      Math.floorMod(kMicros, 1000000L) * 1000L)
+    val zdt = inst.atZone(zid)
+    def day(d: LocalDate): ZonedDateTime = d.atStartOfDay(zid)
+    val bucket: Option[(ZonedDateTime, ZonedDateTime)] = unit.toLowerCase match {
+      case "microsecond" => Some((zdt, zdt.plusNanos(1000)))
+      case "millisecond" =>
+        val a = zdt.truncatedTo(ChronoUnit.MILLIS); Some((a, a.plusNanos(1000000)))
+      case "second" => val a = zdt.truncatedTo(ChronoUnit.SECONDS); Some((a, a.plusSeconds(1)))
+      case "minute" => val a = zdt.truncatedTo(ChronoUnit.MINUTES); Some((a, a.plusMinutes(1)))
+      case "hour"   => val a = zdt.truncatedTo(ChronoUnit.HOURS);   Some((a, a.plusHours(1)))
+      case "day" | "dd" =>
+        val d = zdt.toLocalDate; Some((day(d), day(d.plusDays(1))))
+      case "week" =>
+        val m = zdt.toLocalDate.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        Some((day(m), day(m.plusDays(7))))
+      case "month" | "mon" | "mm" =>
+        val f = zdt.toLocalDate.withDayOfMonth(1); Some((day(f), day(f.plusMonths(1))))
+      case "quarter" =>
+        val f0 = zdt.toLocalDate.withDayOfMonth(1)
+        val f = f0.withMonth((f0.getMonthValue - 1) / 3 * 3 + 1)
+        Some((day(f), day(f.plusMonths(3))))
+      case "year" | "yyyy" | "yy" =>
+        val f = zdt.toLocalDate.withDayOfYear(1); Some((day(f), day(f.plusYears(1))))
+      case _ => None
+    }
+    bucket.flatMap { case (a, n) =>
+      for (lo <- zdtMicros(a); hi <- zdtMicros(n)) yield {
+        val exact = zid.getRules.isFixedOffset
+        (exact, exact && lo == kMicros, lo, hi)
+      }
+    }
+  }
 
   /** Evaluate `colExpr OP k` where colExpr is a recognized transform of a
     * stats column. Reduces to plain ts-micros bound predicates and
@@ -153,67 +215,157 @@ object StatsPruning {
     def opIsGt = (if (flipped) b.isInstanceOf[LessThan] else b.isInstanceOf[GreaterThan])
     def opIsGe = (if (flipped) b.isInstanceOf[LessThanOrEqual] else b.isInstanceOf[GreaterThanOrEqual])
 
-    colE match {
-      // to_date(ts) / CAST(ts AS DATE): k is a DateType literal (days)
-      case Cast(inner, DateType, tz, _) if columnOf(inner).isDefined && utcOk(tz) &&
-          k.dataType == DateType && k.value != null =>
-        val col = columnOf(inner).get
-        val dayStart = k.value.asInstanceOf[Int].toLong * MicrosPerDay
-        val nextDay = dayStart + MicrosPerDay
-        if (b.isInstanceOf[EqualTo])
-          and(tsBound(col, GreaterThanOrEqual, dayStart), tsBound(col, LessThan, nextDay))
-        else if (opIsLt) tsBound(col, LessThan, dayStart)
-        else if (opIsLe) tsBound(col, LessThan, nextDay)
-        else if (opIsGt) tsBound(col, GreaterThanOrEqual, nextDay)
-        else if (opIsGe) tsBound(col, GreaterThanOrEqual, dayStart)
-        else Unknown
+    /** Map f OP k onto ts-range predicates given f's exact/padded bucket
+      * [lo, hi) for k. `aligned` is only meaningful when `exact`; padded
+      * (non-fixed-zone) bounds use the weakest sound form of each op. */
+    def bucketCmp(col: String, exact: Boolean, aligned: Boolean,
+                  lo: Long, hi: Long, pad: Long): Tri = {
+      if (b.isInstanceOf[EqualTo]) {
+        if (exact && !aligned) AlwaysFalse // Eq on a non-bucket-start literal is never true
+        else and(tsBound(col, GreaterThanOrEqual, lo - pad), tsBound(col, LessThan, hi + pad))
+      }
+      // f < k  ⇔ ts < (lo if k aligned else hi); unknown alignment → hi (weaker)
+      else if (opIsLt) tsBound(col, LessThan, (if (exact && aligned) lo else hi) + pad)
+      // f ≤ k  ⇔ ts < hi (alignment-independent)
+      else if (opIsLe) tsBound(col, LessThan, hi + pad)
+      // f > k  ⇔ ts ≥ hi (alignment-independent)
+      else if (opIsGt) tsBound(col, GreaterThanOrEqual, hi - pad)
+      // f ≥ k  ⇔ ts ≥ (lo if k aligned else hi); unknown alignment → lo (weaker)
+      else if (opIsGe) tsBound(col, GreaterThanOrEqual,
+        (if (exact) { if (aligned) lo else hi } else lo) - pad)
+      else Unknown
+    }
 
-      // date_trunc(unit, ts): k is a TimestampType literal (micros)
-      case TruncTimestamp(Literal(fmt: UTF8String, _), inner, tz) if columnOf(inner).isDefined &&
-          utcOk(tz) && k.dataType == TimestampType && k.value != null =>
-        truncUnitMicros(fmt.toString) match {
-          case None => Unknown
-          case Some(u) =>
-            val col = columnOf(inner).get
-            val kv = k.value.asInstanceOf[Long]
-            val aligned = Math.floorDiv(kv, u) * u
-            val isAligned = aligned == kv
-            if (b.isInstanceOf[EqualTo]) {
-              if (!isAligned) AlwaysFalse // Eq on unaligned literal is never true
-              else and(tsBound(col, GreaterThanOrEqual, kv), tsBound(col, LessThan, kv + u))
-            }
-            else if (opIsLt) tsBound(col, LessThan, if (isAligned) kv else aligned + u)
-            else if (opIsLe) tsBound(col, LessThan, aligned + u)
-            else if (opIsGt) tsBound(col, GreaterThanOrEqual, aligned + u)
-            else if (opIsGe) tsBound(col, GreaterThanOrEqual, if (isAligned) kv else aligned + u)
-            else Unknown
-        }
+    /** unix_*(ts) = floorDiv(tsMicros, unit) compared to k (in units). */
+    def epochCmp(col: String, kUnits: Long, unit: Long): Tri =
+      try {
+        val lo = Math.multiplyExact(kUnits, unit)
+        val hi = Math.addExact(lo, unit)
+        bucketCmp(col, exact = true, aligned = true, lo, hi, 0L)
+      } catch { case _: ArithmeticException => Unknown }
 
-      // ts ± INTERVAL (fixed-duration only): (ts + iv) OP k  ≡  ts OP (k - iv)
-      // iv arrives as CalendarInterval (legacy) or DayTimeIntervalType
-      // micros. The CalendarInterval DAY component is added calendar-aware
-      // (a day spanning a DST transition is not 86400 s), so days != 0 is
-      // only rewritable under UTC — gate on the expression's timeZoneId;
-      // pure-micros intervals are zone-independent.
-      case TimestampAddInterval(inner, Literal(ivVal, ivType), tz)
-          if columnOf(inner).isDefined && k.dataType == TimestampType && k.value != null &&
-             (ivVal match {
-               case ci: org.apache.spark.unsafe.types.CalendarInterval =>
-                 ci.months == 0 && (ci.days == 0 || utcOk(tz))
-               case _: java.lang.Long => ivType.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType]
-               case _ => false
-             }) =>
-        val shift = ivVal match {
-          case ci: org.apache.spark.unsafe.types.CalendarInterval =>
-            ci.days.toLong * MicrosPerDay + ci.microseconds
-          case l: java.lang.Long => l.longValue()
-        }
-        val col = columnOf(inner).get
-        val attr = AttributeReference(col, TimestampType)()
-        val shifted = Literal(k.value.asInstanceOf[Long] - shift, TimestampType)
+    /** (ts + s) OP k with s ∈ [sLo, sHi]: exact rewrite when the shift is
+      * fixed, else the weakest sound ts-bound per op. */
+    def shiftedCmp(col: String, kv: Long, sLo: Long, sHi: Long): Tri =
+      if (sLo == sHi) { // exact: (ts + s) OP k ≡ ts OP (k − s)
+        val attr = AttributeReference(col, org.apache.spark.sql.types.TimestampType)()
+        val shifted = Literal(kv - sLo, org.apache.spark.sql.types.TimestampType)
         val rewritten = if (flipped) b.withNewChildren(Seq(shifted, attr))
                         else b.withNewChildren(Seq(attr, shifted))
         eval(rewritten, stats, rows)
+      } else { // widened: f(ts) ∈ [ts + sLo, ts + sHi]
+        if (b.isInstanceOf[EqualTo])
+          and(tsBound(col, GreaterThanOrEqual, kv - sHi),
+              tsBound(col, LessThanOrEqual, kv - sLo))
+        else if (opIsLt) tsBound(col, LessThan, kv - sLo)
+        else if (opIsLe) tsBound(col, LessThanOrEqual, kv - sLo)
+        else if (opIsGt) tsBound(col, GreaterThan, kv - sHi)
+        else if (opIsGe) tsBound(col, GreaterThanOrEqual, kv - sHi)
+        else Unknown
+      }
+
+    // epoch conversions are zone-free on TIMESTAMP columns; on NTZ columns
+    // they go through the session zone, so require UTC there
+    def epochZoneOk(inner: Expression, tz: Option[String]): Boolean =
+      inner.dataType == TimestampType ||
+        (inner.dataType == TimestampNTZType && utcOk(tz))
+    def longK: Option[Long] = k.dataType match {
+      case LongType if k.value != null => Some(k.value.asInstanceOf[Long])
+      case IntegerType if k.value != null => Some(k.value.asInstanceOf[Int].toLong)
+      case _ => None
+    }
+
+    colE match {
+      // to_date(ts) / CAST(ts AS DATE): k is a DateType literal (days).
+      // NTZ casts are zone-free; TIMESTAMP casts bucket by the zone's real
+      // local day (23/25 h across DST) with a ±1 h pad for Olson zones.
+      case Cast(inner, DateType, tz, _) if tsColumnOf(inner).isDefined &&
+          k.dataType == DateType && k.value != null =>
+        val col = tsColumnOf(inner).get
+        val zone = if (inner.dataType == TimestampNTZType) Some(java.time.ZoneOffset.UTC: java.time.ZoneId)
+                   else zoneOf(tz)
+        zone match {
+          case None => Unknown
+          case Some(z) =>
+            val d = java.time.LocalDate.ofEpochDay(k.value.asInstanceOf[Int].toLong)
+            (zdtMicros(d.atStartOfDay(z)), zdtMicros(d.plusDays(1).atStartOfDay(z))) match {
+              case (Some(lo), Some(hi)) =>
+                val pad = if (z.getRules.isFixedOffset) 0L else MicrosPerHour
+                // every date literal is bucket-aligned by construction
+                bucketCmp(col, exact = pad == 0L, aligned = true, lo, hi, pad)
+              case _ => Unknown
+            }
+        }
+
+      // date_trunc(unit, ts): k is a TIMESTAMP(_NTZ) literal (micros);
+      // bucket boundaries from zoned calendar arithmetic (week/month/
+      // quarter/year included), padded ±1 h for non-fixed-offset zones
+      case TruncTimestamp(Literal(fmt: UTF8String, _), inner, tz) if tsColumnOf(inner).isDefined &&
+          (k.dataType == TimestampType || k.dataType == TimestampNTZType) && k.value != null =>
+        val zone = if (k.dataType == TimestampNTZType || inner.dataType == TimestampNTZType)
+                     Some(java.time.ZoneOffset.UTC: java.time.ZoneId) // NTZ trunc is zone-free
+                   else zoneOf(tz)
+        zone.flatMap(z => truncBucket(fmt.toString, k.value.asInstanceOf[Long], z)
+          .map { case (exact, aligned, lo, hi) =>
+            bucketCmp(tsColumnOf(inner).get, exact, aligned, lo, hi,
+              if (exact) 0L else MicrosPerHour)
+          }).getOrElse(Unknown)
+
+      // unix epoch family: to_unixtime/unix_timestamp (seconds) and the
+      // unix_seconds/millis/micros triplet — floor-division bucketing
+      case UnixMicros(inner) if tsColumnOf(inner).isDefined && longK.isDefined =>
+        epochCmp(tsColumnOf(inner).get, longK.get, 1L)
+      case UnixMillis(inner) if tsColumnOf(inner).isDefined && longK.isDefined =>
+        epochCmp(tsColumnOf(inner).get, longK.get, 1000L)
+      case UnixSeconds(inner) if tsColumnOf(inner).isDefined && longK.isDefined =>
+        epochCmp(tsColumnOf(inner).get, longK.get, 1000000L)
+      case UnixTimestamp(inner, _, tz, _) if tsColumnOf(inner).isDefined &&
+          epochZoneOk(inner, tz) && longK.isDefined =>
+        epochCmp(tsColumnOf(inner).get, longK.get, 1000000L)
+      case ToUnixTimestamp(inner, _, tz, _) if tsColumnOf(inner).isDefined &&
+          epochZoneOk(inner, tz) && longK.isDefined =>
+        epochCmp(tsColumnOf(inner).get, longK.get, 1000000L)
+
+      // ts ± INTERVAL: (ts + s) OP k with the shift bounded s ∈ [sLo, sHi].
+      // Fixed-duration intervals have sLo == sHi (exact rewrite); calendar
+      // components widen soundly — months to [28, 31] days each, days to
+      // [23, 25] hours each under a non-UTC zone (DST), exact 86 400 s
+      // under UTC or on NTZ columns.
+      case TimestampAddInterval(inner, Literal(ivVal, ivType), tz)
+          if tsColumnOf(inner).isDefined &&
+             (k.dataType == TimestampType || k.dataType == TimestampNTZType) &&
+             k.value != null =>
+        val daysExact = utcOk(tz) || inner.dataType == TimestampNTZType
+        val boundsOpt: Option[(Long, Long)] = ivVal match {
+          case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+            val mLo = math.min(ci.months.toLong * 28, ci.months.toLong * 31) * MicrosPerDay
+            val mHi = math.max(ci.months.toLong * 28, ci.months.toLong * 31) * MicrosPerDay
+            val (dLo, dHi) =
+              if (daysExact) (ci.days.toLong * MicrosPerDay, ci.days.toLong * MicrosPerDay)
+              else (math.min(ci.days.toLong * 23, ci.days.toLong * 25) * MicrosPerHour,
+                    math.max(ci.days.toLong * 23, ci.days.toLong * 25) * MicrosPerHour)
+            Some((mLo + dLo + ci.microseconds, mHi + dHi + ci.microseconds))
+          case l: java.lang.Long if ivType.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType] =>
+            Some((l.longValue(), l.longValue()))
+          case _ => None
+        }
+        boundsOpt match {
+          case None => Unknown
+          case Some((sLo, sHi)) =>
+            shiftedCmp(tsColumnOf(inner).get, k.value.asInstanceOf[Long], sLo, sHi)
+        }
+
+      // ts ± year-month INTERVAL (ANSI): distinct Catalyst node; months
+      // widen to [28, 31] days each (sound regardless of zone — a calendar
+      // month is always within those bounds in every timezone)
+      case TimestampAddYMInterval(inner, Literal(months: Int, _: YearMonthIntervalType), _)
+          if tsColumnOf(inner).isDefined &&
+             (k.dataType == TimestampType || k.dataType == TimestampNTZType) &&
+             k.value != null =>
+        val m = months.toLong
+        val sLo = math.min(m * 28, m * 31) * MicrosPerDay
+        val sHi = math.max(m * 28, m * 31) * MicrosPerDay
+        shiftedCmp(tsColumnOf(inner).get, k.value.asInstanceOf[Long], sLo, sHi)
 
       case _ => Unknown
     }

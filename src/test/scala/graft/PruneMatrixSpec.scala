@@ -100,6 +100,84 @@ class PruneMatrixSpec extends SparkFunSuite {
     assert(filesRead(q) == 1)
   }
 
+  test("unix epoch family comparisons prune") {
+    val epoch12 = java.time.Instant.parse("2024-03-01T12:00:00Z").getEpochSecond
+    val q = scan.where(unix_timestamp(col("ts")) >= lit(epoch12))
+    assert(q.count() == 60 && filesRead(q) == 1)
+    val q2 = scan.where(unix_seconds(col("ts")) < lit(epoch12 - 3600))
+    assert(q2.count() == 60 && filesRead(q2) == 1)
+    val q3 = scan.where(unix_micros(col("ts")) === lit(epoch12 * 1000000L + 900L * 1000000L))
+    assert(q3.count() == 1 && filesRead(q3) == 1)
+    val q4 = scan.where(unix_millis(col("ts")) > lit((epoch12 + 3600) * 1000L))
+    assert(q4.count() == 0 && filesRead(q4) == 0)
+  }
+
+  test("month-bearing interval comparisons prune through [28,31]-day widening") {
+    // actual ts+1month = 2024-04-01 10:00..13:00; k−31d = 2024-03-02 11:30
+    // exceeds every ts -> both files provably out
+    val far = scan.where(col("ts") + expr("INTERVAL 1 MONTH") > ts("2024-04-02 11:30:00"))
+    assert(far.count() == 0 && filesRead(far) == 0)
+    // k−31d = 2024-02-28: widening keeps everything, rows all match
+    val all = scan.where(col("ts") + expr("INTERVAL 1 MONTH") > ts("2024-03-30 00:00:00"))
+    assert(all.count() == 120 && filesRead(all) == 2)
+    // near the widened boundary the filter cannot prune (sound, not exact):
+    // k−28d = 03-04, k−31d = 03-01 10:30 splits the files' range
+    val gray = scan.where(col("ts") + expr("INTERVAL 1 MONTH") > ts("2024-04-01 10:30:00"))
+    assert(gray.count() == 29 * 1 + 60) // 10:31..10:59 + hour 12
+    assert(filesRead(gray) == 2)
+  }
+
+  test("calendar-unit date_trunc (week/month) prunes under UTC") {
+    val q = scan.where(date_trunc("month", col("ts")) === ts("2024-03-01 00:00:00"))
+    assert(q.count() == 120 && filesRead(q) == 2)
+    val q2 = scan.where(date_trunc("month", col("ts")) === ts("2024-02-01 00:00:00"))
+    assert(q2.count() == 0 && filesRead(q2) == 0)
+    // 2024-03-01 is a Friday; its ISO week starts Monday 2024-02-26
+    val q3 = scan.where(date_trunc("week", col("ts")) === ts("2024-02-26 00:00:00"))
+    assert(q3.count() == 120 && filesRead(q3) == 2)
+    val q4 = scan.where(date_trunc("week", col("ts")) >= ts("2024-03-04 00:00:00"))
+    assert(q4.count() == 0 && filesRead(q4) == 0)
+  }
+
+  test("Olson-zone session: zoned trunc/to_date bounds prune with DST pad, rows stay correct") {
+    scan.count() // force table build under UTC before switching the session zone
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      // all data is 2024-03-01 05:00-08:00 NY time
+      val q = scan.where(date_trunc("day", col("ts")) === ts("2024-03-01 00:00:00"))
+      assert(q.count() == 120 && filesRead(q) == 2)
+      val q2 = scan.where(date_trunc("day", col("ts")) === ts("2024-02-28 00:00:00"))
+      assert(q2.count() == 0 && filesRead(q2) == 0)
+      val q3 = scan.where(to_date(col("ts")) < lit(java.sql.Date.valueOf("2024-03-01")))
+      assert(q3.count() == 0 && filesRead(q3) == 0)
+      val q4 = scan.where(to_date(col("ts")) === lit(java.sql.Date.valueOf("2024-03-01")))
+      assert(q4.count() == 120 && filesRead(q4) == 2)
+      // day-time interval (exact 48 h) under an Olson zone: data+48h is
+      // 2024-03-03 05:00-08:00 NY, all past 04:30
+      val q5 = scan.where(col("ts") + expr("INTERVAL 2 DAYS") > ts("2024-03-03 04:30:00"))
+      assert(q5.count() == 120 && filesRead(q5) == 2)
+      val q6 = scan.where(col("ts") + expr("INTERVAL 2 DAYS") < ts("2024-03-01 00:00:00"))
+      assert(q6.count() == 0 && filesRead(q6) == 0)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("NTZ column: date_trunc prunes zone-free") {
+    import spark.implicits._
+    val root = tmpDir("prune-ntz")
+    val t = TsTable.create(root, TableMeta("ntz",
+      TableKind.TimeSeries(TimeIndexSpec("ts", Nil, TimeBucket.parse("1m"), None)), None, None))
+    def hourDf(h: Int) =
+      (0 until 60).map(m => (s"2024-03-01 %02d:%02d:00".format(h, m), h * 100.0 + m))
+        .toDF("tss", "price")
+        .select(col("tss").cast("timestamp_ntz").as("ts"), col("price"))
+    t.append(hourDf(10).coalesce(1))
+    t.append(hourDf(12).coalesce(1))
+    val k12 = java.time.LocalDateTime.of(2024, 3, 1, 12, 0, 0)
+    val q = t.scan(spark).where(date_trunc("hour", col("ts")) === lit(k12))
+    assert(q.count() == 60 && filesRead(q) == 1)
+  }
+
   test("multi-segment min/max, empty result, count(*)") {
     val none = scan.where(col("ts") > ts("2024-03-02 00:00:00"))
     assert(none.count() == 0 && filesRead(none) == 0)
