@@ -15,8 +15,9 @@ import graft.table.TsTable
   *   create  --table ROOT (--time-column TS --bucket 1h [--timezone TZ]
   *            [--entity COL]... | --cluster-by c1,c2,c3 [--curve zorder|hilbert|lexico])
   *   append  --table ROOT --parquet FILE
-  *   query   --table ROOT --sql SQL [--at-version V] [--explain]
-  *           [--max-rows N] [--output PATH --format csv|jsonl] [--param k=v]...
+  *   query   --table ROOT --sql SQL [--at-version V] [--explain] [--timing]
+  *           [--max-rows N] [--output PATH --format csv|jsonl]
+  *           [--param k=v]... [--arg v]...   ($1..$N bind to --arg in order)
   *   compact --table ROOT [--target-file-size BYTES] [--job-id ID]
   *   expire  --table ROOT --keep-from VERSION
   *   merge   --table ROOT --updates PARQUET [--key COL]
@@ -65,6 +66,7 @@ object Main {
       println(s"appended; table at version $v")
 
     case "query" =>
+      val t0 = System.nanoTime()
       val t = TsTable.open(req(args, "table"))
       // --at-version pins a historical snapshot (time travel)
       val scan = opt(args, "at-version") match {
@@ -72,15 +74,26 @@ object Main {
         case None    => t.scan(spark)
       }
       scan.createOrReplaceTempView("t")
-      val params: Map[String, Any] = multi(args, "param").map { kv =>
+      val named: Map[String, Any] = multi(args, "param").map { kv =>
         val Array(k, v) = kv.split("=", 2); k -> (v: Any)
       }.toMap
       // parameterized queries per reference R12 (python lib.rs:752-830):
-      // named :k placeholders bound post-parse via Spark 3.4+ sql(args=)
-      val df = spark.sql(req(args, "sql"), params)
+      // named :k placeholders via --param k=v, positional $1..$N via --arg
+      // (rewritten to named binds by a quote-aware scanner, matching the
+      // reference's positional style) — both through Spark 3.4+ sql(args=)
+      val positional = multi(args, "arg")
+      val (sqlText, params) =
+        if (positional.isEmpty) (req(args, "sql"), named)
+        else {
+          val binds = positional.zipWithIndex.map { case (v, i) => s"__p${i + 1}" -> (v: Any) }
+          (rewritePositional(req(args, "sql"), positional.size), named ++ binds)
+        }
+      val df = spark.sql(sqlText, params)
       if (flag(args, "explain")) df.explain("formatted")
       else output(df, opt(args, "output"), opt(args, "format").getOrElse("csv"),
         opt(args, "max-rows").map(_.toInt))
+      if (flag(args, "timing"))
+        println(f"time: ${(System.nanoTime() - t0) / 1e9}%.3f s")
 
     case "compact" =>
       val t = TsTable.open(req(args, "table"))
@@ -111,6 +124,46 @@ object Main {
         s"lastWindow=${t.lastFullyCoveredWindow(b, opt(args, "window").map(_.toLong).getOrElse(1L))}")
 
     case other => sys.error(s"unknown verb '$other'")
+  }
+
+  /** Rewrite positional $1..$N markers to named :__pN binds. Quote-aware
+    * like the reference's shell tokenizer (shell.rs:401-480): $N inside
+    * single-quoted strings, double-quoted identifiers, or line/block
+    * comments is left untouched. */
+  private[graft] def rewritePositional(sql: String, n: Int): String = {
+    val out = new StringBuilder(sql.length + 8)
+    var i = 0
+    var state: Char = ' ' // ' '=code, '\''=string, '"'=ident, '-'=line comment, '*'=block comment
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      state match {
+        case ' ' =>
+          if (c == '\'') { state = '\''; out += c; i += 1 }
+          else if (c == '"') { state = '"'; out += c; i += 1 }
+          else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') { state = '-'; out += c; i += 1 }
+          else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') { state = '*'; out ++= "/*"; i += 2 }
+          else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
+            var j = i + 1
+            while (j < sql.length && sql.charAt(j).isDigit) j += 1
+            val idx = sql.substring(i + 1, j).toInt
+            require(idx >= 1 && idx <= n, s"positional parameter $$$idx out of range (have $n --arg)")
+            out ++= s":__p$idx"; i = j
+          }
+          else { out += c; i += 1 }
+        case '\'' =>
+          out += c
+          if (c == '\'') state = ' ' // SQL escapes '' become two state flips — harmless
+          i += 1
+        case '"' =>
+          out += c; if (c == '"') state = ' '; i += 1
+        case '-' =>
+          out += c; if (c == '\n') state = ' '; i += 1
+        case '*' =>
+          if (c == '*' && i + 1 < sql.length && sql.charAt(i + 1) == '/') { out ++= "*/"; state = ' '; i += 2 }
+          else { out += c; i += 1 }
+      }
+    }
+    out.toString
   }
 
   /** CSV/JSONL export sink (reference storage/output.rs:117-141) or

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.cli.Main
+import graft.table.TsTable
+
+/** CLI front end driven in-process: verb wiring, named + positional query
+  * parameters, --timing, output sinks, and the quote-aware $N rewriter. */
+class CliSpec extends SparkFunSuite {
+
+  private def run(args: String*): Unit = Main.run(spark, args.toArray)
+
+  test("rewritePositional: binds markers, respects strings/idents/comments") {
+    assert(Main.rewritePositional("SELECT * FROM t WHERE a = $1 AND b < $2", 2) ==
+      "SELECT * FROM t WHERE a = :__p1 AND b < :__p2")
+    assert(Main.rewritePositional("SELECT '$1', \"$2col\", x FROM t WHERE y = $1", 1) ==
+      "SELECT '$1', \"$2col\", x FROM t WHERE y = :__p1")
+    assert(Main.rewritePositional("SELECT x -- $1 in comment\n FROM t WHERE y = $1", 1) ==
+      "SELECT x -- $1 in comment\n FROM t WHERE y = :__p1")
+    assert(Main.rewritePositional("SELECT /* $1 */ x FROM t WHERE y = $1", 1) ==
+      "SELECT /* $1 */ x FROM t WHERE y = :__p1")
+    intercept[IllegalArgumentException](Main.rewritePositional("WHERE y = $3", 2))
+  }
+
+  test("create / append / query with positional args, named params, timing, output") {
+    import spark.implicits._
+    val root = tmpDir("cli-tbl")
+    run("create", "--table", root, "--cluster-by", "source,n_tok,doc_id", "--curve", "zorder")
+
+    // append via a parquet file (exercises the PAR1-validated copy path)
+    val pq = tmpDir("cli-pq")
+    graft.data.TokenGen.generate(spark, 200).coalesce(1).write.mode("overwrite").parquet(pq)
+    val file = Files.list(Paths.get(pq)).iterator()
+    val f = {
+      var found: String = null
+      while (file.hasNext && found == null) {
+        val p = file.next(); if (p.toString.endsWith(".parquet")) found = p.toString
+      }
+      found
+    }
+    run("append", "--table", root, "--parquet", f)
+    assert(TsTable.open(root).scan(spark).count() == 200)
+
+    // positional $1/$2 + named :k in one query, csv output sink, --timing
+    val out = tmpDir("cli-out") + "/res"
+    run("query", "--table", root,
+      "--sql", "SELECT doc_id, n_tok FROM t WHERE doc_id >= $1 AND doc_id <= $2 AND n_tok > :floor ORDER BY doc_id",
+      "--arg", "doc-000000000010", "--arg", "doc-000000000050",
+      "--param", "floor=0",
+      "--output", out, "--format", "csv", "--timing")
+    val res = spark.read.option("header", "true").csv(out)
+    assert(res.count() == 41)
+    assert(res.select("doc_id").as[String].collect().min == "doc-000000000010")
+
+    // maintenance verbs drive end to end
+    run("compact", "--table", root, "--target-file-size", (64L * 1024 * 1024).toString)
+    run("merge", "--table", root, "--updates", pq) // idempotent re-merge of same rows
+    assert(TsTable.open(root).scan(spark).count() == 200)
+    run("expire", "--table", root, "--keep-from", TsTable.open(root).version.toString)
+    assert(TsTable.open(root).scan(spark).count() == 200)
+  }
+}
