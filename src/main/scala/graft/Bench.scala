@@ -96,16 +96,20 @@ object Bench {
     }
 
     val qs = q.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val ts = java.time.Instant.now().toString
     val json =
-      s"""{"metric":"maintenance_throughput","value":${f"$throughput%.1f"},"unit":"seq/sec","total_sec":${f"${q.values.sum}%.1f"},"rows":$rows,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"maintenance_throughput","value":${f"$throughput%.1f"},"unit":"seq/sec","ts":"$ts","total_sec":${f"${q.values.sum}%.1f"},"rows":$rows,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    // machine-readable copy: sbt [info]-prefixes stdout lines, so a log
-    // scraper can miss the line above — the file is the reliable channel
+    // machine-readable copies: sbt [info]-prefixes stdout lines, so a log
+    // scraper can miss the line above — the file is the reliable channel;
+    // every run also appends (timestamped) to the cumulative jsonl record
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH/last_run.json")
     try {
       val p = java.nio.file.Paths.get(outFile)
       Files.createDirectories(p.getParent)
       Files.writeString(p, json + "\n")
+      Files.writeString(p.getParent.resolve("bench_runs.jsonl"), json + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }

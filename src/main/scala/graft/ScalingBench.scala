@@ -103,6 +103,11 @@ object ScalingBench {
     val eff = (thrHi / thrLo) / 4.0
     val detail = times.toSeq.sortBy(_._1).map { case (c, ts) =>
       s""""t$c":[${ts.map(x => f"$x%.2f").mkString(",")}]""" }.mkString(",")
-    println(s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","n_lo":$nLo,"n_hi":$nHi,"throughput_lo":${f"$thrLo%.1f"},"throughput_hi":${f"$thrHi%.1f"},"sec_lo":${f"$bestLo%.2f"},"sec_hi":${f"$bestHi%.2f"},"rows":$rows,"trials":{$detail}}""")
+    val stamp = java.time.Instant.now().toString
+    val json = s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","ts":"$stamp","n_lo":$nLo,"n_hi":$nHi,"throughput_lo":${f"$thrLo%.1f"},"throughput_hi":${f"$thrHi%.1f"},"sec_lo":${f"$bestLo%.2f"},"sec_hi":${f"$bestHi%.2f"},"rows":$rows,"trials":{$detail}}"""
+    println(json)
+    try Files.writeString(Paths.get("/root/repo/BENCH/scaling_runs.jsonl"), json + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Exception => System.err.println(s"[scaling] jsonl append failed: $e") }
   }
 }

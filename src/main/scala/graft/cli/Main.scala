@@ -116,6 +116,16 @@ object Main {
       println(s"merged: updated=${rep.updated} inserted=${rep.inserted} " +
         s"candidates=${rep.candidates} -> v${rep.version}")
 
+    case "shell" =>
+      // interactive REPL (reference shell.rs); --table ROOT opens tables up
+      // front, names derived from the directory (or ROOT=name via .open AS)
+      val preload = multi(args, "table").map { root =>
+        java.nio.file.Paths.get(root).getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_") -> root
+      }.toMap
+      Shell.repl(spark,
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+        System.out, preload)
+
     case "coverage" =>
       val t = TsTable.open(req(args, "table"))
       val us = (d: String) => java.time.Instant.parse(d).toEpochMilli * 1000L

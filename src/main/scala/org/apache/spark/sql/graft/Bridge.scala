@@ -11,4 +11,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
   def ofExpr(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Dataset.showString is private[sql] in Spark 4; the shell needs the
+    * rendered table as a string for its own output stream. */
+  def showString(df: org.apache.spark.sql.DataFrame, numRows: Int, truncate: Int): String =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .showString(numRows, truncate, vertical = false)
 }

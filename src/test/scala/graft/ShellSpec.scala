@@ -1,0 +1,69 @@
+package graft
+
+import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+import graft.cli.Shell
+import graft.data.TokenGen
+import graft.meta._
+import graft.table.TsTable
+
+/** Interactive shell driven by scripted input: meta-commands, statement
+  * splitting at unquoted semicolons, time travel, timing. */
+class ShellSpec extends SparkFunSuite {
+
+  private def drive(script: String, preload: Map[String, String] = Map.empty): String = {
+    val out = new ByteArrayOutputStream()
+    Shell.repl(spark, new BufferedReader(new StringReader(script)),
+      new PrintStream(out, true, "UTF-8"), preload)
+    out.toString("UTF-8")
+  }
+
+  test("statement splitter: semicolons in strings/comments don't terminate") {
+    assert(Shell.splitFirstStatement("SELECT 1;rest") == (Some("SELECT 1"), "rest"))
+    assert(Shell.splitFirstStatement("SELECT ';' ")._1.isEmpty)
+    assert(Shell.splitFirstStatement("SELECT 1 -- ;\n")._1.isEmpty)
+    assert(Shell.splitFirstStatement("SELECT /* ; */ 1")._1.isEmpty)
+    assert(Shell.splitFirstStatement("SELECT /* ; */ 1;")._1.contains("SELECT /* ; */ 1"))
+  }
+
+  test("shell: open, query across lines, .at time travel, timing, quit") {
+    val root = tmpDir("shell-tbl")
+    val t = TsTable.create(root, TableMeta("tokens",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
+    t.append(TokenGen.generate(spark, 100))
+    val v1 = t.version
+    t.append(TokenGen.generate(spark, 50, idStart = 5000))
+
+    val script =
+      s""".open $root AS tok
+         |.tables
+         |.version tok
+         |.timing on
+         |SELECT count(*) AS n
+         |FROM tok;
+         |.at tok $v1
+         |SELECT count(*) AS n FROM tok;
+         |.refresh tok
+         |SELECT count(*) AS n FROM tok WHERE doc_id = 'doc-; not a real id';
+         |.maxrows 3
+         |.quit
+         |""".stripMargin
+    val out = drive(script)
+    assert(out.contains(s"opened $root as tok"))
+    assert(out.contains("tok\t"), s"missing .tables output in:\n$out")
+    assert(out.contains("150"), s"full count missing:\n$out") // both appends
+    assert(out.contains(s"tok pinned at v$v1"))
+    assert(out.contains("100"), s"time-travel count missing:\n$out")
+    assert(out.contains("time: "), "timing line missing")
+    assert(out.contains("maxrows 3"))
+  }
+
+  test("shell: errors are reported, not fatal; unknown meta-command handled") {
+    val out = drive(
+      """.nope
+        |SELECT definitely_not_a_column FROM missing_table;
+        |.quit
+        |""".stripMargin)
+    assert(out.contains("unknown meta-command"))
+    assert(out.contains("error:"))
+  }
+}
