@@ -57,34 +57,54 @@ object Ann {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
-  /** IVF top-k: assign vectors to nearest centroid (one broadcast join +
-    * one argmax — the partitioned "index build"), then probe only the
-    * `nProbe` centroid lists nearest to each query. Recall < 1 by design;
+  /** Assign each row of `df` to its `n` nearest centroids (broadcast the
+    * tiny centroid table, per-row argmax window). */
+  private def nearestLists(df: DataFrame, cents: DataFrame, dfId: String,
+                           dfVec: String, n: Int): DataFrame = {
+    val scored = df.select(col(dfId), col(dfVec).as("__v"))
+      .crossJoin(broadcast(cents))
+      .select(col(dfId), col("__v"), col("centroid_id"),
+        cosine(col("__v"), col("centroid")).as("__cs"))
+    val w = Window.partitionBy(dfId).orderBy(col("__cs").desc, col("centroid_id"))
+    scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= n)
+      .select(col(dfId), col("__v"), col("centroid_id"))
+  }
+
+  /** The IVF "index build": vectors labeled with their nearest centroid.
+    * At corpus scale this is built ONCE and persisted as a table
+    * (partitioned / bucketed by centroid_id), so query batches touch only
+    * the nProbe lists they probe — write it with
+    * `buildIvfIndex(v, nc).write.partitionBy("centroid_id").parquet(...)`
+    * and Spark's partition pruning turns each probe into a directory read. */
+  def buildIvfIndex(vectors: DataFrame, numCentroids: Int = 16,
+                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cents = centroids(vectors, numCentroids, vecCol, idCol)
+    nearestLists(vectors, cents, idCol, vecCol, 1).withColumnRenamed("__v", "v")
+  }
+
+  /** IVF top-k over a prebuilt index (columns: idCol, v, centroid_id) and
+    * its centroid table: queries probe their `nProbe` nearest lists only —
+    * the join key is centroid_id, so with a partitioned index only
+    * nProbe/numCentroids of the corpus is read or shuffled. */
+  def ivfTopKWithIndex(index: DataFrame, cents: DataFrame, queries: DataFrame, k: Int,
+                       nProbe: Int = 4, vecCol: String = "embedding",
+                       idCol: String = "vec_id", qIdCol: String = "q_id"): DataFrame = {
+    val probes = nearestLists(queries, cents, qIdCol, vecCol, nProbe)
+      .withColumnRenamed("__v", "q")
+    val scored = index.join(probes, Seq("centroid_id"))
+      .select(col(qIdCol), col(idCol), cosine(col("v"), col("q")).as("cos"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** IVF top-k end to end (index built inline). Recall < 1 by design;
     * measured against bruteForceTopK in tests. */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               numCentroids: Int = 16, nProbe: Int = 4,
               vecCol: String = "embedding", idCol: String = "vec_id",
               qIdCol: String = "q_id"): DataFrame = {
     val cents = centroids(vectors, numCentroids, vecCol, idCol)
-
-    def nearestLists(df: DataFrame, dfId: String, dfVec: String, n: Int): DataFrame = {
-      val scored = df.select(col(dfId), col(dfVec).as("__v"))
-        .crossJoin(broadcast(cents))
-        .select(col(dfId), col("__v"), col("centroid_id"),
-          cosine(col("__v"), col("centroid")).as("__cs"))
-      val w = Window.partitionBy(dfId).orderBy(col("__cs").desc, col("centroid_id"))
-      scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= n)
-        .select(col(dfId), col("__v"), col("centroid_id"))
-    }
-
-    val assigned = nearestLists(vectors, idCol, vecCol, 1)
-      .withColumnRenamed("__v", "v")
-    val probes = nearestLists(queries, qIdCol, vecCol, nProbe)
-      .withColumnRenamed("__v", "q")
-
-    val scored = assigned.join(probes, Seq("centroid_id"))
-      .select(col(qIdCol), col(idCol), cosine(col("v"), col("q")).as("cos"))
-    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    val index = nearestLists(vectors, cents, idCol, vecCol, 1).withColumnRenamed("__v", "v")
+    ivfTopKWithIndex(index, cents, queries, k, nProbe, vecCol, idCol, qIdCol)
   }
 }

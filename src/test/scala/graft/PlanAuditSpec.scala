@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.data.TokenGen
+import graft.meta._
+import graft.table.TsTable
+
+/** Physical-plan audits: lock in the plan shapes that make the engine
+  * viable at 100 TB — predicate pushdown to the parquet scan, column
+  * pruning in ReadSchema, broadcast joins for small dims, whole-stage
+  * codegen over the hot paths, and no accidental cartesian products. A
+  * regression here is a performance bug even when results stay correct. */
+class PlanAuditSpec extends SparkFunSuite {
+
+  private def executed(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private lazy val table: TsTable = {
+    val root = tmpDir("plan-audit")
+    val t = TsTable.create(root, TableMeta("tokens",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
+    t.append(TokenGen.generate(spark, 2000, numFiles = 4))
+    t
+  }
+
+  test("TsTable scan: filters push to parquet, projection prunes ReadSchema") {
+    val q = table.scan(spark).where(col("n_tok") > 500).select("doc_id", "n_tok")
+    val plan = executed(q)
+    assert(plan.contains("PushedFilters: [IsNotNull(n_tok), GreaterThan(n_tok,500)]"),
+      s"filter not pushed to scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:string,n_tok:int>"),
+      s"tokens column not pruned from scan:\n$plan")
+    // whole-stage-codegen spans print as "*(n) Op" in the physical plan
+    assert(plan.contains("*("), s"scan+filter not codegen'd:\n$plan")
+  }
+
+  test("relational queries: broadcast joins chosen, no cartesian products") {
+    val dir = "/root/testdata/sf0.001"
+    val p3 = executed(SparkEntry.queries("q03_join")(spark, dir))
+    assert(p3.contains("BroadcastHashJoin"), s"q03 lost its broadcast join:\n${p3.take(1500)}")
+    assert(!p3.contains("CartesianProduct"))
+    val p8 = executed(SparkEntry.queries("q08_3way_join")(spark, dir))
+    assert(p8.contains("BroadcastHashJoin"))
+    assert(!p8.contains("CartesianProduct"))
+  }
+
+  test("dedup pipelines: keyed joins only — never a cartesian product") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pMh = executed(graft.ops.Dedup.minhashLshPairs(docs, "text", "doc_id", threshold = 0.5))
+    assert(!pMh.contains("CartesianProduct"), "minhash LSH degenerated to all-pairs")
+    val pSh = executed(graft.ops.Dedup.simhashPairs(docs, "text", "doc_id"))
+    assert(!pSh.contains("CartesianProduct"), "simhash blocking degenerated to all-pairs")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val pNd = executed(graft.ops.Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+      threshold = 0.9, planes = 8, probes = 2))
+    assert(!pNd.contains("CartesianProduct"), "embedding LSH degenerated to all-pairs")
+  }
+
+  test("token aggregation over the table scan stays inside codegen") {
+    val q = table.scan(spark)
+      .select(sum(expr("aggregate(tokens, 0L, (a, x) -> a + x)")).as("s"))
+    val plan = executed(q)
+    assert(plan.contains("*(") && plan.contains("HashAggregate"),
+      s"token aggregate fell out of codegen:\n$plan")
+    // partial aggregation before the exchange (map-side combine)
+    assert(plan.indexOf("HashAggregate") >= 0 &&
+      plan.indexOf("HashAggregate") != plan.lastIndexOf("HashAggregate"),
+      "no partial aggregation stage")
+  }
+}
