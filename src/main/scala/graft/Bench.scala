@@ -103,7 +103,8 @@ object Bench {
     // machine-readable copies: sbt [info]-prefixes stdout lines, so a log
     // scraper can miss the line above — the file is the reliable channel;
     // every run also appends (timestamped) to the cumulative jsonl record
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH/last_run.json")
+    // relative to the working directory (sbt forks in the project base)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/last_run.json")
     try {
       val p = java.nio.file.Paths.get(outFile)
       Files.createDirectories(p.getParent)

@@ -106,8 +106,11 @@ object ScalingBench {
     val stamp = java.time.Instant.now().toString
     val json = s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","ts":"$stamp","n_lo":$nLo,"n_hi":$nHi,"throughput_lo":${f"$thrLo%.1f"},"throughput_hi":${f"$thrHi%.1f"},"sec_lo":${f"$bestLo%.2f"},"sec_hi":${f"$bestHi%.2f"},"rows":$rows,"trials":{$detail}}"""
     println(json)
-    try Files.writeString(Paths.get("/root/repo/BENCH/scaling_runs.jsonl"), json + "\n",
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    catch { case e: Exception => System.err.println(s"[scaling] jsonl append failed: $e") }
+    try {
+      val p = Paths.get(sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH/scaling_runs.jsonl"))
+      if (p.getParent != null) Files.createDirectories(p.getParent)
+      Files.writeString(p, json + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Exception => System.err.println(s"[scaling] jsonl append failed: $e") }
   }
 }

@@ -32,7 +32,9 @@ object Shell {
     while (line != null && !st.done) {
       if (sqlBuf.toString.trim.isEmpty && line.trim.startsWith(".")) {
         sqlBuf.clear() // drop inter-statement whitespace remainder
-        meta(spark, st, out, line.trim)
+        // a typo (.at t abc, expired version, …) must not kill the REPL
+        try meta(spark, st, out, line.trim)
+        catch { case e: Exception => out.println(s"error: ${e.getMessage}") }
       } else {
         sqlBuf.append(line).append('\n')
         // execute every complete (unquoted-;-terminated) statement

@@ -108,9 +108,18 @@ object MergeInto {
     // that the next compaction bin-packs; at 10^12-row scale outFilesEst ≫
     // cores so targetFileSize governs, exactly as in compaction.
     val outFiles = math.max(outFilesEst, spark.sparkContext.defaultParallelism)
+    // clusterSorted range-partitions on the curve key, and range
+    // partitioning SAMPLES its child before shuffling — for compaction the
+    // child is a bare parquet scan (cheap to run twice), but here it is
+    // read→anti-join→union, so without a cache the whole merge pipeline
+    // executes once for the sample pass and again for the write pass.
+    // Persist for the two passes, then release.
     val added = Compaction.withSizedReadSplits(spark, candBytes) {
-      val clustered = Compaction.clusterSorted(merged, curve, outFiles, ClusterKey.fit(live))
-      table.swapSegments(clustered, candidates.map(_.segmentId))
+      val cached = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val clustered = Compaction.clusterSorted(cached, curve, outFiles, ClusterKey.fit(live))
+        table.swapSegments(clustered, candidates.map(_.segmentId))
+      } finally cached.unpersist(false)
     }
 
     // report math from metadata only: out = survivors + updCount

@@ -107,7 +107,9 @@ object Dedup {
     * recall-oriented approximation (losslessness is impossible there). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, blocks: Int = 8): DataFrame = {
-    require(64 % blocks == 0, "blocks must divide 64")
+    // blocks == 1 would need a 64-bit mask, where (1L << 64) wraps to 1 —
+    // and a single all-bits bucket is a cross join anyway; require real blocking
+    require(blocks > 1 && 64 % blocks == 0, "blocks must divide 64 and be > 1")
     val chunkBits = 64 / blocks
     val mask = (1L << chunkBits) - 1
     val m = math.max(1, blocks - maxHamming)
@@ -218,12 +220,20 @@ object Dedup {
            |  block ^ shiftleft(1L, $planes - CAST(array_position(
            |    transform(projs, x -> abs(x)),
            |    element_at(array_sort(transform(projs, x -> abs(x))), q)) AS INT))))""".stripMargin))
+    // probe side explodes ALL probe blocks, home side keeps the home block;
+    // a pair is a candidate when EITHER member probes into the other's home
+    // block, so candidates are canonicalized (least, greatest) BEFORE the
+    // dedupe — filtering on id_a < id_b straight off the join would silently
+    // drop the half of the probe hits where the probing member has the
+    // larger id (asymmetric, id-numbering-dependent recall)
     val a = withProbes.select(explode(col("blocks")).as("block"),
-      col("id").as("id_a"), col("v").as("v_a"))
-    val b = withProbes.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
+      col("id").as("id_p"), col("v").as("v_p"))
+    val b = withProbes.select(col("block"), col("id").as("id_h"), col("v").as("v_h"))
     a.join(b, Seq("block"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .where(col("id_p") =!= col("id_h"))
+      .select(least(col("id_p"), col("id_h")).as("id_a"),
+        greatest(col("id_p"), col("id_h")).as("id_b"),
+        cosine(col("v_p"), col("v_h")).as("cos"))
       .where(col("cos") >= threshold)
       .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
   }

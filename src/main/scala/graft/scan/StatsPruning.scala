@@ -130,6 +130,11 @@ object StatsPruning {
 
   private val MicrosPerDay  = 86400L * 1000000L
   private val MicrosPerHour = 3600L * 1000000L
+  /** Safety margin for non-fixed-offset (Olson) zones: covers every known
+    * DST/offset transition (most are 1 h; Antarctica/Troll is 2 h, Lord
+    * Howe 0.5 h, historical wartime shifts up to 2 h) plus engine-specific
+    * gap/overlap resolution differences, with margin. */
+  private val DstPadMicros  = 4L * MicrosPerHour
 
   private def utcOk(tz: Option[String]): Boolean =
     tz.forall(z => z == "UTC" || z == "Etc/UTC" || z == "+00:00" || z == "Z")
@@ -215,25 +220,33 @@ object StatsPruning {
     def opIsGt = (if (flipped) b.isInstanceOf[LessThan] else b.isInstanceOf[GreaterThan])
     def opIsGe = (if (flipped) b.isInstanceOf[LessThanOrEqual] else b.isInstanceOf[GreaterThanOrEqual])
 
+    /** A padded/widened ts-bound is only a NECESSARY condition for
+      * `f OP k` (one-way implication): its AlwaysFalse soundly prunes, but
+      * its AlwaysTrue must NOT surface — Not()/!= would flip it into an
+      * unsound prune. Exact (two-way) rewrites keep AlwaysTrue. */
+    def necessaryOnly(t: Tri): Tri = if (t == AlwaysTrue) Unknown else t
+
     /** Map f OP k onto ts-range predicates given f's exact/padded bucket
       * [lo, hi) for k. `aligned` is only meaningful when `exact`; padded
       * (non-fixed-zone) bounds use the weakest sound form of each op. */
     def bucketCmp(col: String, exact: Boolean, aligned: Boolean,
                   lo: Long, hi: Long, pad: Long): Tri = {
-      if (b.isInstanceOf[EqualTo]) {
-        if (exact && !aligned) AlwaysFalse // Eq on a non-bucket-start literal is never true
-        else and(tsBound(col, GreaterThanOrEqual, lo - pad), tsBound(col, LessThan, hi + pad))
-      }
-      // f < k  ⇔ ts < (lo if k aligned else hi); unknown alignment → hi (weaker)
-      else if (opIsLt) tsBound(col, LessThan, (if (exact && aligned) lo else hi) + pad)
-      // f ≤ k  ⇔ ts < hi (alignment-independent)
-      else if (opIsLe) tsBound(col, LessThan, hi + pad)
-      // f > k  ⇔ ts ≥ hi (alignment-independent)
-      else if (opIsGt) tsBound(col, GreaterThanOrEqual, hi - pad)
-      // f ≥ k  ⇔ ts ≥ (lo if k aligned else hi); unknown alignment → lo (weaker)
-      else if (opIsGe) tsBound(col, GreaterThanOrEqual,
-        (if (exact) { if (aligned) lo else hi } else lo) - pad)
-      else Unknown
+      val t =
+        if (b.isInstanceOf[EqualTo]) {
+          if (exact && !aligned) AlwaysFalse // Eq on a non-bucket-start literal is never true
+          else and(tsBound(col, GreaterThanOrEqual, lo - pad), tsBound(col, LessThan, hi + pad))
+        }
+        // f < k  ⇔ ts < (lo if k aligned else hi); unknown alignment → hi (weaker)
+        else if (opIsLt) tsBound(col, LessThan, (if (exact && aligned) lo else hi) + pad)
+        // f ≤ k  ⇔ ts < hi (alignment-independent)
+        else if (opIsLe) tsBound(col, LessThan, hi + pad)
+        // f > k  ⇔ ts ≥ hi (alignment-independent)
+        else if (opIsGt) tsBound(col, GreaterThanOrEqual, hi - pad)
+        // f ≥ k  ⇔ ts ≥ (lo if k aligned else hi); unknown alignment → lo (weaker)
+        else if (opIsGe) tsBound(col, GreaterThanOrEqual,
+          (if (exact) { if (aligned) lo else hi } else lo) - pad)
+        else Unknown
+      if (pad == 0L && exact) t else necessaryOnly(t)
     }
 
     /** unix_*(ts) = floorDiv(tsMicros, unit) compared to k (in units). */
@@ -253,15 +266,16 @@ object StatsPruning {
         val rewritten = if (flipped) b.withNewChildren(Seq(shifted, attr))
                         else b.withNewChildren(Seq(attr, shifted))
         eval(rewritten, stats, rows)
-      } else { // widened: f(ts) ∈ [ts + sLo, ts + sHi]
-        if (b.isInstanceOf[EqualTo])
-          and(tsBound(col, GreaterThanOrEqual, kv - sHi),
-              tsBound(col, LessThanOrEqual, kv - sLo))
-        else if (opIsLt) tsBound(col, LessThan, kv - sLo)
-        else if (opIsLe) tsBound(col, LessThanOrEqual, kv - sLo)
-        else if (opIsGt) tsBound(col, GreaterThan, kv - sHi)
-        else if (opIsGe) tsBound(col, GreaterThanOrEqual, kv - sHi)
-        else Unknown
+      } else { // widened: f(ts) ∈ [ts + sLo, ts + sHi] — one-way, clamp AlwaysTrue
+        necessaryOnly(
+          if (b.isInstanceOf[EqualTo])
+            and(tsBound(col, GreaterThanOrEqual, kv - sHi),
+                tsBound(col, LessThanOrEqual, kv - sLo))
+          else if (opIsLt) tsBound(col, LessThan, kv - sLo)
+          else if (opIsLe) tsBound(col, LessThanOrEqual, kv - sLo)
+          else if (opIsGt) tsBound(col, GreaterThan, kv - sHi)
+          else if (opIsGe) tsBound(col, GreaterThanOrEqual, kv - sHi)
+          else Unknown)
       }
 
     // epoch conversions are zone-free on TIMESTAMP columns; on NTZ columns
@@ -278,7 +292,7 @@ object StatsPruning {
     colE match {
       // to_date(ts) / CAST(ts AS DATE): k is a DateType literal (days).
       // NTZ casts are zone-free; TIMESTAMP casts bucket by the zone's real
-      // local day (23/25 h across DST) with a ±1 h pad for Olson zones.
+      // local day with a ±DstPad pad for Olson zones.
       case Cast(inner, DateType, tz, _) if tsColumnOf(inner).isDefined &&
           k.dataType == DateType && k.value != null =>
         val col = tsColumnOf(inner).get
@@ -290,7 +304,7 @@ object StatsPruning {
             val d = java.time.LocalDate.ofEpochDay(k.value.asInstanceOf[Int].toLong)
             (zdtMicros(d.atStartOfDay(z)), zdtMicros(d.plusDays(1).atStartOfDay(z))) match {
               case (Some(lo), Some(hi)) =>
-                val pad = if (z.getRules.isFixedOffset) 0L else MicrosPerHour
+                val pad = if (z.getRules.isFixedOffset) 0L else DstPadMicros
                 // every date literal is bucket-aligned by construction
                 bucketCmp(col, exact = pad == 0L, aligned = true, lo, hi, pad)
               case _ => Unknown
@@ -308,7 +322,7 @@ object StatsPruning {
         zone.flatMap(z => truncBucket(fmt.toString, k.value.asInstanceOf[Long], z)
           .map { case (exact, aligned, lo, hi) =>
             bucketCmp(tsColumnOf(inner).get, exact, aligned, lo, hi,
-              if (exact) 0L else MicrosPerHour)
+              if (exact) 0L else DstPadMicros)
           }).getOrElse(Unknown)
 
       // unix epoch family: to_unixtime/unix_timestamp (seconds) and the
@@ -328,25 +342,29 @@ object StatsPruning {
 
       // ts ± INTERVAL: (ts + s) OP k with the shift bounded s ∈ [sLo, sHi].
       // Fixed-duration intervals have sLo == sHi (exact rewrite); calendar
-      // components widen soundly — months to [28, 31] days each, days to
-      // [23, 25] hours each under a non-UTC zone (DST), exact 86 400 s
-      // under UTC or on NTZ columns.
+      // components widen soundly — months to [28, 31] days, and ±DstPad on
+      // month/day components under non-fixed zones (DST changes the
+      // absolute length of calendar units); exact under UTC/NTZ.
       case TimestampAddInterval(inner, Literal(ivVal, ivType), tz)
           if tsColumnOf(inner).isDefined &&
              (k.dataType == TimestampType || k.dataType == TimestampNTZType) &&
              k.value != null =>
-        val daysExact = utcOk(tz) || inner.dataType == TimestampNTZType
+        // calendar components are zone-sensitive: under a non-fixed zone a
+        // DST transition shifts the absolute duration of a calendar month
+        // or day by the transition size, so the bounds carry ±DstPad there
+        val zoneExact = utcOk(tz) || inner.dataType == TimestampNTZType
+        val zPad = if (zoneExact) 0L else DstPadMicros
         val boundsOpt: Option[(Long, Long)] = ivVal match {
           case ci: org.apache.spark.unsafe.types.CalendarInterval =>
             val mLo = math.min(ci.months.toLong * 28, ci.months.toLong * 31) * MicrosPerDay
             val mHi = math.max(ci.months.toLong * 28, ci.months.toLong * 31) * MicrosPerDay
-            val (dLo, dHi) =
-              if (daysExact) (ci.days.toLong * MicrosPerDay, ci.days.toLong * MicrosPerDay)
-              else (math.min(ci.days.toLong * 23, ci.days.toLong * 25) * MicrosPerHour,
-                    math.max(ci.days.toLong * 23, ci.days.toLong * 25) * MicrosPerHour)
-            Some((mLo + dLo + ci.microseconds, mHi + dHi + ci.microseconds))
+            val monthPad = if (ci.months == 0) 0L else zPad
+            val dayPad = if (ci.days == 0) 0L else zPad
+            val d = ci.days.toLong * MicrosPerDay
+            Some((mLo - monthPad + d - dayPad + ci.microseconds,
+                  mHi + monthPad + d + dayPad + ci.microseconds))
           case l: java.lang.Long if ivType.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType] =>
-            Some((l.longValue(), l.longValue()))
+            Some((l.longValue(), l.longValue())) // exact duration, zone-free
           case _ => None
         }
         boundsOpt match {
@@ -356,15 +374,16 @@ object StatsPruning {
         }
 
       // ts ± year-month INTERVAL (ANSI): distinct Catalyst node; months
-      // widen to [28, 31] days each (sound regardless of zone — a calendar
-      // month is always within those bounds in every timezone)
-      case TimestampAddYMInterval(inner, Literal(months: Int, _: YearMonthIntervalType), _)
+      // widen to [28, 31] days each, ±DstPad under non-fixed zones (a DST
+      // transition inside the month shifts its absolute duration)
+      case TimestampAddYMInterval(inner, Literal(months: Int, _: YearMonthIntervalType), tz)
           if tsColumnOf(inner).isDefined &&
              (k.dataType == TimestampType || k.dataType == TimestampNTZType) &&
              k.value != null =>
         val m = months.toLong
-        val sLo = math.min(m * 28, m * 31) * MicrosPerDay
-        val sHi = math.max(m * 28, m * 31) * MicrosPerDay
+        val ymPad = if (utcOk(tz) || inner.dataType == TimestampNTZType) 0L else DstPadMicros
+        val sLo = math.min(m * 28, m * 31) * MicrosPerDay - ymPad
+        val sHi = math.max(m * 28, m * 31) * MicrosPerDay + ymPad
         shiftedCmp(tsColumnOf(inner).get, k.value.asInstanceOf[Long], sLo, sHi)
 
       case _ => Unknown

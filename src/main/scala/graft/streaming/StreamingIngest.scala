@@ -27,11 +27,17 @@ object StreamingIngest {
 
   /** App id for the table txn watermark: the canonicalized checkpoint
     * location — stable across restarts of the same query, distinct across
-    * different queries/checkpoints. */
-  private[graft] def appId(checkpointDir: String): String =
-    "stream:" + java.nio.file.Paths.get(
-      if (checkpointDir.startsWith("file:")) new java.net.URI(checkpointDir).getPath
-      else checkpointDir).toAbsolutePath.normalize.toString
+    * different queries/checkpoints. Only bare local paths are resolved
+    * against the filesystem; URIs with a scheme (s3a://…, hdfs://…,
+    * file:/…) are used as-is so the id never depends on the driver's
+    * working directory. */
+  private[graft] def appId(checkpointDir: String): String = {
+    val canonical =
+      if (checkpointDir.contains(":/")) checkpointDir.stripSuffix("/")
+      else try java.nio.file.Paths.get(checkpointDir).toAbsolutePath.normalize.toString
+      catch { case _: Exception => checkpointDir }
+    "stream:" + canonical
+  }
 
   /** Attach a graft-table sink to a streaming DataFrame. Caller starts the
     * query (so tests can use Trigger.AvailableNow with MemoryStream). */

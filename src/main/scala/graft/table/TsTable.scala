@@ -197,9 +197,20 @@ final class TsTable private (val root: String, val store: LogStore) {
     var attempt = 0
     while (true) {
       val st = cachedState
-      // authoritative idempotency check against the snapshot we commit on
+      // authoritative idempotency check against the snapshot we commit on.
+      // A replay detected here (e.g. two drivers raced the same batch and
+      // this one lost the OCC commit) must delete the data files it already
+      // moved into data/ — no commit references them, and Expire only
+      // reclaims segments the log has seen, so they would leak forever.
       txn.foreach { case (app, batch) =>
-        if (st.txns.get(app).exists(_ >= batch)) return st.version
+        if (st.txns.get(app).exists(_ >= batch)) {
+          segs.foreach { seg =>
+            Files.deleteIfExists(Paths.get(stripScheme(s"$root/${seg.path}")))
+            seg.coveragePath.foreach(cp =>
+              Files.deleteIfExists(Paths.get(stripScheme(s"$root/$cp"))))
+          }
+          return st.version
+        }
       }
       try {
         return commitAppend(spark, st, segs, diskSchema, tsExtras, txn)

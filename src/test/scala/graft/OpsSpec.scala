@@ -67,6 +67,32 @@ class OpsSpec extends SparkFunSuite {
     assert(blocked.contains((1L, 4L)), "exact dup always lands in the same LSH block")
   }
 
+  test("embedding LSH pair discovery is id-numbering independent (symmetric probes)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      import spark.implicits._
+      Dedup.embeddingNearDupPairs(df, "embedding", "vec_id",
+        threshold = 0.2, planes = 8, probes = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    val direct = pairsOf(emb)
+    // renumber ids in reverse order: blocking must find the SAME pairs
+    val renum = pairsOf(emb.withColumn("vec_id", lit(10000000L) - col("vec_id")))
+      .map { case (a, b) =>
+        val (x, y) = (10000000L - a, 10000000L - b)
+        (math.min(x, y), math.max(x, y))
+      }
+    assert(direct == renum,
+      s"id-order-dependent recall: only-direct=${(direct -- renum).take(5)} only-renum=${(renum -- direct).take(5)}")
+  }
+
+  test("simhash rejects blocks=1 (mask wraps, blocking degenerates)") {
+    val d = docs((1L, "a b c"))
+    intercept[IllegalArgumentException](Dedup.simhashPairs(d, "text", "doc_id", blocks = 1))
+  }
+
   test("IVF ANN recall vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))

@@ -162,6 +162,23 @@ class PruneMatrixSpec extends SparkFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("padded/widened rewrites are one-way: Not()/!= must not prune through them") {
+    scan.count() // force table build under UTC
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      // every row lies inside the padded NY day bucket, so the Eq rewrite
+      // is AlwaysTrue-as-necessary-condition; flipping it through != must
+      // yield Unknown (read both files), not an unsound prune
+      val q = scan.where(date_trunc("day", col("ts")) =!= ts("2024-03-01 00:00:00"))
+      assert(q.count() == 0)
+      assert(filesRead(q) == 2, "padded Eq leaked AlwaysTrue through Not — unsound prune")
+      val q2 = scan.where(!(col("ts") + expr("INTERVAL 1 MONTH") > ts("2024-03-30 00:00:00")))
+      assert(q2.count() == 0)
+      assert(filesRead(q2) == 2, "widened interval leaked AlwaysTrue through Not")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("NTZ column: date_trunc prunes zone-free") {
     import spark.implicits._
     val root = tmpDir("prune-ntz")

@@ -66,4 +66,28 @@ class ShellSpec extends SparkFunSuite {
     assert(out.contains("unknown meta-command"))
     assert(out.contains("error:"))
   }
+
+  test("shell: malformed meta-command arguments don't kill the REPL") {
+    val root = tmpDir("shell-bad")
+    val t = TsTable.create(root, TableMeta("tokens",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
+    t.append(TokenGen.generate(spark, 10))
+    val out = drive(
+      s""".open $root AS tok
+         |.at tok notanumber
+         |.maxrows 99999999999
+         |.tables
+         |.quit
+         |""".stripMargin)
+    assert(out.contains("error:") || out.contains("usage:"), s"no error surfaced:\n$out")
+    assert(out.contains("tok\t"), s"REPL died before .tables:\n$out")
+  }
+
+  test("streaming appId: scheme URIs are cwd-independent, local paths canonicalize") {
+    import graft.streaming.StreamingIngest.appId
+    assert(appId("s3a://bucket/ck/") == "stream:s3a://bucket/ck")
+    assert(appId("hdfs://nn:8020/ck") == "stream:hdfs://nn:8020/ck")
+    assert(appId("/tmp/x/../y") == "stream:/tmp/y")
+    assert(appId("file:/tmp/ck") == "stream:file:/tmp/ck")
+  }
 }
