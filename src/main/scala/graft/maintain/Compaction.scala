@@ -118,6 +118,11 @@ object Compaction {
     val paths = inputs.map(s => s"${table.root}/${s.path}")
     val totalBytes = math.max(inputs.flatMap(_.fileSize).sum, 1L)
     withSizedReadSplits(spark, totalBytes) {
+      // NOTE: the range partitioner samples its child, so the bin is read
+      // twice per rewrite. Caching it was measured (500 k rows, local[8])
+      // and LOST badly — deserialized token rows are ~3× the parquet bytes
+      // and the cache write+memory pressure dwarfs a second columnar scan.
+      // MERGE differs: its child embeds an anti join, so it does cache.
       val df = spark.read.parquet(paths: _*)
       val sorted = clusterSorted(df, curve, outFiles, fit)
       table.swapSegments(sorted, inputs.map(_.segmentId), maxRetries)
