@@ -23,20 +23,28 @@ object Dedup {
     expr(s"transform(sequence(1, greatest(length(${textCol}) - ${n - 1}, 1)), i -> substring(${textCol}, i, $n))")
 
   /** MinHash signature. Each shingle STRING is hashed once (the expensive
-    * step); the k-th hash family is an affine remix of that 64-bit base
-    * hash (standard one-hash MinHash construction), so cost is
+    * step); the k-th hash family is a remix of that 64-bit base hash
+    * (standard one-hash MinHash construction), so cost is
     * O(shingles + shingles × numHashes-arithmetic) instead of
-    * O(shingles × numHashes string hashes) — ~10× cheaper per row, still
-    * fully inside whole-stage codegen. */
+    * O(shingles × numHashes string hashes).
+    *
+    * Shape notes (both measured): the shingle-hash array is bound ONCE via
+    * a single-element-array `aggregate` (a let-binding — a plain column
+    * alias would be inlined into the per-family lambda by CollapseProject
+    * and re-hash every string numHashes times), and the loop nest runs
+    * hash families OUTER / shingles INNER so each accumulator is a scalar
+    * long (the reverse order allocates a numHashes-element array per
+    * shingle step). */
   def minhashSignature(textCol: String, numHashes: Int, shingleSize: Int): Column =
     expr(
       s"""aggregate(
-         |  transform(transform(sequence(1, greatest(length($textCol) - ${shingleSize - 1}, 1)),
-         |                      i -> substring($textCol, i, $shingleSize)),
-         |            s -> xxhash64(s)),
+         |  array(transform(transform(sequence(1, greatest(length($textCol) - ${shingleSize - 1}, 1)),
+         |                            i -> substring($textCol, i, $shingleSize)),
+         |                  s -> xxhash64(s))),
          |  array_repeat(9223372036854775807L, $numHashes),
-         |  (acc, h) -> zip_with(acc, sequence(0, ${numHashes - 1}),
-         |                       (m, k) -> least(m, xxhash64(h, k))))""".stripMargin)
+         |  (acc, hs) -> transform(sequence(0, ${numHashes - 1}),
+         |                 k -> aggregate(hs, 9223372036854775807L,
+         |                                (m, h) -> least(m, xxhash64(h, k)))))""".stripMargin)
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -78,15 +86,19 @@ object Dedup {
     finally banded.unpersist(false)
   }
 
-  /** 64-bit SimHash over whitespace tokens (sign of per-bit weight sums). */
+  /** 64-bit SimHash over whitespace tokens (sign of per-bit weight sums).
+    * Words are hashed ONCE into a bound array (single-element-array
+    * let-binding); the round-1 shape re-split and re-hashed the whole text
+    * inside every one of the 64 per-bit aggregates. */
   def simhash(textCol: String): Column =
     expr(
       s"""aggregate(
-         |  transform(sequence(0, 63),
-         |    b -> IF(aggregate(split($textCol, '\\\\s+'), 0L,
-         |              (acc, w) -> acc + IF((shiftright(xxhash64(w), b) & 1) = 1, 1L, -1L)) > 0,
-         |            shiftleft(1L, b), 0L)),
-         |  0L, (acc, v) -> acc | v)""".stripMargin)
+         |  array(transform(split($textCol, '\\\\s+'), w -> xxhash64(w))),
+         |  0L,
+         |  (acc, hs) -> aggregate(sequence(0, 63), 0L,
+         |    (sh, b) -> sh | IF(aggregate(hs, 0L,
+         |                         (c, h) -> c + IF((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0,
+         |                       shiftleft(1L, CAST(b AS INT)), 0L)))""".stripMargin)
 
   /** SimHash near-dup pairs with block-combination keys (the Manku/Jain/
     * Das Sarma WWW'07 near-duplicate scheme, public): the 64-bit simhash
