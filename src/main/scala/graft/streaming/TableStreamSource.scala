@@ -1,0 +1,197 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+import graft.log.{LogAction, TableState}
+import graft.table.TsTable
+
+/** Structured Streaming SOURCE over a graft table: tail the transaction
+  * log and emit each commit's appended segments as a micro-batch.
+  *
+  * The reference ships a streaming reader as a Python
+  * `pyarrow.RecordBatchReader` pull loop
+  * (timeseries-table-python/src/sql_stream_reader.rs); the Spark-native
+  * re-expression is a streaming Source whose offsets ARE log versions —
+  * restart/recovery, incremental processing and exactly-once composition
+  * with any Spark sink come from Structured Streaming itself instead of a
+  * bespoke reader protocol.
+  *
+  * Semantics (Delta-source-shaped, all public knowledge):
+  *  - **Offsets = log versions.** Batch (s, e] = segments added by commits
+  *    s+1..e. Commit files are immutable and versions dense, so a batch is
+  *    deterministic under replay — the exactly-once contract Structured
+  *    Streaming needs from a replayable source.
+  *  - **Initial snapshot.** The first batch (start = None) is the table
+  *    SNAPSHOT at the first trigger's version: the live segment list of
+  *    `TableState.rebuildAt(end)` — not a replay of every historical
+  *    commit, so a long-compacted table is read at its clustered layout,
+  *    and already-expired early segments are never touched. Deterministic
+  *    on restart because the snapshot version is pinned by the
+  *    checkpointed offset.
+  *  - **Rewrite commits are skipped.** Compaction / clustering / MERGE
+  *    swap segments with RemoveSegment+AddSegment in one commit
+  *    (TsTable.swapSegments); replaying their adds would re-emit rows the
+  *    stream already delivered. Any commit containing a RemoveSegment is
+  *    treated as a data-change commit and skipped (`skipChangeCommits`,
+  *    default true — flip to false to fail the query instead, when
+  *    downstream must be told the table was rewritten under it).
+  *  - **Appends are never skipped**: a pure-append commit carries only
+  *    AddSegment (+ meta/coverage/txn) actions and is always emitted.
+  *
+  * Options:
+  *  - `startingVersion` — tail from this commit (inclusive) instead of the
+  *    initial snapshot; `startingVersion=latest` tails only commits after
+  *    stream start.
+  *  - `skipChangeCommits` — see above (default true).
+  *  - `maxVersionsPerTrigger` — cap commits per micro-batch so a stream
+  *    catching up on a long log backlog does not plan one giant batch
+  *    (scan parallelism inside a batch is Spark's; this bounds batch
+  *    SIZE). Implemented through SupportsAdmissionControl, so the cap is
+  *    anchored on the engine-supplied start offset — exact across
+  *    restarts. The initial snapshot is one unit and never split.
+  *
+  * Trigger.AvailableNow is supported natively (SupportsTriggerAvailableNow):
+  * the end version is pinned at query start, so a bounded catch-up run
+  * drains to a fixed point even while writers keep committing.
+  *
+  * Scale: getOffset/getBatch are driver-side metadata (CURRENT read + a
+  * few KB of commit JSON); the data plane is `spark.read.parquet` over the
+  * batch's files — vectorized scan, whole-stage codegen, AQE all apply.
+  */
+final class TableStreamSource(
+    sqlContext: SQLContext,
+    rootPath: String,
+    options: Map[String, String])
+  extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private val table = TsTable.open(rootPath)
+  private def opt(key: String): Option[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  override val schema: StructType = table.meta.schema.getOrElse(
+    throw new IllegalStateException(
+      s"table at $rootPath has no adopted schema yet (append once before streaming from it)"))
+
+  private val skipChangeCommits: Boolean =
+    opt("skipChangeCommits").forall(_.toBoolean)
+  private val maxVersionsPerTrigger: Option[Long] =
+    opt("maxVersionsPerTrigger").map { v =>
+      val n = v.toLong; require(n > 0, s"maxVersionsPerTrigger must be > 0, got $n"); n
+    }
+  /** None = initial-snapshot mode; Some(v) = tail commits >= v. */
+  private val startingVersion: Option[Long] = opt("startingVersion").map {
+    case v if v.equalsIgnoreCase("latest") => table.store.currentVersion() + 1
+    case v => val n = v.toLong; require(n >= 1, s"startingVersion must be >= 1, got $n"); n
+  }
+
+  /** AvailableNow pin: versions committed after query start are left for
+    * the next run. */
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(table.store.currentVersion())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control: the engine hands us the checkpointed start offset,
+    * we answer with the capped end — exact rate limiting across restarts.
+    * `null` = no new data this trigger. */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val cur = availableNowEnd.getOrElse(table.store.currentVersion())
+    if (cur == 0L) return null
+    val floor = startingVersion.map(_ - 1).getOrElse(0L)
+    val startV = Option(startOffset).map(version).getOrElse(-1L)
+    val anchor = math.max(startV, floor)
+    val snapshotBatch = startV < 0L && startingVersion.isEmpty
+    val end = maxVersionsPerTrigger match {
+      case Some(m) if !snapshotBatch => math.min(cur, anchor + m)
+      case _ => cur
+    }
+    if (end <= anchor) null else LongOffset(end)
+  }
+
+  override def getOffset: Option[OffsetV1] =
+    Option(latestOffset(null, getDefaultReadLimit)).map(o => LongOffset(version(o)))
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = version(end)
+    val paths: Seq[String] = start match {
+      case Some(s) => addedIn(version(s) + 1, endV)
+      case None => startingVersion match {
+        case Some(sv) => addedIn(sv, endV)
+        case None => // initial snapshot, pinned at the first batch's version
+          TableState.rebuildAt(table.store, endV).liveSegments.map(s => s"$rootPath/${s.path}")
+      }
+    }
+    val batch =
+      if (paths.isEmpty)
+        Bridge.emptyStreamingBatch(sqlContext.sparkSession, schema)
+      else {
+        // explicit schema (no footer merge job) + positional re-select so the
+        // batch's attribute order always matches the declared source schema
+        val df = sqlContext.sparkSession.read.schema(schema).parquet(paths: _*)
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        Bridge.streamingBatch(df, schema)
+      }
+    batch
+  }
+
+  /** Segment paths appended by commits fromV..toV, skipping (or refusing)
+    * data-change commits — any commit that removes a segment. */
+  private def addedIn(fromV: Long, toV: Long): Seq[String] =
+    (fromV to toV).flatMap { v =>
+      val c = table.store.readCommit(v)
+      if (c.actions.exists(_.isInstanceOf[LogAction.RemoveSegment])) {
+        if (!skipChangeCommits) throw new IllegalStateException(
+          s"commit $v of $rootPath rewrites or deletes data (RemoveSegment); " +
+            "streaming from it would re-emit or lose rows. Set skipChangeCommits=true " +
+            "to stream appends only.")
+        Nil
+      } else c.actions.collect { case LogAction.AddSegment(seg) => s"$rootPath/${seg.path}" }
+    }
+
+  // v1 Offset extends the v2 interface, so one decoder serves both paths
+  private def version(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong // checkpoint-restored form
+    case other => other.json.trim.toLong
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"TableStreamSource[$rootPath]"
+}
+
+/** `spark.readStream.format("graft-table").load(root)` registration. */
+final class GraftSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-table"
+
+  private def root(parameters: Map[String, String]): String =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-table source needs a path: readStream.format(\"graft-table\").load(<tableRoot>)"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val declared = TsTable.open(root(parameters)).meta.schema.getOrElse(
+      throw new IllegalStateException("table has no adopted schema yet"))
+    schema.foreach { s =>
+      require(s == declared,
+        s"user-specified schema ${s.simpleString} != table schema ${declared.simpleString}")
+    }
+    (shortName(), declared)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): Source =
+    new TableStreamSource(sqlContext, root(parameters), parameters)
+}

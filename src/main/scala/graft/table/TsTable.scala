@@ -59,6 +59,12 @@ final class TsTable private (val root: String, val store: LogStore) {
   def scanAt(spark: SparkSession, version: Long): DataFrame =
     scanState(spark, TableState.rebuildAt(store, version))
 
+  /** Structured Streaming tail of this table: initial snapshot, then each
+    * append commit as a micro-batch (graft.streaming.TableStreamSource —
+    * the Spark-native form of the reference's sql_stream_reader.rs). */
+  def readStream(spark: SparkSession, options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.format("graft-table").options(options).load(root)
+
   private[graft] def scanState(spark: SparkSession, st: TableState): DataFrame = {
     val schema = st.tableMeta.flatMap(_.schema).getOrElse {
       if (st.liveSegments.isEmpty) new StructType()

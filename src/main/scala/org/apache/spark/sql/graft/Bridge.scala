@@ -17,4 +17,25 @@ object Bridge {
   def showString(df: org.apache.spark.sql.DataFrame, numRows: Int, truncate: Int): String =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .showString(numRows, truncate, vertical = false)
+
+  /** Re-tag a batch plan as a streaming micro-batch. A v1 streaming
+    * Source's getBatch must return a DataFrame whose plan reports
+    * isStreaming=true (MicroBatchExecution asserts it), and the only
+    * constructor for that — `internalCreateDataFrame(rdd, schema,
+    * isStreaming)` — is private[sql], hence this shim. Execution stays
+    * lazy: `toRdd` is the physical plan's RDD, not a materialization. */
+  def streamingBatch(df: org.apache.spark.sql.DataFrame,
+                     schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    classic.sparkSession.internalCreateDataFrame(
+      classic.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
+  def emptyStreamingBatch(spark: org.apache.spark.sql.SparkSession,
+                          schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      classic.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema, isStreaming = true)
+  }
 }

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import graft.data.TokenGen
+import graft.maintain.{Compaction, MergeInto}
+import graft.meta._
+import graft.streaming.StreamingIngest
+import graft.table.TsTable
+
+/** Streaming READ source over the transaction log: initial snapshot, then
+  * append commits as micro-batches; rewrite commits skipped; recovery via
+  * checkpointed version offsets. */
+class TableStreamSourceSpec extends SparkFunSuite {
+
+  private def tokenMeta = TableMeta("tokens",
+    TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None)
+
+  /** Run the stream to a file sink until no data is left; return sink rows. */
+  private def drain(src: DataFrame, outDir: String, ckpt: String): DataFrame = {
+    val q = src.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  test("initial snapshot, then incremental appends across restarts; no dup, no loss") {
+    val root = tmpDir("srcstream-tbl")
+    val out = tmpDir("srcstream-out")
+    val ckpt = tmpDir("srcstream-ckpt")
+    val t = TsTable.create(root, tokenMeta)
+    t.append(TokenGen.generate(spark, 200))
+    t.append(TokenGen.generate(spark, 100, idStart = 1000))
+
+    val got1 = drain(t.readStream(spark), out, ckpt)
+    assert(got1.count() == 300)
+    assert(got1.select("doc_id").distinct().count() == 300)
+
+    // restart with new appends: only the delta lands
+    t.append(TokenGen.generate(spark, 150, idStart = 2000))
+    val got2 = drain(t.readStream(spark), out, ckpt)
+    assert(got2.count() == 450)
+    assert(got2.select("doc_id").distinct().count() == 450, "restart duplicated rows")
+
+    // restart with nothing new: no-op
+    val got3 = drain(t.readStream(spark), out, ckpt)
+    assert(got3.count() == 450)
+
+    // row content round-trips (tokens array included)
+    import spark.implicits._
+    val want = t.scan(spark).orderBy("doc_id").as[Tok].collect()
+    val have = got3.orderBy("doc_id").as[Tok].collect()
+    assert(want.length == have.length &&
+      want.zip(have).forall { case (a, b) =>
+        a.doc_id == b.doc_id && a.tokens.sameElements(b.tokens) && a.source == b.source
+      })
+  }
+
+  test("rewrite commits (compaction, MERGE) are skipped; appends after them land") {
+    val root = tmpDir("srcstream-rw")
+    val out = tmpDir("srcstream-rw-out")
+    val ckpt = tmpDir("srcstream-rw-ckpt")
+    val t = TsTable.create(root, tokenMeta)
+    t.append(TokenGen.generate(spark, 200, numFiles = 8))
+
+    assert(drain(t.readStream(spark), out, ckpt).count() == 200)
+
+    // compaction rewrites every segment — the stream must NOT re-emit them
+    Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024)
+    assert(drain(t.readStream(spark), out, ckpt).count() == 200, "compaction re-emitted rows")
+
+    // a MERGE (update-in-place) is a change commit — skipped likewise
+    val upd = t.scan(spark).limit(5).withColumn("n_tok", lit(1))
+    MergeInto.merge(spark, t, upd)
+    assert(drain(t.readStream(spark), out, ckpt).count() == 200, "merge re-emitted rows")
+
+    // but a genuine append after maintenance still streams
+    t.append(TokenGen.generate(spark, 50, idStart = 5000))
+    val got = drain(t.readStream(spark), out, ckpt)
+    assert(got.count() == 250)
+    assert(got.select("doc_id").distinct().count() == 250)
+  }
+
+  test("skipChangeCommits=false fails the query on a rewrite commit") {
+    val root = tmpDir("srcstream-fail")
+    val t = TsTable.create(root, tokenMeta)
+    t.append(TokenGen.generate(spark, 100, numFiles = 4))
+    Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024)
+    t.append(TokenGen.generate(spark, 10, idStart = 900))
+
+    // tail across the compaction commit with skipping disabled
+    val src = t.readStream(spark, Map("startingVersion" -> "1", "skipChangeCommits" -> "false"))
+    val q = src.writeStream
+      .format("parquet")
+      .option("path", tmpDir("srcstream-fail-out"))
+      .option("checkpointLocation", tmpDir("srcstream-fail-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val e = intercept[StreamingQueryException](q.awaitTermination())
+    assert(e.getMessage.contains("RemoveSegment") || Option(e.getCause).exists(_.getMessage.contains("RemoveSegment")))
+  }
+
+  test("startingVersion tails from a pinned commit; maxVersionsPerTrigger bounds batches") {
+    val root = tmpDir("srcstream-sv")
+    val t = TsTable.create(root, tokenMeta)
+    t.append(TokenGen.generate(spark, 100))              // v2
+    val vMid = t.version
+    t.append(TokenGen.generate(spark, 40, idStart = 1000)) // v3
+    t.append(TokenGen.generate(spark, 60, idStart = 2000)) // v4
+
+    // tail from the commit AFTER vMid: only the last two appends
+    val got = drain(
+      t.readStream(spark, Map("startingVersion" -> (vMid + 1).toString)),
+      tmpDir("srcstream-sv-out"), tmpDir("srcstream-sv-ckpt"))
+    assert(got.count() == 100)
+    assert(got.where(col("doc_id") < "doc-000000001000").count() == 0, "streamed rows from before startingVersion")
+
+    // version-capped catch-up still delivers everything exactly once
+    val out2 = tmpDir("srcstream-cap-out")
+    val q = t.readStream(spark,
+        Map("startingVersion" -> "1", "maxVersionsPerTrigger" -> "1"))
+      .writeStream.format("parquet")
+      .option("path", out2)
+      .option("checkpointLocation", tmpDir("srcstream-cap-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val capped = spark.read.parquet(out2)
+    assert(capped.count() == 200)
+    assert(capped.select("doc_id").distinct().count() == 200)
+  }
+
+  test("table-to-table replication: stream source into StreamingIngest sink, exactly-once") {
+    val srcRoot = tmpDir("srcstream-repl-src")
+    val dstRoot = tmpDir("srcstream-repl-dst")
+    val ckpt = tmpDir("srcstream-repl-ckpt")
+    val src = TsTable.create(srcRoot, tokenMeta)
+    val dst = TsTable.create(dstRoot, tokenMeta)
+    src.append(TokenGen.generate(spark, 200))
+
+    StreamingIngest.ingestAvailable(src.readStream(spark), dst, ckpt)
+    dst.refresh()
+    assert(dst.scan(spark).count() == 200)
+
+    // incremental: new source appends replicate; replay stays exactly-once
+    src.append(TokenGen.generate(spark, 100, idStart = 3000))
+    StreamingIngest.ingestAvailable(src.readStream(spark), dst, ckpt)
+    dst.refresh()
+    assert(dst.scan(spark).count() == 300)
+    assert(dst.scan(spark).select("doc_id").distinct().count() == 300)
+
+    // destination is a full-fidelity table: maintenance applies to it
+    Compaction.run(spark, dst, targetFileSize = 64L * 1024 * 1024)
+    assert(dst.scan(spark).count() == 300)
+  }
+}
