@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels for the text-dedup hash signatures.
+  *
+  * The SQL formulations in [[graft.ops.Dedup]] (nested
+  * `aggregate`/`transform` higher-order functions) are semantically right
+  * but Spark does not codegen higher-order functions — every lambda step
+  * is interpreted with boxed Longs and per-step array allocation. These
+  * kernels compute bit-identical results (same `xxhash64` chain: seed 42,
+  * hashLong/hashInt composition — see HashExpression) in one JVM loop per
+  * row over the raw UTF-8 bytes, zero copies, and the expressions below
+  * emit a static call so the surrounding projection stays inside
+  * whole-stage codegen. Parity with the SQL forms is asserted in
+  * OpsSpec ("native kernels match the SQL reference forms").
+  *
+  * At 100 TB the signature computation is the dominant map-side cost of
+  * the dedup pipeline (the joins only see candidates); a ~10× faster
+  * kernel is a ~10× cheaper stage, no plan change.
+  */
+object HashKernels {
+
+  /** MinHash signature: per hash family k, min over shingles of
+    * xxhash64(xxhash64(shingle), k). Shingles are `shingleSize`-codepoint
+    * windows (SQL-substring semantics: at least one shingle, short text
+    * yields the whole text). */
+  def minhash(s: UTF8String, shingleSize: Int, numHashes: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nBytes = s.numBytes
+    // codepoint start offsets (one pass; UTF-8 char = 1..4 bytes)
+    val starts = new Array[Int](nBytes + 2)
+    var i = 0
+    var nChars = 0
+    while (i < nBytes) {
+      starts(nChars) = i
+      nChars += 1
+      i += UTF8String.numBytesForFirstByte(Platform.getByte(base, off + i))
+    }
+    starts(nChars) = nBytes
+    val numShingles = math.max(nChars - shingleSize + 1, 1)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var p = 0
+    while (p < numShingles) {
+      val bStart = starts(p)
+      val bEnd = starts(math.min(p + shingleSize, nChars))
+      // xxhash64(shingle) then the per-family remix prefix, once per shingle
+      val h = XXH64.hashUnsafeBytes(base, off + bStart, bEnd - bStart, 42L)
+      val hl = XXH64.hashLong(h, 42L)
+      var k = 0
+      while (k < numHashes) {
+        val hk = XXH64.hashInt(k, hl)
+        if (hk < mins(k)) mins(k) = hk
+        k += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** 64-bit SimHash over `\s+`-separated tokens (Java-regex split
+    * semantics with limit -1: leading/trailing separators yield empty
+    * tokens, exactly like split(text, '\\s+')): per bit, sign of the
+    * ±1 vote sum across token hashes. */
+  def simhash(s: UTF8String): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    val counts = new Array[Int](64)
+
+    @inline def vote(tokStart: Int, tokEnd: Int): Unit = {
+      val h = XXH64.hashUnsafeBytes(base, off + tokStart, tokEnd - tokStart, 42L)
+      var b = 0
+      while (b < 64) {
+        counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+    }
+
+    var i = 0
+    var tokenStart = 0
+    while (i < n) {
+      if (isWs(Platform.getByte(base, off + i))) {
+        vote(tokenStart, i)
+        var j = i + 1
+        while (j < n && isWs(Platform.getByte(base, off + j))) j += 1
+        tokenStart = j
+        i = j
+      } else i += 1
+    }
+    vote(tokenStart, n) // final token ("" when text is empty or ends in \s)
+
+    var sh = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sh |= 1L << b
+      b += 1
+    }
+    sh
+  }
+}
+
+/** Codegen'd MinHash signature column (array<bigint> of length
+  * `numHashes`). */
+case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(shingleSize > 0 && numHashes > 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.minhash(v.asInstanceOf[UTF8String], shingleSize, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.minhash($c, $shingleSize, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd 64-bit SimHash column. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string column, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.simhash(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -22,20 +22,25 @@ object Dedup {
   def shingles(textCol: Column, n: Int): Column =
     expr(s"transform(sequence(1, greatest(length(${textCol}) - ${n - 1}, 1)), i -> substring(${textCol}, i, $n))")
 
-  /** MinHash signature. Each shingle STRING is hashed once (the expensive
-    * step); the k-th hash family is a remix of that 64-bit base hash
-    * (standard one-hash MinHash construction), so cost is
-    * O(shingles + shingles × numHashes-arithmetic) instead of
-    * O(shingles × numHashes string hashes).
-    *
-    * Shape notes (both measured): the shingle-hash array is bound ONCE via
-    * a single-element-array `aggregate` (a let-binding — a plain column
-    * alias would be inlined into the per-family lambda by CollapseProject
-    * and re-hash every string numHashes times), and the loop nest runs
-    * hash families OUTER / shingles INNER so each accumulator is a scalar
-    * long (the reverse order allocates a numHashes-element array per
-    * shingle step). */
-  def minhashSignature(textCol: String, numHashes: Int, shingleSize: Int): Column =
+  /** MinHash signature: each shingle is hashed once, the k-th hash family
+    * is a remix of that base hash (standard one-hash MinHash
+    * construction). Computed by the native codegen'd kernel
+    * (graft.functions.MinHashSignature) — Spark never codegens
+    * higher-order functions, so the SQL form below runs interpreted with
+    * boxed longs; the kernel is the same math in one JVM loop per row. */
+  def minhashSignature(textCol: String, numHashes: Int, shingleSize: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+    ofExpr(graft.functions.MinHashSignature(toExpr(col(textCol)), shingleSize, numHashes))
+  }
+
+  /** SQL reference form of [[minhashSignature]] (parity oracle for the
+    * native kernel; see OpsSpec). Shape notes (both measured): the
+    * shingle-hash array is bound ONCE via a single-element-array
+    * `aggregate` (a let-binding — a plain column alias would be inlined
+    * into the per-family lambda by CollapseProject and re-hash every
+    * string numHashes times), and the loop nest runs hash families OUTER /
+    * shingles INNER so each accumulator is a scalar long. */
+  private[graft] def minhashSignatureSql(textCol: String, numHashes: Int, shingleSize: Int): Column =
     expr(
       s"""aggregate(
          |  array(transform(transform(sequence(1, greatest(length($textCol) - ${shingleSize - 1}, 1)),
@@ -86,11 +91,19 @@ object Dedup {
     finally banded.unpersist(false)
   }
 
-  /** 64-bit SimHash over whitespace tokens (sign of per-bit weight sums).
-    * Words are hashed ONCE into a bound array (single-element-array
-    * let-binding); the round-1 shape re-split and re-hashed the whole text
-    * inside every one of the 64 per-bit aggregates. */
-  def simhash(textCol: String): Column =
+  /** 64-bit SimHash over whitespace tokens (sign of per-bit weight sums),
+    * via the native codegen'd kernel (graft.functions.SimHash64). */
+  def simhash(textCol: String): Column = {
+    import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+    ofExpr(graft.functions.SimHash64(toExpr(col(textCol))))
+  }
+
+  /** SQL reference form of [[simhash]] (parity oracle for the native
+    * kernel). Words are hashed ONCE into a bound array
+    * (single-element-array let-binding); the round-1 shape re-split and
+    * re-hashed the whole text inside every one of the 64 per-bit
+    * aggregates. */
+  private[graft] def simhashSql(textCol: String): Column =
     expr(
       s"""aggregate(
          |  array(transform(split($textCol, '\\\\s+'), w -> xxhash64(w))),

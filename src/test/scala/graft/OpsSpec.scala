@@ -41,6 +41,40 @@ class OpsSpec extends SparkFunSuite {
     assert(m.get((1L, 3L)).exists(_ <= 10L))
   }
 
+  test("native kernels match the SQL reference forms bit-for-bit") {
+    // edge cases the byte-walk must get right: empty, whitespace-only,
+    // leading/trailing separators (Java split keeps the empty tokens),
+    // text shorter than the shingle, multi-byte UTF-8 codepoints, tabs/
+    // newlines, plus a realistic paragraph
+    val texts = Seq(
+      "", " ", "   ", "a", "ab", "a b", " lead", "trail ", "\tt\nab\fc\rd ",
+      "héllo wörld élan naïve – ünïcode ✓ 😀 text",
+      "the quick brown fox jumps over the lazy dog 0123456789",
+      ("lorem ipsum dolor sit amet consectetur adipiscing elit " * 8).trim)
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = d.select(
+      Dedup.minhashSignature("text", 64, 5).as("nat_mh"),
+      Dedup.minhashSignatureSql("text", 64, 5).as("sql_mh"),
+      Dedup.simhash("text").as("nat_sh"),
+      Dedup.simhashSql("text").as("sql_sh")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "minhash kernel diverged from SQL form")
+      assert(r.getLong(2) == r.getLong(3), "simhash kernel diverged from SQL form")
+    }
+    // and on generated corpus text (short docs: the SQL reference form is
+    // the interpreted slow path — that's why the kernel exists)
+    val gen = graft.data.TokenGen.generate(spark, 60, lenSpread = 40)
+      .select(concat_ws(" ", col("doc_id"), col("source"),
+        expr("array_join(transform(tokens, t -> CAST(t AS STRING)), ' ')")).as("text"))
+    val diff = gen.select(
+        Dedup.minhashSignature("text", 64, 5).as("a"),
+        Dedup.minhashSignatureSql("text", 64, 5).as("b"),
+        Dedup.simhash("text").as("c"),
+        Dedup.simhashSql("text").as("d"))
+      .where(col("a") =!= col("b") || col("c") =!= col("d"))
+    assert(diff.count() == 0)
+  }
+
   test("ngram jaccard: exact math on a tiny fixture") {
     // "abcd" vs "bcde": 3-shingles {abc,bcd} vs {bcd,cde} -> J = 1/3
     val d = docs((1L, "abcd"), (2L, "bcde"))

@@ -60,6 +60,19 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!pNd.contains("CartesianProduct"), "embedding LSH degenerated to all-pairs")
   }
 
+  test("native hash kernels run inside whole-stage codegen") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = docs.select(graft.ops.Dedup.minhashSignature("text", 64, 5).as("sig"),
+      graft.ops.Dedup.simhash("text").as("sh"))
+    val plan = executed(q)
+    // the kernel projection prints inside a "*(n)" codegen span — the SQL
+    // higher-order-function forms they replaced never codegen
+    assert(plan.contains("minhash_signature") && plan.contains("simhash64"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("minhash_signature") && l.trim.startsWith("*(")),
+      s"minhash kernel projection fell out of codegen:\n$plan")
+  }
+
   test("token aggregation over the table scan stays inside codegen") {
     val q = table.scan(spark)
       .select(sum(expr("aggregate(tokens, 0L, (a, x) -> a + x)")).as("s"))
