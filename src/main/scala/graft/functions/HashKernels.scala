@@ -66,6 +66,51 @@ object HashKernels {
     new GenericArrayData(mins)
   }
 
+  /** DISTINCT hashed shingles: xxhash64 of each `shingleSize`-codepoint
+    * window (same windows and hashing as [[minhash]]), deduplicated with
+    * an open-addressing long set. Hashed 8-byte postings keep the
+    * inverted-index shuffle of the exact-Jaccard join ~2-5× smaller than
+    * string shingles, and the dedup happens in the kernel instead of an
+    * interpreted array_distinct over allocated substrings. */
+  def shingleHashes(s: UTF8String, shingleSize: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nBytes = s.numBytes
+    val starts = new Array[Int](nBytes + 2)
+    var i = 0
+    var nChars = 0
+    while (i < nBytes) {
+      starts(nChars) = i
+      nChars += 1
+      i += UTF8String.numBytesForFirstByte(Platform.getByte(base, off + i))
+    }
+    starts(nChars) = nBytes
+    val numShingles = math.max(nChars - shingleSize + 1, 1)
+    // open addressing, 0 = empty slot (hash value 0 tracked separately)
+    var cap = java.lang.Integer.highestOneBit(math.max(numShingles, 4)) * 4
+    val table = new Array[Long](cap)
+    val maskT = cap - 1
+    var sawZero = false
+    val out = new Array[Long](numShingles)
+    var n = 0
+    var p = 0
+    while (p < numShingles) {
+      val bStart = starts(p)
+      val bEnd = starts(math.min(p + shingleSize, nChars))
+      val h = XXH64.hashUnsafeBytes(base, off + bStart, bEnd - bStart, 42L)
+      if (h == 0L) {
+        if (!sawZero) { sawZero = true; out(n) = 0L; n += 1 }
+      } else {
+        var slot = (h ^ (h >>> 32)).toInt & maskT
+        var cur = table(slot)
+        while (cur != 0L && cur != h) { slot = (slot + 1) & maskT; cur = table(slot) }
+        if (cur == 0L) { table(slot) = h; out(n) = h; n += 1 }
+      }
+      p += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, n))
+  }
+
   @inline private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
@@ -128,6 +173,25 @@ case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.HashKernels.minhash($c, $shingleSize, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd distinct-hashed-shingle column (array<bigint>). */
+case class ShingleHashes(child: Expression, shingleSize: Int) extends UnaryExpression {
+  require(shingleSize > 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.shingleHashes(v.asInstanceOf[UTF8String], shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.shingleHashes($c, $shingleSize)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

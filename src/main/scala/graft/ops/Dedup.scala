@@ -168,8 +168,15 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 5, threshold: Double = 0.5,
                         maxShingleFreq: Long = 1000L): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+    // distinct shingles as 64-bit hashes from the native kernel: the
+    // postings shuffle carries 8-byte keys instead of n-char strings, and
+    // intersection counts are unchanged (collisions at 64 bits are
+    // negligible at any corpus size this engine targets)
+    val sh = {
+      import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+      df.select(col(idCol).as("id"),
+        ofExpr(graft.functions.ShingleHashes(toExpr(col(textCol)), shingleSize)).as("sh"))
+    }
     val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
     val inverted = sh.select(col("id"), explode(col("sh")).as("g"))
     // stop-shingles (>F docs) are few by construction: a map-side-partial

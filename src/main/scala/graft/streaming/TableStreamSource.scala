@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 import graft.log.{LogAction, TableState}
 import graft.table.TsTable
@@ -169,9 +169,33 @@ final class TableStreamSource(
   override def toString: String = s"TableStreamSource[$rootPath]"
 }
 
-/** `spark.readStream.format("graft-table").load(root)` registration. */
-final class GraftSourceProvider extends StreamSourceProvider with DataSourceRegister {
+/** The "graft-table" data source — batch and streaming reads through one
+  * format name:
+  *
+  *   spark.read.format("graft-table").load(root)                // batch
+  *   spark.read.format("graft-table")
+  *     .option("versionAsOf", 3).load(root)                     // time travel
+  *   spark.readStream.format("graft-table").load(root)          // streaming
+  *   CREATE TEMPORARY VIEW t USING `graft-table` OPTIONS (path '…')  -- SQL
+  *
+  * The batch relation is the same manifest-backed, stats-pruned FileIndex
+  * as `TsTable.scan` (reference: the DataFusion TableProvider is the
+  * reference's equivalent single integration point,
+  * ts_table_provider.rs:126-295). */
+final class GraftSourceProvider extends StreamSourceProvider
+    with RelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
+
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val table = TsTable.open(root(parameters))
+    val st = parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.toLong }
+      .map(v => graft.log.TableState.rebuildAt(table.store, v))
+      .getOrElse(table.state)
+    table.relationAt(sqlContext.sparkSession, st).getOrElse(
+      throw new IllegalStateException(
+        s"table at ${root(parameters)} has no adopted schema yet (append once before reading)"))
+  }
 
   private def root(parameters: Map[String, String]): String =
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }

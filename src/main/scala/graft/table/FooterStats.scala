@@ -24,6 +24,22 @@ object FooterStats {
 
   final case class FileStats(rowCount: Long, fileSize: Long, stats: Map[String, ColStats])
 
+  /** Footer stats for many files, read concurrently: each read is an
+    * independent footer open (network/disk latency bound), so a
+    * 200-small-file append pays one round trip instead of 200 sequential
+    * ones. Result order matches `files`. */
+  def readAll(conf: Configuration, files: Seq[String], parallelism: Int = 16): Seq[(String, FileStats)] = {
+    if (files.lengthCompare(2) < 0) return files.map(f => f -> read(conf, f))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(files.size, parallelism))
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      Await.result(
+        Future.sequence(files.map(f => Future(f -> read(conf, f)))),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+  }
+
   def read(conf: Configuration, file: String): FileStats = {
     val in = HadoopInputFile.fromPath(new HPath(file), conf)
     val reader = ParquetFileReader.open(in)

@@ -65,23 +65,32 @@ final class TsTable private (val root: String, val store: LogStore) {
   def readStream(spark: SparkSession, options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream.format("graft-table").options(options).load(root)
 
-  private[graft] def scanState(spark: SparkSession, st: TableState): DataFrame = {
+  private[graft] def scanState(spark: SparkSession, st: TableState): DataFrame =
+    relationAt(spark, st) match {
+      case Some(rel) => spark.baseRelationToDataFrame(rel)
+      case None =>
+        val schema = st.tableMeta.flatMap(_.schema).getOrElse(new StructType())
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  /** The manifest-backed BaseRelation for a snapshot (None when empty) —
+    * also the batch half of the "graft-table" data source, so
+    * `spark.read.format("graft-table").load(root)` and SQL
+    * `CREATE TEMPORARY VIEW t USING graft-table OPTIONS (path '…')` scan
+    * through the same pruned FileIndex as `TsTable.scan`. */
+  private[graft] def relationAt(spark: SparkSession, st: TableState): Option[HadoopFsRelation] = {
     val schema = st.tableMeta.flatMap(_.schema).getOrElse {
-      if (st.liveSegments.isEmpty) new StructType()
+      if (st.liveSegments.isEmpty) return None // schema not yet adopted
       else spark.read.parquet(st.liveSegments.map(abs).head).schema
     }
-    if (st.liveSegments.isEmpty) {
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
     val index = new TsFileIndex(spark, new HPath(root), st.liveSegments, schema)
-    val relation = HadoopFsRelation(
+    Some(HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),
       dataSchema = schema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
-      options = Map.empty)(spark)
-    spark.baseRelationToDataFrame(relation)
+      options = Map.empty)(spark))
   }
 
   /** Native range scan (reference R16, table/scan.rs:311-354): half-open
@@ -168,7 +177,7 @@ final class TsTable private (val root: String, val store: LogStore) {
 
     // (2) per-file stats from footers only — no data scan
     val conf = spark.sparkContext.hadoopConfiguration
-    val fileStats = written.map(f => f -> FooterStats.read(conf, f))
+    val fileStats = FooterStats.readAll(conf, written)
 
     // (3) time-series extras: coverage bitmaps + entity identity
     val tsExtras = timeSpec.map { spec =>
@@ -341,7 +350,7 @@ final class TsTable private (val root: String, val store: LogStore) {
     val written = listParquet(stagingAbs)
     require(written.nonEmpty, "rewrite produced no data files")
     val conf = spark.sparkContext.hadoopConfiguration
-    val fileStats = written.map(f => f -> FooterStats.read(conf, f))
+    val fileStats = FooterStats.readAll(conf, written)
     val moved = written.zipWithIndex.map { case (src, i) =>
       val rel = f"data/$commitId-$i%05d.parquet"
       Files.createDirectories(Paths.get(s"$root/data"))

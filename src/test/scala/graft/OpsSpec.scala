@@ -61,6 +61,16 @@ class OpsSpec extends SparkFunSuite {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), "minhash kernel diverged from SQL form")
       assert(r.getLong(2) == r.getLong(3), "simhash kernel diverged from SQL form")
     }
+    // shingle-hash kernel: same distinct set as xxhash64 over the SQL
+    // shingle array (order-insensitive)
+    import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+    d.select(
+        sort_array(ofExpr(graft.functions.ShingleHashes(toExpr(col("text")), 4))).as("nat"),
+        sort_array(array_distinct(transform(
+          array_distinct(Dedup.shingles(col("text"), 4)), s => xxhash64(s)))).as("sql"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), "shingle-hash kernel diverged")
+      }
     // and on generated corpus text (short docs: the SQL reference form is
     // the interpreted slow path — that's why the kernel exists)
     val gen = graft.data.TokenGen.generate(spark, 60, lenSpread = 40)

@@ -135,6 +135,32 @@ class TableStreamSourceSpec extends SparkFunSuite {
     assert(capped.select("doc_id").distinct().count() == 200)
   }
 
+  test("batch reads through format(graft-table): load, SQL USING, versionAsOf, pruned scan") {
+    val root = tmpDir("srcbatch-tbl")
+    val t = TsTable.create(root, tokenMeta)
+    t.append(TokenGen.generate(spark, 120))
+    val v1 = t.version
+    t.append(TokenGen.generate(spark, 80, idStart = 1000))
+
+    val df = spark.read.format("graft-table").load(root)
+    assert(df.count() == 200)
+    assert(df.schema == t.scan(spark).schema)
+
+    // time travel via option
+    assert(spark.read.format("graft-table").option("versionAsOf", v1).load(root).count() == 120)
+
+    // SQL surface: USING graft-table
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_fmt USING `graft-table` OPTIONS (path '$root')")
+    assert(spark.sql("SELECT count(*) FROM graft_fmt").collect()(0).getLong(0) == 200)
+
+    // same pruned scan path as TsTable.scan: filters reach the parquet scan
+    val q = df.where(col("n_tok") > 500).select("doc_id")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_tok), GreaterThan(n_tok,500)]"),
+      s"format batch scan lost pushdown:\n$plan")
+  }
+
   test("table-to-table replication: stream source into StreamingIngest sink, exactly-once") {
     val srcRoot = tmpDir("srcstream-repl-src")
     val dstRoot = tmpDir("srcstream-repl-dst")
