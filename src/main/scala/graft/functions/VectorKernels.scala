@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Tight-loop kernels for the embedding operators (same rationale as
+  * HashKernels: Spark's higher-order functions never codegen, and the
+  * dot products here run once per CANDIDATE PAIR — the innermost loop of
+  * ANN scoring and near-dup verification).
+  *
+  * Both kernels accumulate in the same left-to-right order as the SQL
+  * `aggregate(zip_with(...))` reference forms, so results are
+  * bit-identical (asserted in OpsSpec), not merely close.
+  */
+object VectorKernels {
+
+  /** Σ a(i)·b(i) over the common prefix length (inputs always have equal
+    * length in our pipelines; elements must be non-null). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** Multi-probe hyperplane LSH blocks for a vector: element 0 is the home
+    * block (sign pattern over `planes` deterministic pseudo-gaussian
+    * hyperplanes, weights w(i,p) = (pmod(xxhash64(i,p), 2001) − 1000)/1000);
+    * element q ≥ 1 flips the bit of the q-th smallest |projection| (the
+    * least-confident sign). Bit of plane p sits at (planes − 1 − p); ties
+    * resolve to the first occurrence — exactly the SQL reference form in
+    * Dedup.probeBlocksSql. */
+  def probeBlocks(v: ArrayData, planes: Int, probes: Int): ArrayData = {
+    val dims = v.numElements()
+    val projs = new Array[Double](planes)
+    var p = 0
+    while (p < planes) {
+      val hp = 42L // seed; per-element chain below matches xxhash64(i, p)
+      var acc = 0.0
+      var i = 0
+      while (i < dims) {
+        var h = XXH64.hashInt(i, hp)
+        h = XXH64.hashInt(p, h)
+        val w = (Math.floorMod(h, 2001L) - 1000L).toDouble / 1000.0
+        acc += v.getDouble(i) * w
+        i += 1
+      }
+      projs(p) = acc
+      p += 1
+    }
+    var block = 0L
+    p = 0
+    while (p < planes) { block = block * 2 + (if (projs(p) >= 0.0) 1L else 0L); p += 1 }
+
+    val out = new Array[Long](probes)
+    out(0) = block
+    if (probes > 1) {
+      val absSorted = new Array[Double](planes)
+      var i = 0
+      while (i < planes) { absSorted(i) = math.abs(projs(i)); i += 1 }
+      java.util.Arrays.sort(absSorted)
+      var q = 1
+      while (q < probes) {
+        val target = absSorted(q - 1) // q-th smallest |projection|
+        var pos = 0
+        while (pos < planes && math.abs(projs(pos)) != target) pos += 1
+        out(q) = block ^ (1L << (planes - 1 - pos))
+        q += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd dot product of two array<double> columns. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true; case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two array<double> columns, got ${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Codegen'd multi-probe hyperplane-LSH block keys (array<bigint>,
+  * element 0 = home block). */
+case class ProbeBlocks(child: Expression, planes: Int, probes: Int) extends UnaryExpression {
+  require(planes >= 1 && planes <= 62 && probes >= 1 && probes <= planes)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "probe_blocks"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.probeBlocks(v.asInstanceOf[ArrayData], planes, probes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.probeBlocks($c, $planes, $probes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -196,9 +196,20 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** Cosine similarity of two float-array columns (codegen'd built-ins:
-    * zip_with dot product + aggregate norms). */
+  /** Cosine similarity of two array<double> columns via the native
+    * codegen'd dot-product kernel — this runs once per CANDIDATE PAIR in
+    * ANN scoring and near-dup verification, the innermost loop of the
+    * embedding operators. Accumulation order matches the SQL form, so
+    * values are bit-identical. */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+    def dot(x: Column, y: Column): Column =
+      ofExpr(graft.functions.DotProduct(toExpr(x), toExpr(y)))
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** SQL reference form of [[cosine]] (parity oracle for the kernel). */
+  private[graft] def cosineSql(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
@@ -234,24 +245,15 @@ object Dedup {
         .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
         .where(col("cos") >= threshold)
     }
-    val withProj = base.withColumn("projs",
-      expr(
-        s"""transform(sequence(0, ${planes - 1}), p ->
-           |  aggregate(zip_with(v, transform(sequence(0, size(v) - 1),
-           |                                  i -> CAST(pmod(xxhash64(i, p), 2001) - 1000 AS DOUBLE) / 1000.0D),
-           |                     (x, w) -> x * w),
-           |            0.0D, (a2, t) -> a2 + t))""".stripMargin))
-      .withColumn("block",
-        expr(s"aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) -> acc * 2 + IF(element_at(projs, p + 1) >= 0.0D, 1L, 0L))"))
     // probe q = 0 is the home block; probe q ≥ 1 flips the q-th smallest
-    // |projection| bit. Plane p sits at bit (planes − 1 − p); ties resolve
-    // to the first occurrence (a duplicate probe is a harmless no-op).
-    val withProbes = withProj.withColumn("blocks",
-      expr(
-        s"""transform(sequence(0, ${probes - 1}), q -> IF(q = 0, block,
-           |  block ^ shiftleft(1L, $planes - CAST(array_position(
-           |    transform(projs, x -> abs(x)),
-           |    element_at(array_sort(transform(projs, x -> abs(x))), q)) AS INT))))""".stripMargin))
+    // |projection| bit (native ProbeBlocks kernel — the SQL reference form
+    // below recomputes planes × dims interpreted hashes per row).
+    val withProbes = {
+      import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+      base.withColumn("blocks",
+        ofExpr(graft.functions.ProbeBlocks(toExpr(col("v")), planes, probes)))
+        .withColumn("block", element_at(col("blocks"), 1))
+    }
     // probe side explodes ALL probe blocks, home side keeps the home block;
     // a pair is a candidate when EITHER member probes into the other's home
     // block, so candidates are canonicalized (least, greatest) BEFORE the
@@ -268,5 +270,25 @@ object Dedup {
         cosine(col("v_p"), col("v_h")).as("cos"))
       .where(col("cos") >= threshold)
       .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
+  }
+
+  /** SQL reference form of the multi-probe block keys (parity oracle for
+    * the ProbeBlocks kernel): same hyperplane weights, bit order and
+    * least-confident-bit probes over a `v` array<double> column. */
+  private[graft] def probeBlocksSql(planes: Int, probes: Int): Column = {
+    val projs =
+      s"""transform(sequence(0, ${planes - 1}), p ->
+         |  aggregate(zip_with(v, transform(sequence(0, size(v) - 1),
+         |                                  i -> CAST(pmod(xxhash64(i, p), 2001) - 1000 AS DOUBLE) / 1000.0D),
+         |                     (x, w) -> x * w),
+         |            0.0D, (a2, t) -> a2 + t))""".stripMargin
+    expr(
+      s"""transform(sequence(0, ${probes - 1}), q ->
+         |  aggregate(sequence(0, ${planes - 1}), 0L,
+         |            (acc, p) -> acc * 2 + IF(element_at($projs, p + 1) >= 0.0D, 1L, 0L),
+         |            blk -> IF(q = 0, blk,
+         |              blk ^ shiftleft(1L, $planes - CAST(array_position(
+         |                transform($projs, x -> abs(x)),
+         |                element_at(array_sort(transform($projs, x -> abs(x))), q)) AS INT)))))""".stripMargin)
   }
 }

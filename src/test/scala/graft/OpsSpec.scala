@@ -85,6 +85,26 @@ class OpsSpec extends SparkFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("vector kernels (dot product, probe blocks) match SQL forms bit-for-bit") {
+    import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      .limit(40)
+    val cos = emb.as("x").crossJoin(emb.as("y"))
+      .where(col("x.id") < col("y.id")).limit(250)
+      .select(Dedup.cosine(col("x.v"), col("y.v")).as("nat"),
+        Dedup.cosineSql(col("x.v"), col("y.v")).as("sql"))
+      .collect()
+    assert(cos.nonEmpty)
+    cos.foreach(r => assert(r.getDouble(0) == r.getDouble(1), "cosine kernel diverged"))
+    val blocks = emb
+      .select(ofExpr(graft.functions.ProbeBlocks(toExpr(col("v")), 12, 3)).as("nat"),
+        Dedup.probeBlocksSql(12, 3).as("sql"))
+      .collect()
+    blocks.foreach(r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "probe-block kernel diverged"))
+  }
+
   test("ngram jaccard: exact math on a tiny fixture") {
     // "abcd" vs "bcde": 3-shingles {abc,bcd} vs {bcd,cde} -> J = 1/3
     val d = docs((1L, "abcd"), (2L, "bcde"))
