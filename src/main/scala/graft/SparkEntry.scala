@@ -279,6 +279,29 @@ object SparkEntry {
       val blobs = Multimodal.synthesizeBlobs(tbl(s, dir, "documents"), "doc_id")
       Multimodal.extractFeatures(blobs)
         .select(col("media_id"), round(element_at(col("features"), 1), 4).as("f0"))
+    }),
+
+    // REAL-format decode (PortableMedia): blobs are genuine P6/WAV bytes,
+    // Spark parses them byte-level, the oracle recomputes the decoded
+    // statistics in closed form — encode/decode inconsistencies surface as
+    // value mismatches
+    "q43_image_decode" -> ((s, dir) => {
+      val imgs = graft.ops.PortableMedia.synthesizeImages(tbl(s, dir, "documents"), "doc_id")
+      graft.ops.PortableMedia.decodeImages(imgs).select(
+        col("media_id"),
+        col("img.width").as("width"), col("img.height").as("height"),
+        round(col("img.mean_r"), 4).as("mr"),
+        round(col("img.mean_g"), 4).as("mg"),
+        round(col("img.mean_b"), 4).as("mb"))
+    }),
+
+    "q44_wav_decode" -> ((s, dir) => {
+      val wavs = graft.ops.PortableMedia.synthesizeWavs(tbl(s, dir, "documents"), "doc_id")
+      graft.ops.PortableMedia.decodeWavs(wavs).select(
+        col("media_id"),
+        col("wav.sample_rate").as("rate"),
+        col("wav.n_samples").as("n_samples"),
+        round(col("wav.mean_abs"), 4).as("ma"))
     })
   )
 
@@ -493,7 +516,28 @@ object SparkEntry {
       "q42_multimodal_features" ->
         """SELECT CAST(doc_id AS VARCHAR) AS media_id,
           |  CASE WHEN (doc_id % 256) % 8 = 0 THEN 1.0 ELSE 0.0 END AS f0
-          |FROM documents""".stripMargin
+          |FROM documents""".stripMargin,
+
+      "q43_image_decode" ->
+        """WITH g AS (SELECT doc_id AS id, CAST(8 + doc_id % 9 AS INT) AS w,
+          |                  CAST(8 + (doc_id*3) % 9 AS INT) AS h FROM documents),
+          |px AS (
+          |  SELECT id, w, h, xs.x AS x, ys.y AS y
+          |  FROM g, LATERAL (SELECT unnest(generate_series(0, w-1)) AS x) xs,
+          |          LATERAL (SELECT unnest(generate_series(0, h-1)) AS y) ys)
+          |SELECT CAST(id AS VARCHAR) AS media_id, any_value(w) AS width, any_value(h) AS height,
+          |  round(avg((id*31 + x + y) % 256), 4) AS mr,
+          |  round(avg((id*37 + x) % 256), 4) AS mg,
+          |  round(avg((id*41 + y) % 256), 4) AS mb
+          |FROM px GROUP BY id""".stripMargin,
+
+      "q44_wav_decode" ->
+        """WITH g AS (SELECT doc_id AS id, CAST(64 + doc_id % 129 AS INT) AS n FROM documents),
+          |smp AS (SELECT id, n, s.i AS i FROM g,
+          |        LATERAL (SELECT unnest(generate_series(0, n-1)) AS i) s)
+          |SELECT CAST(id AS VARCHAR) AS media_id, 16000 AS rate, any_value(n) AS n_samples,
+          |  round(avg(abs((id*7 + i*13) % 251 - 125)), 4) AS ma
+          |FROM smp GROUP BY id""".stripMargin
     )
   }
 }

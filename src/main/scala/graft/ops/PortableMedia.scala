@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** REAL multimodal decode for dependency-free formats.
+  *
+  * `Multimodal.FakeCodec` stays the declared seam for library-bound
+  * formats (JPEG/MP4 need codecs this container does not ship); this
+  * object removes the stub for the formats a JVM can parse bare:
+  * binary PPM (P6) images and PCM WAV audio. Synthesis writes REAL
+  * format bytes with pixels/samples that are deterministic modular
+  * arithmetic of the id, and decode is a REAL byte-level parser
+  * (whitespace/comment-tolerant P6 header scan, RIFF chunk walk) — so the
+  * DuckDB oracle can recompute the decoded statistics in closed form and
+  * any encode/decode inconsistency surfaces as a value mismatch, not a
+  * fixture tautology.
+  *
+  * Spark shape: the codec calls are single typed UDF columns (the one
+  * opaque step, exactly the seam a vectorized/native codec would fill);
+  * everything around them stays codegen'd columnar projection. Blobs are
+  * value-sized (KBs); at 100 TB the operator is embarrassingly parallel
+  * map work with no shuffle.
+  */
+object PortableMedia {
+
+  // ------------------------------------------------------------ synthesis
+
+  /** P6 image, w×h: R=(id·31+x+y)%256, G=(id·37+x)%256, B=(id·41+y)%256. */
+  def ppmBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n# graft synthetic $id\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var p = header.length
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(p) = ((id * 31 + x + y) % 256).toByte
+        out(p + 1) = ((id * 37 + x) % 256).toByte
+        out(p + 2) = ((id * 41 + y) % 256).toByte
+        p += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Mono 16-bit PCM WAV, n samples at `rate` Hz:
+    * s(i) = ((id·7 + i·13) % 251) − 125. */
+  def wavBytes(id: Long, n: Int, rate: Int): Array[Byte] = {
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { buf.putShort((((id * 7 + i * 13) % 251) - 125).toShort); i += 1 }
+    buf.array()
+  }
+
+  private val synthImageUdf = udf { id: Long =>
+    ppmBytes(id, (8 + id % 9).toInt, (8 + (id * 3) % 9).toInt)
+  }
+  private val synthWavUdf = udf { id: Long =>
+    wavBytes(id, (64 + id % 129).toInt, 16000)
+  }
+
+  /** Real-format image blobs from a numeric id column. */
+  def synthesizeImages(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("string").as("media_id"),
+      synthImageUdf(col(idCol).cast("long")).as("blob"))
+
+  /** Real-format audio blobs from a numeric id column. */
+  def synthesizeWavs(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("string").as("media_id"),
+      synthWavUdf(col(idCol).cast("long")).as("blob"))
+
+  // -------------------------------------------------------------- decode
+
+  case class ImageStats(width: Int, height: Int,
+                        mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Parse binary PPM (P6): magic, whitespace/#-comment-tolerant header
+    * ints (width, height, maxval), single whitespace, then w·h RGB
+    * triples. Returns null on any malformed input. */
+  def decodePpm(bytes: Array[Byte]): ImageStats = {
+    if (bytes == null || bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return null
+    var pos = 2
+    def nextInt(): Int = {
+      // skip whitespace and comments
+      var inComment = false
+      while (pos < bytes.length &&
+        (inComment || bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') inComment = true
+        else if (bytes(pos) == '\n') inComment = false
+        pos += 1
+      }
+      var v = -1
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = (if (v < 0) 0 else v) * 10 + (bytes(pos) - '0')
+        pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    if (w <= 0 || h <= 0 || maxval != 255) return null
+    pos += 1 // exactly one whitespace byte after maxval
+    if (pos + w * h * 3 > bytes.length) return null
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = pos
+    val end = pos + w * h * 3
+    while (i < end) {
+      sr += bytes(i) & 0xff; sg += bytes(i + 1) & 0xff; sb += bytes(i + 2) & 0xff
+      i += 3
+    }
+    val n = (w * h).toDouble
+    ImageStats(w, h, sr / n, sg / n, sb / n)
+  }
+
+  case class WavStats(sample_rate: Int, channels: Int, n_samples: Int, mean_abs: Double)
+
+  /** Parse PCM WAV: RIFF/WAVE magic, then a chunk walk (tolerates extra
+    * chunks and any fmt/data order); 16-bit little-endian samples.
+    * Returns null on malformed input or non-PCM-16 encodings. */
+  def decodeWav(bytes: Array[Byte]): WavStats = {
+    if (bytes == null || bytes.length < 12) return null
+    def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return null
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var rate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= bytes.length) {
+      val cid = ascii(pos, 4)
+      val clen = bb.getInt(pos + 4)
+      if (clen < 0 || pos + 8 + clen > bytes.length) return null
+      cid match {
+        case "fmt " =>
+          if (clen < 16 || bb.getShort(pos + 8) != 1) return null // PCM only
+          channels = bb.getShort(pos + 10)
+          rate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22)
+        case "data" => dataOff = pos + 8; dataLen = clen
+        case _ => // skip unknown chunk
+      }
+      pos += 8 + clen + (clen & 1) // chunks are word-aligned
+    }
+    if (rate < 0 || dataOff < 0 || bits != 16 || channels < 1) return null
+    val n = dataLen / 2
+    var s = 0L
+    var i = 0
+    while (i < n) { s += math.abs(bb.getShort(dataOff + i * 2).toLong); i += 1 }
+    WavStats(rate, channels, n, if (n == 0) 0.0 else s.toDouble / n)
+  }
+
+  private val decodeImageUdf = udf(decodePpm _)
+  private val decodeWavUdf = udf(decodeWav _)
+
+  /** Decoded per-image statistics: (media_id, width, height, mean RGB). */
+  def decodeImages(df: DataFrame): DataFrame =
+    df.withColumn("img", decodeImageUdf(col("blob")))
+
+  /** Decoded per-clip audio statistics. */
+  def decodeWavs(df: DataFrame): DataFrame =
+    df.withColumn("wav", decodeWavUdf(col("blob")))
+}

@@ -192,6 +192,44 @@ class OpsSpec extends SparkFunSuite {
     assert(langs(1L) == "en")
   }
 
+  test("portable media: real P6/WAV bytes decode exactly; malformed inputs rejected") {
+    import graft.ops.PortableMedia._
+    // hand-crafted 2x2 P6 (not produced by our encoder): pixels
+    // (10,20,30) (40,50,60) / (70,80,90) (100,110,120)
+    val ppm = ("P6\n# c\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120).map(_.toByte))
+    val img = decodePpm(ppm)
+    assert(img == ImageStats(2, 2, 55.0, 65.0, 75.0))
+    // header variants and corruption
+    assert(decodePpm("P5\n2 2\n255\n".getBytes("US-ASCII")) == null, "wrong magic accepted")
+    assert(decodePpm(ppm.dropRight(1)) == null, "truncated pixels accepted")
+    assert(decodePpm("P6\n2 2\n254\n".getBytes("US-ASCII")) == null, "non-255 maxval accepted")
+
+    // hand-crafted WAV: 3 samples [100, -200, 300] @ 8 kHz mono, with an
+    // extra chunk before fmt to exercise the chunk walk
+    val bb = java.nio.ByteBuffer.allocate(44 + 12 + 6).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 12 + 6).put("WAVE".getBytes)
+    bb.put("LIST".getBytes).putInt(4).put("info".getBytes)       // skipped chunk
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(6).putShort(100).putShort(-200).putShort(300)
+    val wav = decodeWav(bb.array())
+    assert(wav == WavStats(8000, 1, 3, 200.0))
+    assert(decodeWav("RIFX".getBytes ++ bb.array().drop(4)) == null, "bad magic accepted")
+
+    // synthesized blobs decode to the closed-form statistics (the same
+    // cross-check the q43/q44 oracles perform corpus-wide)
+    val id = 7L
+    val w = (8 + id % 9).toInt; val h = (8 + (id * 3) % 9).toInt
+    val dec = decodePpm(ppmBytes(id, w, h))
+    val expMr = (for (y <- 0 until h; x <- 0 until w) yield (id * 31 + x + y) % 256).sum.toDouble / (w * h)
+    assert(dec.width == w && dec.height == h && math.abs(dec.mean_r - expMr) < 1e-9)
+    val n = (64 + id % 129).toInt
+    val wd = decodeWav(wavBytes(id, n, 16000))
+    val expMa = (0 until n).map(i => math.abs((id * 7 + i * 13) % 251 - 125)).sum.toDouble / n
+    assert(wd.sample_rate == 16000 && wd.n_samples == n && math.abs(wd.mean_abs - expMa) < 1e-9)
+  }
+
   test("multimodal: blob header round-trips; frames and features deterministic") {
     val d = Seq(7L, 42L, 255L).toDF("doc_id")
     val blobs = Multimodal.synthesizeBlobs(d, "doc_id")
