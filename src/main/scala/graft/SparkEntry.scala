@@ -241,12 +241,10 @@ object SparkEntry {
         count(lit(1)).as("docs"))),
 
     "q31_quality" -> ((s, dir) => {
-      val stopSet = graft.ops.Stopwords.en.map(w => s"'$w'").mkString(",")
       val m = TextOps.qualityMetrics(tbl(s, dir, "documents"), "text")
       m.select(col("doc_id"), col("n_words"),
         round(col("avg_word_len"), 3).as("awl"),
-        expr(s"aggregate(split(lower(trim(text)), '\\\\s+'), 0L, (acc, w) -> acc + IF(w IN ($stopSet), 1L, 0L))")
-          .as("sw_hits"))
+        TextOps.stopwordHits(col("text"), graft.ops.Stopwords.en).cast("long").as("sw_hits"))
     }),
 
     "q32_langid" -> ((s, dir) => tbl(s, dir, "documents")

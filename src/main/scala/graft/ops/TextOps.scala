@@ -11,17 +11,46 @@ import org.apache.spark.sql.functions._
   * 100 TB. */
 object TextOps {
 
+  /** One-pass native text statistics (graft.functions.TextStats): the
+    * shared kernel behind token counting, subword estimation, stopword
+    * ratios and language ID — identical results to the SQL
+    * aggregate/split forms (OpsSpec parity test), one tokenization pass
+    * instead of an interpreted HOF per metric. */
+  def textStats(text: Column, tables: Seq[Seq[String]]): Column = {
+    import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+    ofExpr(graft.functions.TextStats(toExpr(text), tables))
+  }
+
   /** Whitespace token count (0 for blank text). */
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+  def tokenCount(text: Column): Column = {
+    val st = textStats(text, Nil)
+    when(st.getField("blank"), lit(0)).otherwise(st.getField("n_tokens"))
+  }
 
   /** BPE-ish subword count estimate: word-boundary pieces + intra-word
     * splits every ~4 chars (the common byte-pair average), the standard
     * cheap pre-tokenization token estimator. */
-  def subwordCountEstimate(text: Column): Column =
+  def subwordCountEstimate(text: Column): Column = {
+    val st = textStats(text, Nil)
+    when(st.getField("blank"), lit(0)).otherwise(st.getField("subword_est").cast("int"))
+  }
+
+  /** Count of tokens of `lower(trim(text))` that appear in `words`
+    * (binary string equality — the `w IN (...)` SQL semantics). */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    element_at(textStats(text, Seq(words)).getField("stop_hits"), 1)
+
+  /** SQL reference forms (parity oracles for the kernel; see OpsSpec). */
+  private[graft] def tokenCountSql(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  private[graft] def subwordCountEstimateSql(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
       .otherwise(expr(s"aggregate(split(trim(${text}), '\\\\s+'), 0, (acc, w) -> acc + greatest(1, CAST(ceil(length(w) / 4.0D) AS INT)))"))
+
+  private[graft] def stopwordHitsSql(text: Column, words: Seq[String]): Column =
+    expr(s"aggregate(split(lower(trim($text)), '\\\\s+'), 0, (acc, w) -> acc + IF(w IN (${words.map(w => s"'$w'").mkString(",")}), 1, 0))")
 
   /** Quality metrics in one projection: lengths, word stats, class ratios. */
   def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
@@ -41,8 +70,7 @@ object TextOps {
         (chars - length(regexp_replace(t, "[A-Z]", ""))) / safeChars)
       .withColumn("stopword_ratio",
         when(col("n_words") === 0, lit(0.0)).otherwise(
-          expr(s"aggregate(split(lower(trim($textCol)), '\\\\s+'), 0, (acc, w) -> acc + IF(w IN (${Stopwords.en.map(w => s"'$w'").mkString(",")}), 1, 0))")
-            .cast("double") / col("n_words")))
+          stopwordHits(t, Stopwords.en).cast("double") / col("n_words")))
   }
 
   /** Composite quality score in [0,1]: length band + low punct/digit noise
@@ -60,12 +88,24 @@ object TextOps {
     * evidence). One projection, no shuffle; the stopword tables are
     * compile-time literals folded into codegen. */
   def langId(text: Column): Column = {
-    val words = expr(s"split(lower(trim($text)), '\\\\s+')")
-    def score(stops: Seq[String]): Column = {
-      val set = stops.map(w => s"'$w'").mkString(",")
-      expr(s"aggregate(split(lower(trim($text)), '\\\\s+'), 0, (acc, w) -> acc + IF(w IN ($set), 1, 0))")
-        .cast("double") / greatest(size(words), lit(1)).cast("double")
+    val st = textStats(text, Stopwords.tables.map(_._2))
+    val nw = greatest(st.getField("n_tokens"), lit(1)).cast("double")
+    val scored: Seq[(String, Column)] = Stopwords.tables.zipWithIndex.map {
+      case ((lang, _), i) =>
+        lang -> (element_at(st.getField("stop_hits"), i + 1).cast("double") / nw)
     }
+    val best = scored.tail.foldLeft((lit(Stopwords.tables.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) => (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    when(best._2 > 0.02, best._1).otherwise(lit("und"))
+  }
+
+  /** SQL reference form of [[langId]] (parity oracle). */
+  private[graft] def langIdSql(text: Column): Column = {
+    val words = expr(s"split(lower(trim($text)), '\\\\s+')")
+    def score(stops: Seq[String]): Column =
+      stopwordHitsSql(text, stops).cast("double") /
+        greatest(size(words), lit(1)).cast("double")
     val scored: Seq[(String, Column)] = Stopwords.tables.map { case (lang, stops) => lang -> score(stops) }
     val best = scored.tail.foldLeft((lit(Stopwords.tables.head._1), scored.head._2)) {
       case ((bl, bs), (lang, s)) => (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))

@@ -6,7 +6,8 @@ import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 import graft.log.{LogAction, TableState}
 import graft.table.TsTable
@@ -183,8 +184,25 @@ final class TableStreamSource(
   * reference's equivalent single integration point,
   * ts_table_provider.rs:126-295). */
 final class GraftSourceProvider extends StreamSourceProvider
-    with RelationProvider with DataSourceRegister {
+    with RelationProvider with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
+
+  /** Batch writer: `df.write.format("graft-table").mode("append")
+    * .save(root)` runs the full transactional append pipeline (segment
+    * write, footer stats, schema enforcement, OCC commit). Only
+    * SaveMode.Append maps onto the format's semantics — the log is
+    * append-only and rewrites are maintenance operations (Compaction /
+    * MergeInto), not blind overwrites. */
+  override def createRelation(
+      sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    require(mode == SaveMode.Append,
+      s"graft-table supports SaveMode.Append only (got $mode); use Compaction/MergeInto/Expire for rewrites")
+    val table = TsTable.open(root(parameters))
+    table.append(data)
+    table.relationAt(sqlContext.sparkSession, table.state).get
+  }
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {

@@ -85,6 +85,38 @@ class OpsSpec extends SparkFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("text-stats kernel matches the SQL forms: counts, subwords, stopwords, langid") {
+    val texts = Seq(
+      "", " ", "   ", "a", "The and OF", " the\tand\n", "für die das und",
+      "el la y es con para", "abcdefghij klm n", "trail ", "\t lead",
+      "the quick brown fox the lazy dog the end",
+      "naïve café déjà-vu — ünïcode ✓ the", "1 22 333 4444 55555 666666")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = d.select(
+      TextOps.tokenCount(col("text")).as("tc_n"),
+      TextOps.tokenCountSql(col("text")).as("tc_s"),
+      TextOps.subwordCountEstimate(col("text")).as("sw_n"),
+      TextOps.subwordCountEstimateSql(col("text")).as("sw_s"),
+      TextOps.stopwordHits(col("text"), Stopwords.en).as("en_n"),
+      TextOps.stopwordHitsSql(col("text"), Stopwords.en).as("en_s"),
+      TextOps.langId(col("text")).as("li_n"),
+      TextOps.langIdSql(col("text")).as("li_s")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"tokenCount diverged: $r")
+      assert(r.getInt(2) == r.getInt(3), s"subword diverged: $r")
+      assert(r.getInt(4) == r.getInt(5), s"stopword hits diverged: $r")
+      assert(r.getString(6) == r.getString(7), s"langId diverged: $r")
+    }
+    // corpus sweep on real documents
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+        TextOps.tokenCount(col("text")).as("a"), TextOps.tokenCountSql(col("text")).as("b"),
+        TextOps.subwordCountEstimate(col("text")).as("c"), TextOps.subwordCountEstimateSql(col("text")).as("d"),
+        TextOps.langId(col("text")).as("e"), TextOps.langIdSql(col("text")).as("f"))
+      .where(col("a") =!= col("b") || col("c") =!= col("d") || col("e") =!= col("f"))
+    assert(diff.count() == 0)
+  }
+
   test("vector kernels (dot product, probe blocks) match SQL forms bit-for-bit") {
     import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -159,6 +159,17 @@ class TableStreamSourceSpec extends SparkFunSuite {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(n_tok), GreaterThan(n_tok,500)]"),
       s"format batch scan lost pushdown:\n$plan")
+
+    // batch writer: append-mode save runs the transactional append
+    TokenGen.generate(spark, 30, idStart = 9000)
+      .write.format("graft-table").mode("append").save(root)
+    t.refresh()
+    assert(t.scan(spark).count() == 230)
+    assert(spark.read.format("graft-table").load(root).count() == 230)
+    // non-append modes are rejected (the log is append-only)
+    intercept[Exception] {
+      TokenGen.generate(spark, 1).write.format("graft-table").mode("overwrite").save(root)
+    }
   }
 
   test("table-to-table replication: stream source into StreamingIngest sink, exactly-once") {
