@@ -118,9 +118,10 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/last_run.json")
     try {
       val p = java.nio.file.Paths.get(outFile)
-      Files.createDirectories(p.getParent)
+      val dir = Option(p.getParent).getOrElse(java.nio.file.Paths.get(".")) // bare filename → cwd
+      Files.createDirectories(dir)
       Files.writeString(p, json + "\n")
-      Files.writeString(p.getParent.resolve("bench_runs.jsonl"), json + "\n",
+      Files.writeString(dir.resolve("bench_runs.jsonl"), json + "\n",
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()

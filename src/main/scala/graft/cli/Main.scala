@@ -119,8 +119,16 @@ object Main {
     case "shell" =>
       // interactive REPL (reference shell.rs); --table ROOT opens tables up
       // front, names derived from the directory (or ROOT=name via .open AS)
-      val preload = multi(args, "table").map { root =>
-        java.nio.file.Paths.get(root).getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_") -> root
+      // derive view names with the same rule as .open; disambiguate
+      // colliding directory names with a numeric suffix instead of
+      // silently dropping all but the last
+      val preload = multi(args, "table").foldLeft(Vector.empty[(String, String)]) {
+        case (acc, root) =>
+          val base = Shell.viewNameFor(root)
+          val taken = acc.map(_._1).toSet
+          val name = if (!taken(base)) base
+            else Iterator.from(2).map(i => s"${base}_$i").find(!taken(_)).get
+          acc :+ (name -> root)
       }.toMap
       Shell.repl(spark,
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
@@ -143,34 +151,22 @@ object Main {
   private[graft] def rewritePositional(sql: String, n: Int): String = {
     val out = new StringBuilder(sql.length + 8)
     var i = 0
-    var state: Char = ' ' // ' '=code, '\''=string, '"'=ident, '-'=line comment, '*'=block comment
+    var state: Char = ' '
+    // shared scanner with Shell (backslash escapes in strings, backtick
+    // identifiers, comments) — $N only rewrites in code state, so `col$1`
+    // and '$1 literal' pass through untouched
     while (i < sql.length) {
       val c = sql.charAt(i)
-      state match {
-        case ' ' =>
-          if (c == '\'') { state = '\''; out += c; i += 1 }
-          else if (c == '"') { state = '"'; out += c; i += 1 }
-          else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') { state = '-'; out += c; i += 1 }
-          else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') { state = '*'; out ++= "/*"; i += 2 }
-          else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
-            var j = i + 1
-            while (j < sql.length && sql.charAt(j).isDigit) j += 1
-            val idx = sql.substring(i + 1, j).toInt
-            require(idx >= 1 && idx <= n, s"positional parameter $$$idx out of range (have $n --arg)")
-            out ++= s":__p$idx"; i = j
-          }
-          else { out += c; i += 1 }
-        case '\'' =>
-          out += c
-          if (c == '\'') state = ' ' // SQL escapes '' become two state flips — harmless
-          i += 1
-        case '"' =>
-          out += c; if (c == '"') state = ' '; i += 1
-        case '-' =>
-          out += c; if (c == '\n') state = ' '; i += 1
-        case '*' =>
-          if (c == '*' && i + 1 < sql.length && sql.charAt(i + 1) == '/') { out ++= "*/"; state = ' '; i += 2 }
-          else { out += c; i += 1 }
+      if (state == ' ' && c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j).isDigit) j += 1
+        val idx = sql.substring(i + 1, j).toInt
+        require(idx >= 1 && idx <= n, s"positional parameter $$$idx out of range (have $n --arg)")
+        out ++= s":__p$idx"; i = j
+      } else {
+        val (s2, adv) = Shell.scanStep(sql, i, state)
+        out ++= sql.substring(i, i + adv)
+        state = s2; i += adv
       }
     }
     out.toString

@@ -30,10 +30,12 @@ object VectorKernels {
   /** Multi-probe hyperplane LSH blocks for a vector: element 0 is the home
     * block (sign pattern over `planes` deterministic pseudo-gaussian
     * hyperplanes, weights w(i,p) = (pmod(xxhash64(i,p), 2001) − 1000)/1000);
-    * element q ≥ 1 flips the bit of the q-th smallest |projection| (the
-    * least-confident sign). Bit of plane p sits at (planes − 1 − p); ties
-    * resolve to the first occurrence — exactly the SQL reference form in
-    * Dedup.probeBlocksSql. */
+    * element q ≥ 1 flips the bit of the plane with the q-th smallest
+    * (|projection|, plane) pair — the least-confident signs. Ordering by
+    * the PAIR makes probe positions distinct even under tied projections
+    * (e.g. the zero vector), so `probes` always buys `probes` distinct
+    * blocks. Bit of plane p sits at (planes − 1 − p); exactly the SQL
+    * reference form in Dedup.probeBlocksSql. */
   def probeBlocks(v: ArrayData, planes: Int, probes: Int): ArrayData = {
     val dims = v.numElements()
     val projs = new Array[Double](planes)
@@ -59,16 +61,11 @@ object VectorKernels {
     val out = new Array[Long](probes)
     out(0) = block
     if (probes > 1) {
-      val absSorted = new Array[Double](planes)
-      var i = 0
-      while (i < planes) { absSorted(i) = math.abs(projs(i)); i += 1 }
-      java.util.Arrays.sort(absSorted)
+      val order = Array.range(0, planes)
+        .sortBy(pp => (math.abs(projs(pp)), pp)) // distinct positions under ties
       var q = 1
       while (q < probes) {
-        val target = absSorted(q - 1) // q-th smallest |projection|
-        var pos = 0
-        while (pos < planes && math.abs(projs(pos)) != target) pos += 1
-        out(q) = block ^ (1L << (planes - 1 - pos))
+        out(q) = block ^ (1L << (planes - 1 - order(q - 1)))
         q += 1
       }
     }

@@ -179,12 +179,15 @@ object Dedup {
     }
     val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
     val inverted = sh.select(col("id"), explode(col("sh")).as("g"))
-    // stop-shingles (>F docs) are few by construction: a map-side-partial
-    // groupBy finds them and a broadcast anti join drops their postings —
-    // cheaper than a per-key window (shuffle + sort of ALL postings)
+    // stop-shingles (>F docs) are found by a map-side-partial groupBy and
+    // dropped with an anti join. No forced broadcast: the hot set is
+    // usually tiny but its size is data-dependent (a boilerplate-heavy
+    // corpus can have millions of stop-shingles), so the join strategy is
+    // left to AQE, which broadcasts from RUNTIME size when it fits and
+    // falls back to a shuffled join when it does not
     val hot = inverted.groupBy("g").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > maxShingleFreq).select("g")
-    val filtered = inverted.join(broadcast(hot), Seq("g"), "left_anti")
+    val filtered = inverted.join(hot, Seq("g"), "left_anti")
     val co = filtered.as("x").join(filtered.as("y"), Seq("g"))
       .where(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -274,7 +277,9 @@ object Dedup {
 
   /** SQL reference form of the multi-probe block keys (parity oracle for
     * the ProbeBlocks kernel): same hyperplane weights, bit order and
-    * least-confident-bit probes over a `v` array<double> column. */
+    * least-confident-bit probes over a `v` array<double> column; probe
+    * order is the lexicographic (|projection|, plane) sort, so probe
+    * positions are distinct even under ties. */
   private[graft] def probeBlocksSql(planes: Int, probes: Int): Column = {
     val projs =
       s"""transform(sequence(0, ${planes - 1}), p ->
@@ -282,13 +287,16 @@ object Dedup {
          |                                  i -> CAST(pmod(xxhash64(i, p), 2001) - 1000 AS DOUBLE) / 1000.0D),
          |                     (x, w) -> x * w),
          |            0.0D, (a2, t) -> a2 + t))""".stripMargin
+    // struct array sorts lexicographically by (a, p): tied |projections|
+    // order by plane index — distinct probe positions
+    val order =
+      s"""array_sort(transform(sequence(0, ${planes - 1}),
+         |  p -> struct(abs(element_at($projs, p + 1)) AS a, p AS p)))""".stripMargin
     expr(
       s"""transform(sequence(0, ${probes - 1}), q ->
          |  aggregate(sequence(0, ${planes - 1}), 0L,
          |            (acc, p) -> acc * 2 + IF(element_at($projs, p + 1) >= 0.0D, 1L, 0L),
          |            blk -> IF(q = 0, blk,
-         |              blk ^ shiftleft(1L, $planes - CAST(array_position(
-         |                transform($projs, x -> abs(x)),
-         |                element_at(array_sort(transform($projs, x -> abs(x))), q)) AS INT)))))""".stripMargin)
+         |              blk ^ shiftleft(1L, ${planes - 1} - element_at($order, q).p))))""".stripMargin)
   }
 }

@@ -130,11 +130,21 @@ object StatsPruning {
 
   private val MicrosPerDay  = 86400L * 1000000L
   private val MicrosPerHour = 3600L * 1000000L
-  /** Safety margin for non-fixed-offset (Olson) zones: covers every known
-    * DST/offset transition (most are 1 h; Antarctica/Troll is 2 h, Lord
-    * Howe 0.5 h, historical wartime shifts up to 2 h) plus engine-specific
-    * gap/overlap resolution differences, with margin. */
+  /** Safety margin for non-fixed-offset (Olson) zones on BUCKET-BOUNDARY
+    * paths, where boundaries are computed with real zoned java.time
+    * arithmetic against the same TZDB Spark uses — the pad only has to
+    * absorb gap/overlap resolution differences (DST transitions are ≤ 2 h:
+    * most 1 h, Antarctica/Troll 2 h, Lord Howe 0.5 h), with margin. */
   private val DstPadMicros  = 4L * MicrosPerHour
+
+  /** Safety margin for CALENDAR-INTERVAL SHIFTS (`ts + INTERVAL n
+    * DAYS/MONTHS`) under non-fixed zones, where no zoned arithmetic runs —
+    * the bound must absorb the largest possible offset change a zone can
+    * make between two instants. Dateline redefinitions skip or repeat a
+    * whole calendar day (Pacific/Apia 2011-12-30, Pacific/Kiritimati
+    * 1994-12-31: 24 h jumps); UTC offsets span [-12, +14], bounding any
+    * single-zone change at 26 h. */
+  private val ZoneShiftPadMicros = 26L * MicrosPerHour
 
   private def utcOk(tz: Option[String]): Boolean =
     tz.forall(z => z == "UTC" || z == "Etc/UTC" || z == "+00:00" || z == "Z")
@@ -350,10 +360,11 @@ object StatsPruning {
              (k.dataType == TimestampType || k.dataType == TimestampNTZType) &&
              k.value != null =>
         // calendar components are zone-sensitive: under a non-fixed zone a
-        // DST transition shifts the absolute duration of a calendar month
-        // or day by the transition size, so the bounds carry ±DstPad there
+        // zone transition shifts the absolute duration of a calendar month
+        // or day by the transition size — up to a full skipped/repeated day
+        // (Pacific/Apia 2011), so the bounds carry ±ZoneShiftPad there
         val zoneExact = utcOk(tz) || inner.dataType == TimestampNTZType
-        val zPad = if (zoneExact) 0L else DstPadMicros
+        val zPad = if (zoneExact) 0L else ZoneShiftPadMicros
         val boundsOpt: Option[(Long, Long)] = ivVal match {
           case ci: org.apache.spark.unsafe.types.CalendarInterval =>
             val mLo = math.min(ci.months.toLong * 28, ci.months.toLong * 31) * MicrosPerDay
@@ -381,7 +392,7 @@ object StatsPruning {
              (k.dataType == TimestampType || k.dataType == TimestampNTZType) &&
              k.value != null =>
         val m = months.toLong
-        val ymPad = if (utcOk(tz) || inner.dataType == TimestampNTZType) 0L else DstPadMicros
+        val ymPad = if (utcOk(tz) || inner.dataType == TimestampNTZType) 0L else ZoneShiftPadMicros
         val sLo = math.min(m * 28, m * 31) * MicrosPerDay - ymPad
         val sHi = math.max(m * 28, m * 31) * MicrosPerDay + ymPad
         shiftedCmp(tsColumnOf(inner).get, k.value.asInstanceOf[Long], sLo, sHi)

@@ -32,10 +32,18 @@ object StreamingIngest {
     * file:/…) are used as-is so the id never depends on the driver's
     * working directory. */
   private[graft] def appId(checkpointDir: String): String = {
+    // "file:" URIs resolve to the same checkpoint as the bare local path,
+    // so they must yield the same app id — otherwise restarting a query
+    // with the other spelling would miss the txn watermark and re-append
+    // replayed batches
+    val local =
+      if (checkpointDir.startsWith("file:"))
+        try new java.net.URI(checkpointDir).getPath catch { case _: Exception => checkpointDir }
+      else checkpointDir
     val canonical =
-      if (checkpointDir.contains(":/")) checkpointDir.stripSuffix("/")
-      else try java.nio.file.Paths.get(checkpointDir).toAbsolutePath.normalize.toString
-      catch { case _: Exception => checkpointDir }
+      if (local.contains(":/")) local.stripSuffix("/") // non-local URI (s3a://…): as-is
+      else try java.nio.file.Paths.get(local).toAbsolutePath.normalize.toString
+      catch { case _: Exception => local }
     "stream:" + canonical
   }
 

@@ -68,12 +68,37 @@ import graft.table.TsTable
 final class TableStreamSource(
     sqlContext: SQLContext,
     rootPath: String,
-    options: Map[String, String])
-  extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+    options: Map[String, String],
+    metadataPath: String = "") extends Source
+  with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val table = TsTable.open(rootPath)
   private def opt(key: String): Option[String] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  /** `startingVersion=latest` resolves ONCE per query lifetime: the
+    * resolved version is persisted under the query's metadataPath, so a
+    * restart (even one that never committed a batch) keeps the original
+    * anchor instead of re-resolving past commits that arrived since. */
+  private def resolveLatest(): Long = {
+    val fallback = table.store.currentVersion() + 1
+    if (metadataPath.isEmpty) return fallback
+    try {
+      val conf = sqlContext.sparkSession.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-starting-version")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      } else {
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, false)
+        try out.write(s"$fallback\n".getBytes("UTF-8")) finally out.close()
+        fallback
+      }
+    } catch { case _: Exception => fallback }
+  }
 
   override val schema: StructType = table.meta.schema.getOrElse(
     throw new IllegalStateException(
@@ -87,7 +112,7 @@ final class TableStreamSource(
     }
   /** None = initial-snapshot mode; Some(v) = tail commits >= v. */
   private val startingVersion: Option[Long] = opt("startingVersion").map {
-    case v if v.equalsIgnoreCase("latest") => table.store.currentVersion() + 1
+    case v if v.equalsIgnoreCase("latest") => resolveLatest()
     case v => val n = v.toLong; require(n >= 1, s"startingVersion must be >= 1, got $n"); n
   }
 
@@ -107,9 +132,14 @@ final class TableStreamSource(
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val cur = availableNowEnd.getOrElse(table.store.currentVersion())
     if (cur == 0L) return null
-    val floor = startingVersion.map(_ - 1).getOrElse(0L)
     val startV = Option(startOffset).map(version).getOrElse(-1L)
-    val anchor = math.max(startV, floor)
+    // the startingVersion floor applies ONLY before the first batch: a
+    // restarted query anchors on its checkpointed offset, never on a
+    // re-resolved floor ("latest" re-resolves higher on every restart and
+    // would silently withhold committed-but-unprocessed versions)
+    val anchor =
+      if (startV >= 0L) startV
+      else startingVersion.map(_ - 1).getOrElse(0L)
     val snapshotBatch = startV < 0L && startingVersion.isEmpty
     val end = maxVersionsPerTrigger match {
       case Some(m) if !snapshotBatch => math.min(cur, anchor + m)
@@ -235,5 +265,5 @@ final class GraftSourceProvider extends StreamSourceProvider
   override def createSource(
       sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): Source =
-    new TableStreamSource(sqlContext, root(parameters), parameters)
+    new TableStreamSource(sqlContext, root(parameters), parameters, metadataPath)
 }

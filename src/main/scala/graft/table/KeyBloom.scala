@@ -72,7 +72,11 @@ object KeyBloom {
       val futs = files.map { case (path, tag) =>
         pool.submit(new java.util.concurrent.Callable[Option[T]] {
           def call(): Option[T] =
-            if (mayContainAny(conf, path, colName, keys)) Some(tag) else None
+            // a failed footer read (transient IO, corrupt bloom page) must
+            // not abort the MERGE — same conservative contract as every
+            // other untestable case: keep the file as a candidate
+            try { if (mayContainAny(conf, path, colName, keys)) Some(tag) else None }
+            catch { case _: Exception => Some(tag) }
         })
       }
       futs.flatMap(_.get())

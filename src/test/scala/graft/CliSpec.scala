@@ -20,6 +20,11 @@ class CliSpec extends SparkFunSuite {
     assert(Main.rewritePositional("SELECT /* $1 */ x FROM t WHERE y = $1", 1) ==
       "SELECT /* $1 */ x FROM t WHERE y = :__p1")
     intercept[IllegalArgumentException](Main.rewritePositional("WHERE y = $3", 2))
+    // backtick-quoted identifiers and backslash-escaped quotes are opaque
+    assert(Main.rewritePositional("SELECT `col$1` FROM t WHERE y = $1", 1) ==
+      "SELECT `col$1` FROM t WHERE y = :__p1")
+    assert(Main.rewritePositional("SELECT 'a\\'$1' FROM t WHERE y = $1", 1) ==
+      "SELECT 'a\\'$1' FROM t WHERE y = :__p1")
   }
 
   test("create / append / query with positional args, named params, timing, output") {

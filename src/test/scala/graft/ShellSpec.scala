@@ -23,6 +23,13 @@ class ShellSpec extends SparkFunSuite {
     assert(Shell.splitFirstStatement("SELECT 1 -- ;\n")._1.isEmpty)
     assert(Shell.splitFirstStatement("SELECT /* ; */ 1")._1.isEmpty)
     assert(Shell.splitFirstStatement("SELECT /* ; */ 1;")._1.contains("SELECT /* ; */ 1"))
+    // backslash-escaped quote inside a string (Spark's default lexer honors
+    // \'): the ; stays inside the literal, the statement splits after it
+    assert(Shell.splitFirstStatement("SELECT 'it\\'s; fine' AS x; rest") ==
+      (Some("SELECT 'it\\'s; fine' AS x"), " rest"))
+    // backtick identifiers can contain ';'
+    assert(Shell.splitFirstStatement("SELECT `a;b` FROM t")._1.isEmpty)
+    assert(Shell.splitFirstStatement("SELECT `a;b` FROM t;")._1.contains("SELECT `a;b` FROM t"))
   }
 
   test("shell: open, query across lines, .at time travel, timing, quit") {
@@ -88,6 +95,10 @@ class ShellSpec extends SparkFunSuite {
     assert(appId("s3a://bucket/ck/") == "stream:s3a://bucket/ck")
     assert(appId("hdfs://nn:8020/ck") == "stream:hdfs://nn:8020/ck")
     assert(appId("/tmp/x/../y") == "stream:/tmp/y")
-    assert(appId("file:/tmp/ck") == "stream:file:/tmp/ck")
+    // every spelling of the same local checkpoint is ONE application —
+    // a restart with file:// vs bare path must hit the same txn watermark
+    assert(appId("file:/tmp/ck") == "stream:/tmp/ck")
+    assert(appId("file:///tmp/ck") == "stream:/tmp/ck")
+    assert(appId("file:///tmp/ck") == appId("/tmp/ck"))
   }
 }

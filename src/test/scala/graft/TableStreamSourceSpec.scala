@@ -172,6 +172,33 @@ class TableStreamSourceSpec extends SparkFunSuite {
     }
   }
 
+  test("startingVersion=latest anchors once per query: restarts drain new commits, never re-resolve") {
+    val root = tmpDir("srcstream-latest")
+    val out = tmpDir("srcstream-latest-out")
+    val ckpt = tmpDir("srcstream-latest-ckpt")
+    val t = TsTable.create(root, tokenMeta)
+    t.append(TokenGen.generate(spark, 100))
+
+    def drainLatest(): Long =
+      try drain(t.readStream(spark, Map("startingVersion" -> "latest")), out, ckpt).count()
+      catch { // zero batches -> the file sink has written nothing yet
+        case _: org.apache.spark.sql.AnalysisException => 0L
+      }
+
+    assert(drainLatest() == 0, "latest must skip history at first start")
+    // commits that arrive AFTER the anchored start must drain on restart —
+    // the anchor is persisted in the checkpoint's sources metadata, so a
+    // no-progress restart must NOT re-resolve 'latest' past them
+    t.append(TokenGen.generate(spark, 40, idStart = 1000))
+    assert(drainLatest() == 40, "no-progress restart re-resolved 'latest' and withheld commits")
+    // and once batches have committed, further restarts anchor on the
+    // checkpointed offset, not on a re-resolved floor
+    t.append(TokenGen.generate(spark, 25, idStart = 2000))
+    assert(drainLatest() == 65, "restart after progress withheld new commits")
+    assert(drain(t.readStream(spark, Map("startingVersion" -> "latest")), out, ckpt)
+      .select("doc_id").distinct().count() == 65)
+  }
+
   test("table-to-table replication: stream source into StreamingIngest sink, exactly-once") {
     val srcRoot = tmpDir("srcstream-repl-src")
     val dstRoot = tmpDir("srcstream-repl-dst")
