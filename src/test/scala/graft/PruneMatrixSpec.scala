@@ -162,6 +162,34 @@ class PruneMatrixSpec extends SparkFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("day-skip zone (Pacific/Apia 2011): calendar-day shift stays sound under the 26h pad") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Apia")
+    try {
+      // Apia skipped local 2011-12-30 entirely (UTC-11 -> UTC+13, a 24h
+      // offset jump). Local Dec 28 + 3 calendar days = local Dec 31 =
+      // only 48h of absolute time — the old 4h pad pruned every matching
+      // row; the 26h pad must keep the file.
+      val root = tmpDir("prune-apia")
+      val t = TsTable.create(root, TableMeta("apia",
+        TableKind.TimeSeries(TimeIndexSpec("ts", Nil, TimeBucket.parse("1m"), None)), None, None))
+      t.append((0 until 60).map(m => f"2011-12-28 10:$m%02d:00").toDF("tss")
+        .select(to_timestamp(col("tss")).as("ts"), lit(1.0).as("price")).coalesce(1))
+      val sc = t.scan(spark)
+      // make_interval days are CALENDAR days (the CalendarInterval branch)
+      val shifted = sc.where(col("ts") + expr("make_interval(0, 0, 0, 3)") <=
+        ts("2011-12-31 10:30:00"))
+      assert(shifted.count() == 31,
+        "calendar-day shift across the skipped day dropped matching rows (pad too small)")
+      assert(filesRead(shifted) == 1)
+      // far bound still prunes (0 files) and is genuinely empty
+      val far = sc.where(col("ts") + expr("make_interval(0, 0, 0, 3)") <=
+        ts("2011-12-29 00:00:00"))
+      assert(far.count() == 0 && filesRead(far) == 0)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("padded/widened rewrites are one-way: Not()/!= must not prune through them") {
     scan.count() // force table build under UTC
     val prev = spark.conf.get("spark.sql.session.timeZone")
