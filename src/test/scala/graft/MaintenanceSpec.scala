@@ -190,6 +190,15 @@ class MaintenanceSpec extends SparkFunSuite {
     }
   }
 
+  test("bloom candidate filter keeps files whose footer read fails (conservative)") {
+    import graft.table.KeyBloom
+    val conf = spark.sparkContext.hadoopConfiguration
+    val missing = "/tmp/definitely-not-a-file-" + java.util.UUID.randomUUID() + ".parquet"
+    val kept = KeyBloom.filterMayContain(conf,
+      Seq((missing, "tag")), "doc_id", Array[Any]("doc-000000000001"))
+    assert(kept == Seq("tag"), "unreadable footer must keep the candidate, not abort the merge")
+  }
+
   test("merge into: no matching files -> pure insert, zero candidates") {
     val root = tmpDir("merge-ins")
     val t = TsTable.create(root, tokenMeta("zorder"))
