@@ -45,7 +45,12 @@ object Main {
     try run(spark, args) finally spark.stop()
   }
 
-  private[graft] def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
+  private[graft] def run(spark: SparkSession, args: Array[String]): Unit = {
+    graft.functions.GraftFunctions.register(spark) // kernels usable in --sql
+    dispatch(spark, args)
+  }
+
+  private def dispatch(spark: SparkSession, args: Array[String]): Unit = args(0) match {
     case "create" =>
       val root = req(args, "table")
       val kind = opt(args, "cluster-by") match {

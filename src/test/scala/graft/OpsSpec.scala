@@ -137,6 +137,27 @@ class OpsSpec extends SparkFunSuite {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), "probe-block kernel diverged"))
   }
 
+  test("kernels are SQL-registered: graft functions callable from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash64('the quick fox') AS sh,
+        |  minhash_signature('the quick fox', 5, 16) AS mh,
+        |  shingle_hashes('abcdef', 4) AS sg,
+        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |  probe_blocks(array(0.5D, -0.25D), 8, 2) AS pb""".stripMargin).collect()(0)
+    // values must equal the Scala-API columns
+    val want = Seq("the quick fox").toDF("t").select(
+      Dedup.simhash("t").as("sh"),
+      Dedup.minhashSignature("t", 16, 5).as("mh")).collect()(0)
+    assert(r.getLong(0) == want.getLong(0))
+    assert(r.getSeq[Long](1) == want.getSeq[Long](1))
+    assert(r.getSeq[Long](2).nonEmpty && r.getDouble(3) == 11.0)
+    assert(r.getSeq[Long](4).length == 2)
+    // arity errors are caught with usage text
+    val e = intercept[Exception](spark.sql("SELECT simhash64('a', 'b')").collect())
+    assert(e.getMessage.contains("simhash64"))
+  }
+
   test("ngram jaccard: exact math on a tiny fixture") {
     // "abcd" vs "bcde": 3-shingles {abc,bcd} vs {bcd,cde} -> J = 1/3
     val d = docs((1L, "abcd"), (2L, "bcde"))
