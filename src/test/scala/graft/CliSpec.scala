@@ -63,5 +63,24 @@ class CliSpec extends SparkFunSuite {
     assert(TsTable.open(root).scan(spark).count() == 200)
     run("expire", "--table", root, "--keep-from", TsTable.open(root).version.toString)
     assert(TsTable.open(root).scan(spark).count() == 200)
+
+    // SQL kernel functions registered for --sql (simhash64 etc.)
+    val out2 = tmpDir("cli-out2") + "/res"
+    run("query", "--table", root,
+      "--sql", "SELECT doc_id, simhash64(source) AS sh FROM t LIMIT 5",
+      "--output", out2, "--format", "csv")
+    assert(spark.read.option("header", "true").csv(out2).count() == 5)
+
+    // --max-rows 0: zero rows displayed, no crash (reference cli parity)
+    run("query", "--table", root, "--sql", "SELECT doc_id FROM t", "--max-rows", "0")
+  }
+
+  test("create rejects invalid bucket specs with a friendly error") {
+    val e = intercept[IllegalArgumentException] {
+      run("create", "--table", tmpDir("cli-bad"),
+        "--time-column", "ts", "--bucket", "1w")
+    }
+    assert(e.getMessage != null && e.getMessage.contains("1w"),
+      s"bucket error should name the bad spec: ${e.getMessage}")
   }
 }

@@ -229,6 +229,20 @@ class PruneMatrixSpec extends SparkFunSuite {
     assert(scan.count() == 120)
   }
 
+  test("filters through aliases/subqueries stay correct (and prune when pushable)") {
+    // reference: alias-in-subquery yields Unknown/no-prune; Catalyst
+    // pushes the filter through the alias back onto ts, so we PRUNE and
+    // still return the right rows — strictly better, asserted here
+    val sub = scan.select(col("ts").as("t2"), col("price"))
+      .where(col("t2") >= ts("2024-03-01 12:00:00"))
+    assert(sub.count() == 60)
+    assert(filesRead(sub) == 1)
+    // order-by-desc + limit (reference test name parity): TakeOrdered plan
+    val top = scan.orderBy(col("ts").desc).limit(3)
+    val got = top.collect().map(_.getTimestamp(0).toString)
+    assert(got.head == "2024-03-01 12:59:00.0" && got.length == 3)
+  }
+
   test("projection order preserved; limit works through the relation") {
     val cols = scan.select("price", "ts").columns.toSeq
     assert(cols == Seq("price", "ts"))
