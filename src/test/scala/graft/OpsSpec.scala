@@ -224,6 +224,36 @@ class OpsSpec extends SparkFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall") // 4/8 lists probed
   }
 
+  test("stored IVF index: probes read only their centroid partitions; results match in-memory") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val vectors = emb.where(col("vec_id") % 100 =!= 0)
+    val queries = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val cents = Ann.centroids(vectors, 8)
+    val index = Ann.buildIvfIndex(vectors, 8)
+    val idxDir = tmpDir("ivf-stored")
+    index.write.mode("overwrite").partitionBy("centroid_id").parquet(idxDir)
+    val stored = spark.read.parquet(idxDir)
+
+    // the documented 100 TB path: a probe into 2 of 8 lists must scan only
+    // those partitions (Spark partition pruning on the directory layout)
+    val probe = stored.where(col("centroid_id").isin(1, 2))
+    probe.collect()
+    val filesRead = probe.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    val totalFiles = spark.read.parquet(idxDir).inputFiles.length
+    assert(filesRead < totalFiles, s"probe read $filesRead of $totalFiles files — no partition pruning")
+
+    // end-to-end equality: top-k over the STORED index == in-memory index
+    import spark.implicits._
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("vec_id"), col("rank")).as[(Long, Long, Int)].collect().toSet
+    val mem = key(Ann.ivfTopKWithIndex(index, cents, queries, 5, nProbe = 3))
+    val disk = key(Ann.ivfTopKWithIndex(stored, cents, queries, 5, nProbe = 3))
+    assert(mem == disk && mem.nonEmpty)
+  }
+
   test("text ops: token counts, quality, langid, fingerprint invariance") {
     val d = Seq(
       (1L, "The quick brown fox, with the lazy dog!"),
