@@ -148,6 +148,17 @@ object SparkEntry {
       t.scan(s).select(col("doc_id"), col("source"), col("n_tok"), expr(tokSum).as("tok_sum"))
     }),
 
+    // DELETE WHERE through the engine: compact+cluster, then predicate
+    // delete (stats-pruned candidates, copy-on-write swap) — survivors
+    // and their token arrays must match the oracle's closed form
+    "q15_delete_scan" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir)
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      graft.maintain.DeleteWhere.delete(s, t, col("n_tok").between(200, 400))
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
+        expr(tokSum).as("tok_sum"))
+    }),
+
     // snapshot expiration after compaction: orphans deleted, checkpointed
     // manifest replays, data intact
     "q12_expire_scan" -> ((s, dir) => {
@@ -360,6 +371,13 @@ object SparkEntry {
            |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
            |  ${tokSumOracle("doc_id", 31)} AS tok_sum
            |FROM documents""".stripMargin,
+
+      "q15_delete_scan" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents
+           |WHERE NOT (64 + doc_id % 1985 BETWEEN 200 AND 400)""".stripMargin,
 
       "q11_merge_scan" ->
         s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,

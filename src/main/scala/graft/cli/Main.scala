@@ -1,7 +1,7 @@
 package graft.cli
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.maintain.{Compaction, Expire, MergeInto}
+import graft.maintain.{Compaction, DeleteWhere, Expire, MergeInto}
 import graft.meta._
 import graft.table.TsTable
 
@@ -20,6 +20,7 @@ import graft.table.TsTable
   *           [--param k=v]... [--arg v]...   ($1..$N bind to --arg in order)
   *   compact --table ROOT [--target-file-size BYTES] [--job-id ID]
   *   expire  --table ROOT --keep-from VERSION
+  *   delete  --table ROOT --where "SQL predicate"
   *   merge   --table ROOT --updates PARQUET [--key COL]
   *   coverage --table ROOT --start ISO --end ISO
   */
@@ -113,6 +114,13 @@ object Main {
       val rep = Expire.expire(t, req(args, "keep-from").toLong)
       println(s"expired: dataFiles=${rep.dataFilesDeleted} bytes=${rep.bytesDeleted} " +
         s"commitsDropped=${rep.commitsDropped}")
+
+    case "delete" =>
+      val t = TsTable.open(req(args, "table"))
+      val rep = DeleteWhere.delete(spark, t,
+        org.apache.spark.sql.functions.expr(req(args, "where")))
+      println(s"deleted: rows=${rep.rowsDeleted} candidates=${rep.candidates} " +
+        s"kept=${rep.filesKept} rewritten=${rep.filesOut} -> v${rep.version}")
 
     case "merge" =>
       val t = TsTable.open(req(args, "table"))

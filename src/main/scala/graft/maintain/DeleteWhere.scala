@@ -1,0 +1,86 @@
+package graft.maintain
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+import org.apache.spark.sql.functions._
+import graft.scan.StatsPruning
+import graft.table.TsTable
+
+/** DELETE WHERE — copy-on-write predicate delete, the training-data
+  * governance operator (redact contaminated documents, strip a source,
+  * drop a time range). Not in the reference (its log is append-only);
+  * north-rule addition alongside compaction/MERGE/expire.
+  *
+  * Plan shape at scale:
+  *  1. Candidate files via the same 3-valued stats evaluation the scan
+  *     uses: a file whose stats prove AlwaysFalse for the predicate
+  *     cannot hold a matching row and is left untouched (its bytes and
+  *     segment id never change). Conservative by construction — padded/
+  *     widened transform rewrites only ever ADD candidates. AlwaysTrue is
+  *     deliberately NOT used to drop whole files unread: the Tri algebra
+  *     is necessary-condition-oriented under padded rewrites, so "all
+  *     rows must match" cannot be concluded from it.
+  *  2. Candidates are rewritten keeping `NOT coalesce(cond, false)` —
+  *     SQL DELETE semantics: rows where the predicate is NULL are KEPT.
+  *  3. One atomic Remove+Add commit (swapSegments — snapshot isolation,
+  *     OCC rebase). All-matching candidates degenerate to a metadata-only
+  *     remove commit.
+  *  4. Time-series tables get their table-coverage snapshot recomputed
+  *     from the surviving segments' sidecars, so a later append into the
+  *     deleted range is not falsely rejected as overlap.
+  */
+object DeleteWhere {
+
+  final case class Report(candidates: Int, filesKept: Int, filesOut: Int,
+                          rowsDeleted: Long, survivors: Long, version: Long)
+
+  def delete(spark: SparkSession, table: TsTable, condition: Column): Report = {
+    table.refresh()
+    val live = table.state.liveSegments
+
+    // resolve the user predicate against the table schema so stats
+    // evaluation sees real AttributeReferences (an unresolved Column would
+    // evaluate Unknown everywhere — sound, but pruning-free)
+    val resolved: Seq[Expression] = {
+      import org.apache.spark.sql.graft.Bridge
+      val analyzed = table.scan(spark).where(condition).queryExecution.analyzed
+      analyzed.collectFirst { case f: LFilter => f.condition }
+        .map(splitConjuncts).getOrElse(Seq(Bridge.toExpr(condition)))
+    }
+
+    val (candidates, untouched) = live.partition { seg =>
+      // a file is a candidate unless SOME conjunct is provably false for
+      // every row (conjunction semantics: one false conjunct kills it)
+      !resolved.exists(c =>
+        StatsPruning.eval(c, seg.stats, seg.rowCount) == StatsPruning.AlwaysFalse)
+    }
+    val totalRows = live.map(_.rowCount).sum
+    if (candidates.isEmpty)
+      return Report(0, live.size, 0, 0L, totalRows, table.version)
+
+    val keep = !coalesce(condition, lit(false)) // NULL predicate -> keep
+    val paths = candidates.map(seg => s"${table.root}/${seg.path}")
+    val reader = spark.read.parquet(paths: _*)
+    val survivorsInCandidates = reader.where(keep).count()
+    val candidateRows = candidates.map(_.rowCount).sum
+    val removeIds = candidates.map(_.segmentId)
+
+    val newSegs: Seq[graft.meta.SegmentMeta] =
+      if (survivorsInCandidates == 0L) { table.commitRemovals(removeIds); Nil }
+      else table.swapSegments(reader.where(keep), removeIds)
+
+    // coverage repair: the table snapshot may still claim deleted buckets
+    if (table.timeSpec.isDefined) table.recommitCoverage()
+
+    Report(candidates.size, untouched.size, newSegs.size,
+      candidateRows - survivorsInCandidates,
+      totalRows - (candidateRows - survivorsInCandidates), table.version)
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}

@@ -397,6 +397,59 @@ final class TsTable private (val root: String, val store: LogStore) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Metadata-only removal commit (DELETE WHERE whose candidates all
+    * matched): RemoveSegment actions only, OCC with rebase-retry; aborts
+    * if a concurrent job already rewrote one of the segments. */
+  private[graft] def commitRemovals(removeIds: Seq[String], maxRetries: Int = 3): Long = {
+    var attempt = 0
+    while (true) {
+      refresh()
+      val st = cachedState
+      val missing = removeIds.filterNot(st.segments.contains)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"remove aborted: segments already rewritten by a concurrent job: $missing")
+      val actions: Seq[LogAction] = removeIds.map(LogAction.RemoveSegment)
+      try {
+        val v = store.commitWithExpectedVersion(st.version, actions)
+        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
+        return v
+      } catch {
+        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Recompute the table-coverage snapshot from the LIVE segments'
+    * sidecars and commit the new pointer — required after an operation
+    * that shrinks coverage (DELETE), where the old snapshot would falsely
+    * reject appends into the vacated buckets as overlap. */
+  private[graft] def recommitCoverage(maxRetries: Int = 3): Unit = {
+    val spec = timeSpec.getOrElse(return)
+    var attempt = 0
+    while (true) {
+      refresh()
+      val st = cachedState
+      val cov = st.liveSegments.flatMap(_.coveragePath).foldLeft(Bitmap.empty) { (acc, rel) =>
+        acc.union(Bitmap.deserialize(Files.readAllBytes(Paths.get(stripScheme(s"$root/$rel")))))
+      }
+      val newVersion = st.version + 1
+      val covRel = s"_coverage/table/$newVersion-tblcov-${UUID.randomUUID().toString.take(8)}.cov"
+      writeBytes(s"$root/$covRel", cov.serialize())
+      val actions: Seq[LogAction] = Seq(LogAction.UpdateTableCoverage(spec.bucket.spec, covRel))
+      try {
+        val v = store.commitWithExpectedVersion(st.version, actions)
+        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
+        return
+      } catch {
+        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+  }
+
   /** Distinct bucket ids per staged file — ONE distributed job; the bucket
     * domain is tiny so the collect is metadata-sized. Bucket id =
     * floorDiv(epochSeconds, len) with pre-epoch clamp to 0, matching

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.col
 import graft.cli.Main
 import graft.table.TsTable
 
@@ -73,6 +74,10 @@ class CliSpec extends SparkFunSuite {
 
     // --max-rows 0: zero rows displayed, no crash (reference cli parity)
     run("query", "--table", root, "--sql", "SELECT doc_id FROM t", "--max-rows", "0")
+
+    // predicate delete through the CLI
+    run("delete", "--table", root, "--where", "n_tok < 100")
+    assert(TsTable.open(root).scan(spark).where(col("n_tok") < 100).count() == 0)
   }
 
   test("create rejects invalid bucket specs with a friendly error") {

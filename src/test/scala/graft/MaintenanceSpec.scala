@@ -190,6 +190,67 @@ class MaintenanceSpec extends SparkFunSuite {
     }
   }
 
+  test("delete where: candidates stats-pruned, rows gone, untouched files byte-identical") {
+    import graft.maintain.DeleteWhere
+    val root = tmpDir("del-tbl")
+    val t = TsTable.create(root, TableMeta("tokens",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
+    // three appends with DISJOINT id ranges -> disjoint doc_id stats
+    t.append(TokenGen.generate(spark, 100).coalesce(1))
+    t.append(TokenGen.generate(spark, 100, idStart = 1000).coalesce(1))
+    t.append(TokenGen.generate(spark, 100, idStart = 2000).coalesce(1))
+    val before = t.state.liveSegments.map(s => s.segmentId -> s.path).toMap
+
+    val rep = DeleteWhere.delete(spark, t,
+      col("doc_id") >= "doc-000000001000" && col("doc_id") < "doc-000000001050")
+    assert(rep.candidates == 1, s"stats pruning failed: ${rep.candidates} candidates of 3 files")
+    assert(rep.rowsDeleted == 50 && rep.survivors == 250)
+    assert(t.scan(spark).count() == 250)
+    assert(t.scan(spark).where(col("doc_id") >= "doc-000000001000" &&
+      col("doc_id") < "doc-000000001050").count() == 0)
+    // the two untouched segments kept their ids (bytes never rewritten)
+    val after = t.state.liveSegments.map(_.segmentId).toSet
+    assert(before.keySet.intersect(after).size == 2)
+
+    // delete-all on a file degenerates to a metadata-only remove commit
+    val rep2 = DeleteWhere.delete(spark, t, col("doc_id") >= "doc-000000002000")
+    assert(rep2.filesOut == 0 && rep2.rowsDeleted == 100)
+    assert(t.scan(spark).count() == 150)
+  }
+
+  test("delete where: NULL predicate rows are kept (SQL DELETE semantics)") {
+    import spark.implicits._
+    import graft.maintain.DeleteWhere
+    val root = tmpDir("del-null")
+    val t = TsTable.create(root, TableMeta("vals",
+      TableKind.Clustered(ClusterSpec(Seq("id"), "zorder")), None, None))
+    t.append(Seq((1L, Some(10)), (2L, None), (3L, Some(3))).toDF("id", "v").coalesce(1))
+    DeleteWhere.delete(spark, t, col("v") > 5) // true for id=1; NULL for id=2
+    val left = t.scan(spark).select("id").as[Long].collect().sorted
+    assert(left.toSeq == Seq(2L, 3L), s"NULL-predicate row dropped: ${left.toSeq}")
+  }
+
+  test("delete where on a time-series table repairs coverage: vacated range re-appendable") {
+    import spark.implicits._
+    import graft.maintain.DeleteWhere
+    val root = tmpDir("del-ts")
+    val t = TsTable.create(root, TableMeta("prices",
+      TableKind.TimeSeries(TimeIndexSpec("ts", Nil, TimeBucket.parse("1m"), None)), None, None))
+    def hourDf(h: Int) =
+      (0 until 60).map(m => (s"2024-03-01 %02d:%02d:00".format(h, m), h * 100.0 + m))
+        .toDF("tss", "price")
+        .select(to_timestamp(col("tss")).as("ts"), col("price"))
+    t.append(hourDf(10).coalesce(1))
+    t.append(hourDf(12).coalesce(1))
+
+    DeleteWhere.delete(spark, t, col("ts") >= to_timestamp(lit("2024-03-01 12:00:00")))
+    assert(t.scan(spark).count() == 60)
+    // the key invariant: re-appending the vacated hour must NOT be
+    // rejected as coverage overlap
+    t.append(hourDf(12).coalesce(1))
+    assert(t.scan(spark).count() == 120)
+  }
+
   test("bloom candidate filter keeps files whose footer read fails (conservative)") {
     import graft.table.KeyBloom
     val conf = spark.sparkContext.hadoopConfiguration
