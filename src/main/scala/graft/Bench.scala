@@ -125,5 +125,20 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
+    // reclaim the dataset-sized temp dirs (staged input + table root) so
+    // repeated runs don't fill /tmp
+    Seq(stage, root).foreach { d =>
+      try deleteRecursively(java.nio.file.Paths.get(d))
+      catch { case _: Exception => () }
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try { import scala.jdk.CollectionConverters._; s.iterator().asScala.foreach(deleteRecursively) }
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
   }
 }

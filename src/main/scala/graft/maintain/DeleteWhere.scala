@@ -66,12 +66,19 @@ object DeleteWhere {
     val candidateRows = candidates.map(_.rowCount).sum
     val removeIds = candidates.map(_.segmentId)
 
-    val newSegs: Seq[graft.meta.SegmentMeta] =
-      if (survivorsInCandidates == 0L) { table.commitRemovals(removeIds); Nil }
-      else table.swapSegments(reader.where(keep), removeIds)
+    // stats are only necessary conditions: candidates can hold zero
+    // matching rows — a no-op DELETE must not rewrite bytes or commit
+    if (survivorsInCandidates == candidateRows)
+      return Report(candidates.size, live.size, 0, 0L, totalRows, table.version)
 
-    // coverage repair: the table snapshot may still claim deleted buckets
-    if (table.timeSpec.isDefined) table.recommitCoverage()
+    // the coverage recommit (time-series tables) is part of the SAME
+    // commit as the Remove/Add actions — no crash window can leave a
+    // stale snapshot rejecting appends into the vacated range
+    val repairCov = table.timeSpec.isDefined
+    val newSegs: Seq[graft.meta.SegmentMeta] =
+      if (survivorsInCandidates == 0L) {
+        table.commitRemovals(removeIds, recomputeCoverage = repairCov); Nil
+      } else table.swapSegments(reader.where(keep), removeIds, recomputeCoverage = repairCov)
 
     Report(candidates.size, untouched.size, newSegs.size,
       candidateRows - survivorsInCandidates,

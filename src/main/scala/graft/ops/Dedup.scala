@@ -184,7 +184,10 @@ object Dedup {
     // usually tiny but its size is data-dependent (a boilerplate-heavy
     // corpus can have millions of stop-shingles), so the join strategy is
     // left to AQE, which broadcasts from RUNTIME size when it fits and
-    // falls back to a shuffled join when it does not
+    // falls back to a shuffled join when it does not. NOTE: this relies on
+    // spark.sql.adaptive.enabled (Spark's default since 3.2, and set in
+    // Bench/tests); with AQE off the static planner may shuffle-sort the
+    // postings where a small hot set could have broadcast.
     val hot = inverted.groupBy("g").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > maxShingleFreq).select("g")
     val filtered = inverted.join(hot, Seq("g"), "left_anti")

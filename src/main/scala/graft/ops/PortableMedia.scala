@@ -110,7 +110,9 @@ object PortableMedia {
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
     if (w <= 0 || h <= 0 || maxval != 255) return null
     pos += 1 // exactly one whitespace byte after maxval
-    if (pos + w * h * 3 > bytes.length) return null
+    // pixel size in Long: a hostile header like "50000 50000" overflows
+    // Int (w*h*3 < 0) and would bypass the truncation check
+    if (pos.toLong + w.toLong * h.toLong * 3L > bytes.length) return null
     var sr = 0L; var sg = 0L; var sb = 0L
     var i = pos
     val end = pos + w * h * 3
@@ -125,8 +127,11 @@ object PortableMedia {
   case class WavStats(sample_rate: Int, channels: Int, n_samples: Int, mean_abs: Double)
 
   /** Parse PCM WAV: RIFF/WAVE magic, then a chunk walk (tolerates extra
-    * chunks and any fmt/data order); 16-bit little-endian samples.
-    * Returns null on malformed input or non-PCM-16 encodings. */
+    * chunks and any fmt/data order); 16-bit little-endian MONO samples.
+    * Returns null on malformed input, non-PCM-16 encodings, or
+    * multi-channel audio (interleaved frames would silently double
+    * n_samples and blend channels into mean_abs — reject rather than
+    * mis-decode). */
   def decodeWav(bytes: Array[Byte]): WavStats = {
     if (bytes == null || bytes.length < 12) return null
     def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
@@ -150,7 +155,7 @@ object PortableMedia {
       }
       pos += 8 + clen + (clen & 1) // chunks are word-aligned
     }
-    if (rate < 0 || dataOff < 0 || bits != 16 || channels < 1) return null
+    if (rate < 0 || dataOff < 0 || bits != 16 || channels != 1) return null
     val n = dataLen / 2
     var s = 0L
     var i = 0

@@ -35,10 +35,15 @@ object StreamingIngest {
     // "file:" URIs resolve to the same checkpoint as the bare local path,
     // so they must yield the same app id — otherwise restarting a query
     // with the other spelling would miss the txn watermark and re-append
-    // replayed batches
+    // replayed batches. (Tables whose watermarks predate this
+    // canonicalization and used a "file:" spelling carry the old key; one
+    // replayed batch after upgrading re-appends — re-create the checkpoint
+    // or the table when migrating such a stream.) Opaque URIs ("file:x",
+    // no slash) have a null getPath — fall through to the raw string.
     val local =
       if (checkpointDir.startsWith("file:"))
-        try new java.net.URI(checkpointDir).getPath catch { case _: Exception => checkpointDir }
+        try Option(new java.net.URI(checkpointDir).getPath).getOrElse(checkpointDir)
+        catch { case _: Exception => checkpointDir }
       else checkpointDir
     val canonical =
       if (local.contains(":/")) local.stripSuffix("/") // non-local URI (s3a://…): as-is

@@ -83,21 +83,28 @@ final class TableStreamSource(
   private def resolveLatest(): Long = {
     val fallback = table.store.currentVersion() + 1
     if (metadataPath.isEmpty) return fallback
-    try {
-      val conf = sqlContext.sparkSession.sparkContext.hadoopConfiguration
-      val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-starting-version")
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        try new String(in.readAllBytes(), "UTF-8").trim.toLong
-        finally in.close()
-      } else {
+    val conf = sqlContext.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-starting-version")
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) {
+      // an EXISTING anchor that cannot be read must fail the query —
+      // silently re-resolving would skip every version committed since
+      // the original anchor (the exact data-loss this file prevents)
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      try text.trim.toLong
+      catch { case e: NumberFormatException => throw new IllegalStateException(
+        s"corrupt startingVersion anchor at $p: '${text.trim}'", e) }
+    } else {
+      try {
         fs.mkdirs(p.getParent)
         val out = fs.create(p, false)
         try out.write(s"$fallback\n".getBytes("UTF-8")) finally out.close()
         fallback
+      } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        resolveLatest() // lost a create race: the winner's anchor governs
       }
-    } catch { case _: Exception => fallback }
+    }
   }
 
   override val schema: StructType = table.meta.schema.getOrElse(

@@ -341,8 +341,15 @@ final class TsTable private (val root: String, val store: LogStore) {
     * files (nothing is deleted here; snapshot expiration deletes later).
     * OCC: on conflict, rebase and re-verify every removed id is still
     * live — if another job already swapped one, this swap aborts. */
+  /** When `recomputeCoverage` (DELETE on a time-series table): the new
+    * table-coverage snapshot (union of surviving + new segment sidecars)
+    * commits ATOMICALLY with the Remove+Add actions, so no crash window
+    * can leave a stale snapshot that falsely rejects later appends into
+    * the vacated range. Orphan .cov files from lost OCC races are benign
+    * (same policy as append's pre-commit sidecar writes). */
   private[graft] def swapSegments(df: DataFrame, removeIds: Seq[String],
-                                  maxRetries: Int = 3): Seq[SegmentMeta] = {
+                                  maxRetries: Int = 3,
+                                  recomputeCoverage: Boolean = false): Seq[SegmentMeta] = {
     val spark = df.sparkSession
     val commitId = UUID.randomUUID().toString.take(8)
     val stagingAbs = s"$root/.staging-$commitId"
@@ -384,7 +391,8 @@ final class TsTable private (val root: String, val store: LogStore) {
         throw new IllegalStateException(
           s"swap aborted: segments already rewritten by a concurrent job: $missing")
       val actions: Seq[LogAction] =
-        removeIds.map(LogAction.RemoveSegment) ++ segs.map(LogAction.AddSegment)
+        removeIds.map(LogAction.RemoveSegment) ++ segs.map(LogAction.AddSegment) ++
+          (if (recomputeCoverage) coverageActionFor(st, removeIds, segs).toSeq else Nil)
       try {
         val v = store.commitWithExpectedVersion(st.version, actions)
         cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
@@ -398,9 +406,11 @@ final class TsTable private (val root: String, val store: LogStore) {
   }
 
   /** Metadata-only removal commit (DELETE WHERE whose candidates all
-    * matched): RemoveSegment actions only, OCC with rebase-retry; aborts
-    * if a concurrent job already rewrote one of the segments. */
-  private[graft] def commitRemovals(removeIds: Seq[String], maxRetries: Int = 3): Long = {
+    * matched): RemoveSegment actions (plus an atomic coverage recommit for
+    * time-series tables), OCC with rebase-retry; aborts if a concurrent
+    * job already rewrote one of the segments. */
+  private[graft] def commitRemovals(removeIds: Seq[String], maxRetries: Int = 3,
+                                    recomputeCoverage: Boolean = false): Long = {
     var attempt = 0
     while (true) {
       refresh()
@@ -409,7 +419,8 @@ final class TsTable private (val root: String, val store: LogStore) {
       if (missing.nonEmpty)
         throw new IllegalStateException(
           s"remove aborted: segments already rewritten by a concurrent job: $missing")
-      val actions: Seq[LogAction] = removeIds.map(LogAction.RemoveSegment)
+      val actions: Seq[LogAction] = removeIds.map(LogAction.RemoveSegment) ++
+        (if (recomputeCoverage) coverageActionFor(st, removeIds, Nil).toSeq else Nil)
       try {
         val v = store.commitWithExpectedVersion(st.version, actions)
         cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
@@ -422,32 +433,21 @@ final class TsTable private (val root: String, val store: LogStore) {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Recompute the table-coverage snapshot from the LIVE segments'
-    * sidecars and commit the new pointer — required after an operation
-    * that shrinks coverage (DELETE), where the old snapshot would falsely
-    * reject appends into the vacated buckets as overlap. */
-  private[graft] def recommitCoverage(maxRetries: Int = 3): Unit = {
-    val spec = timeSpec.getOrElse(return)
-    var attempt = 0
-    while (true) {
-      refresh()
-      val st = cachedState
-      val cov = st.liveSegments.flatMap(_.coveragePath).foldLeft(Bitmap.empty) { (acc, rel) =>
-        acc.union(Bitmap.deserialize(Files.readAllBytes(Paths.get(stripScheme(s"$root/$rel")))))
-      }
-      val newVersion = st.version + 1
-      val covRel = s"_coverage/table/$newVersion-tblcov-${UUID.randomUUID().toString.take(8)}.cov"
-      writeBytes(s"$root/$covRel", cov.serialize())
-      val actions: Seq[LogAction] = Seq(LogAction.UpdateTableCoverage(spec.bucket.spec, covRel))
-      try {
-        val v = store.commitWithExpectedVersion(st.version, actions)
-        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
-        return
-      } catch {
-        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
-          attempt += 1
-      }
+  /** Coverage snapshot for the state AFTER removing `removeIds` and adding
+    * `added`: union of the surviving + new segments' sidecars, written as
+    * a fresh sidecar whose pointer action commits WITH the swap. None for
+    * non-time-series tables. */
+  private def coverageActionFor(st: TableState, removeIds: Seq[String],
+                                added: Seq[SegmentMeta]): Option[LogAction] = {
+    val spec = timeSpec.getOrElse(return None)
+    val removed = removeIds.toSet
+    val survivors = st.liveSegments.filterNot(s => removed(s.segmentId))
+    val cov = (survivors ++ added).flatMap(_.coveragePath).foldLeft(Bitmap.empty) { (acc, rel) =>
+      acc.union(Bitmap.deserialize(Files.readAllBytes(Paths.get(stripScheme(s"$root/$rel")))))
     }
+    val covRel = s"_coverage/table/${st.version + 1}-tblcov-${UUID.randomUUID().toString.take(8)}.cov"
+    writeBytes(s"$root/$covRel", cov.serialize())
+    Some(LogAction.UpdateTableCoverage(spec.bucket.spec, covRel))
   }
 
   /** Distinct bucket ids per staged file — ONE distributed job; the bucket

@@ -216,6 +216,13 @@ class MaintenanceSpec extends SparkFunSuite {
     val rep2 = DeleteWhere.delete(spark, t, col("doc_id") >= "doc-000000002000")
     assert(rep2.filesOut == 0 && rep2.rowsDeleted == 100)
     assert(t.scan(spark).count() == 150)
+
+    // no-op delete (stats overlap but zero rows match): no rewrite, no
+    // commit — the version must not move
+    val vBefore = t.version
+    val rep3 = DeleteWhere.delete(spark, t, col("doc_id") === "doc-000000000999")
+    assert(rep3.rowsDeleted == 0 && t.version == vBefore,
+      s"no-op delete rewrote/committed (v $vBefore -> ${t.version})")
   }
 
   test("delete where: NULL predicate rows are kept (SQL DELETE semantics)") {

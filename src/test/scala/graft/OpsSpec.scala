@@ -299,6 +299,16 @@ class OpsSpec extends SparkFunSuite {
     val wav = decodeWav(bb.array())
     assert(wav == WavStats(8000, 1, 3, 200.0))
     assert(decodeWav("RIFX".getBytes ++ bb.array().drop(4)) == null, "bad magic accepted")
+    // overflow-hostile PPM header (w*h*3 overflows Int) must be rejected
+    assert(decodePpm("P6\n50000 50000\n255\n".getBytes("US-ASCII")) == null,
+      "overflowing dimensions accepted")
+    // stereo is rejected, not mis-decoded as 2x mono samples
+    val st = java.nio.ByteBuffer.allocate(44 + 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    st.put("RIFF".getBytes).putInt(40).put("WAVE".getBytes)
+    st.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      .putInt(8000).putInt(32000).putShort(4).putShort(16)
+    st.put("data".getBytes).putInt(4).putShort(1).putShort(2)
+    assert(decodeWav(st.array()) == null, "stereo silently decoded as mono")
 
     // synthesized blobs decode to the closed-form statistics (the same
     // cross-check the q43/q44 oracles perform corpus-wide)
