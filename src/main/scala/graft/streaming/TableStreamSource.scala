@@ -7,7 +7,9 @@ import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedO
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.SaveMode
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import graft.log.{LogAction, TableState}
 import graft.table.TsTable
@@ -220,9 +222,40 @@ final class TableStreamSource(
   * as `TsTable.scan` (reference: the DataFusion TableProvider is the
   * reference's equivalent single integration point,
   * ts_table_provider.rs:126-295). */
-final class GraftSourceProvider extends StreamSourceProvider
+final class GraftSourceProvider extends StreamSourceProvider with StreamSinkProvider
     with RelationProvider with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
+
+  /** Streaming SINK: `df.writeStream.format("graft-table")
+    * .option("checkpointLocation", ck).start(root)` — each micro-batch is
+    * one transactional append with the same (checkpoint-derived appId,
+    * batchId) exactly-once watermark as StreamingIngest.sink; this is the
+    * format-registered form of that foreachBatch pattern. Only Append
+    * output mode maps onto an append-only log. */
+  override def createSink(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-table sink supports Append output mode only (got $outputMode)")
+    require(partitionColumns.isEmpty,
+      "graft-table manages its own layout (compaction/clustering); partitionBy is not supported")
+    val tableRoot = root(parameters)
+    val ckpt = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v
+    }.getOrElse(throw new IllegalArgumentException(
+      "graft-table sink needs option(\"checkpointLocation\", ...) — it keys the exactly-once txn watermark"))
+    val app = StreamingIngest.appId(ckpt)
+    new Sink {
+      private lazy val table = TsTable.open(tableRoot)
+      override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+        // the engine hands a streaming-tagged plan whose actions throw;
+        // re-wrap it as a batch DF over the same physical RDD
+        val batch = org.apache.spark.sql.graft.Bridge.asBatch(data)
+        if (!batch.isEmpty) { table.append(batch, txn = Some((app, batchId))); () }
+      }
+      override def toString: String = s"GraftTableSink[$tableRoot]"
+    }
+  }
 
   /** Batch writer: `df.write.format("graft-table").mode("append")
     * .save(root)` runs the full transactional append pipeline (segment

@@ -31,6 +31,16 @@ object Bridge {
       classic.queryExecution.toRdd, schema, isStreaming = true)
   }
 
+  /** Inverse of [[streamingBatch]]: re-tag a v1 Sink.addBatch DataFrame
+    * (whose plan reports isStreaming=true, so actions on it throw) as an
+    * ordinary batch DataFrame over the same physical RDD — the same
+    * internalCreateDataFrame re-wrap foreachBatch performs internally. */
+  def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    classic.sparkSession.internalCreateDataFrame(
+      classic.queryExecution.toRdd, classic.schema, isStreaming = false)
+  }
+
   def emptyStreamingBatch(spark: org.apache.spark.sql.SparkSession,
                           schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -199,6 +199,47 @@ class TableStreamSourceSpec extends SparkFunSuite {
       .select("doc_id").distinct().count() == 65)
   }
 
+  test("streaming sink via writeStream.format(graft-table): transactional appends, replay-idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("sinkfmt-tbl")
+    val ckpt = tmpDir("sinkfmt-ckpt")
+    val t = TsTable.create(root, tokenMeta)
+
+    val rows = TokenGen.generate(spark, 120).as[Tok].collect().toSeq
+    val mem = MemoryStream[Tok]
+    mem.addData(rows.take(70))
+    mem.addData(rows.drop(70))
+    def runOnce(): Unit = {
+      val q = mem.toDF().writeStream.format("graft-table")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(root)
+      q.awaitTermination()
+    }
+    runOnce()
+    t.refresh()
+    assert(t.scan(spark).count() == 120)
+
+    // restart with no new data: txn watermark makes replays no-ops
+    runOnce()
+    t.refresh()
+    assert(t.scan(spark).count() == 120)
+    // and new data lands incrementally
+    mem.addData(rows.take(0) ++ TokenGen.generate(spark, 30, idStart = 5000).as[Tok].collect())
+    runOnce()
+    t.refresh()
+    assert(t.scan(spark).count() == 150)
+    assert(t.scan(spark).select("doc_id").distinct().count() == 150)
+
+    // complete/update modes are rejected up front
+    intercept[Exception] {
+      mem.toDF().groupBy("source").count().writeStream.format("graft-table")
+        .outputMode("complete")
+        .option("checkpointLocation", tmpDir("sinkfmt-ckpt2")).start(tmpDir("sinkfmt-t2"))
+    }
+  }
+
   test("table-to-table replication: stream source into StreamingIngest sink, exactly-once") {
     val srcRoot = tmpDir("srcstream-repl-src")
     val dstRoot = tmpDir("srcstream-repl-dst")
