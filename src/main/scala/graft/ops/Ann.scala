@@ -30,18 +30,24 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Deterministic coarse centroids: the `numCentroids` vectors with the
-    * smallest id-hash (a k-means seeding stand-in that keeps the whole
-    * pipeline reproducible with no iterative training).
+  /** Deterministic coarse centroids: seed with the `numCentroids` vectors
+    * of smallest id-hash, then refine with `lloydIters` deterministic
+    * Lloyd (k-means) iterations — assign every vector to its nearest
+    * centroid (broadcast join, no shuffle of the corpus beyond the
+    * groupBy), take the element-wise mean per list, keep the old centroid
+    * for any list that went empty. Reproducible end to end: hash seeding,
+    * fixed iteration count, order-insensitive means.
     *
-    * Plan: orderBy + limit = TakeOrderedAndProject — each partition emits
-    * its local top-k and the driver merges k×partitions rows, so the whole
-    * corpus is never sorted (the round-1 partitionless Window forced a
-    * single-task global sort of every vector). The k seed rows are then
-    * numbered on the driver — k is bounded by definition (a coarse
-    * quantizer is broadcast to every query anyway). */
+    * Seed plan: orderBy + limit = TakeOrderedAndProject — each partition
+    * emits its local top-k and the driver merges k×partitions rows, so
+    * the whole corpus is never sorted. Each Lloyd iteration is one
+    * broadcast-assign + one (centroid, dim)-keyed partial aggregation —
+    * at corpus scale run the refinement on a deterministic sample (e.g.
+    * `vectors.where(pmod(xxhash64(id), N) === 0)`) and assign the full
+    * corpus once with the final centroids. */
   def centroids(vectors: DataFrame, numCentroids: Int,
-                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+                vecCol: String = "embedding", idCol: String = "vec_id",
+                lloydIters: Int = 2): DataFrame = {
     val spark = vectors.sparkSession
     val top = vectors.select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol))
@@ -54,7 +60,31 @@ object Ann {
       org.apache.spark.sql.types.StructField("centroid_id",
         org.apache.spark.sql.types.IntegerType, nullable = false),
       top.schema.fields.head.copy(name = "centroid")))
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    var cents = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+    var it = 0
+    while (it < lloydIters) {
+      val assigned = nearestLists(vectors.select(col(idCol), col(vecCol)), cents, idCol, vecCol, 1)
+      // element-wise mean per list: (centroid, dim)-keyed avg with map-side
+      // partial aggregation, reassembled in dim order
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("__v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("mean"))
+      // empty lists keep their previous centroid (standard Lloyd handling)
+      cents = cents.as("c").join(means.as("u"), Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("u.mean"), col("c.centroid")).as("centroid"))
+      // the quantizer is tiny; materialize so each iteration's plan doesn't
+      // stack (and the final broadcast is a local relation)
+      val collected = cents.collect().toSeq
+      cents = spark.createDataFrame(
+        java.util.Arrays.asList(collected.sortBy(_.getInt(0)): _*), cents.schema)
+      it += 1
+    }
+    cents
   }
 
   /** Assign each row of `df` to its `n` nearest centroids (broadcast the
@@ -77,8 +107,9 @@ object Ann {
     * `buildIvfIndex(v, nc).write.partitionBy("centroid_id").parquet(...)`
     * and Spark's partition pruning turns each probe into a directory read. */
   def buildIvfIndex(vectors: DataFrame, numCentroids: Int = 16,
-                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val cents = centroids(vectors, numCentroids, vecCol, idCol)
+                    vecCol: String = "embedding", idCol: String = "vec_id",
+                    lloydIters: Int = 2): DataFrame = {
+    val cents = centroids(vectors, numCentroids, vecCol, idCol, lloydIters)
     nearestLists(vectors, cents, idCol, vecCol, 1).withColumnRenamed("__v", "v")
   }
 
@@ -102,8 +133,8 @@ object Ann {
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               numCentroids: Int = 16, nProbe: Int = 4,
               vecCol: String = "embedding", idCol: String = "vec_id",
-              qIdCol: String = "q_id"): DataFrame = {
-    val cents = centroids(vectors, numCentroids, vecCol, idCol)
+              qIdCol: String = "q_id", lloydIters: Int = 2): DataFrame = {
+    val cents = centroids(vectors, numCentroids, vecCol, idCol, lloydIters)
     val index = nearestLists(vectors, cents, idCol, vecCol, 1).withColumnRenamed("__v", "v")
     ivfTopKWithIndex(index, cents, queries, k, nProbe, vecCol, idCol, qIdCol)
   }
