@@ -91,6 +91,16 @@ object Bench {
     val (_, tMerge) = time { MergeInto.merge(spark, t, updates.unionByName(inserts)) }
     q("merge_upsert") = tMerge
 
+    // DELETE WHERE: a contiguous 1% id range (post-zorder, stats keep most
+    // files as candidates — the honest worst-ish case for a range delete)
+    val delLo = f"doc-${rows / 2}%012d"
+    val delHi = f"doc-${rows / 2 + rows / 100}%012d"
+    val (_, tDelete) = time {
+      graft.maintain.DeleteWhere.delete(spark, t,
+        col("doc_id") >= delLo && col("doc_id") < delHi)
+    }
+    q("delete_1pct") = tDelete
+
     val (_, tExpire) = time { Expire.expire(t, t.version) }
     q("expire") = tExpire
 
