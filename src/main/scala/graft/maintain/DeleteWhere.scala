@@ -60,29 +60,44 @@ object DeleteWhere {
       return Report(0, live.size, 0, 0L, totalRows, table.version)
 
     val keep = !coalesce(condition, lit(false)) // NULL predicate -> keep
-    val paths = candidates.map(seg => s"${table.root}/${seg.path}")
-    val reader = spark.read.parquet(paths: _*)
-    val survivorsInCandidates = reader.where(keep).count()
-    val candidateRows = candidates.map(_.rowCount).sum
-    val removeIds = candidates.map(_.segmentId)
+    val matchesCond = coalesce(condition, lit(false)) // rows that DELETE removes
 
-    // stats are only necessary conditions: candidates can hold zero
-    // matching rows — a no-op DELETE must not rewrite bytes or commit
-    if (survivorsInCandidates == candidateRows)
+    // per-file MATCH counts in one pass over the candidates: stats are
+    // only necessary conditions, so a candidate can hold zero matching
+    // rows — such files are never rewritten (their bytes and segment ids
+    // survive), and a fully-no-op DELETE returns without committing
+    def normalize(p: String): String =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    val paths = candidates.map(seg => s"${table.root}/${seg.path}")
+    val matchedPerFile: Map[String, Long] = spark.read.parquet(paths: _*)
+      .where(matchesCond)
+      .groupBy(input_file_name().as("f")).count()
+      .collect().map(r => normalize(r.getString(0)) -> r.getLong(1)).toMap
+    val rowsDeleted = matchedPerFile.values.sum
+    if (rowsDeleted == 0L)
       return Report(candidates.size, live.size, 0, 0L, totalRows, table.version)
+
+    val (hit, cleanCandidates) = candidates.partition(seg =>
+      matchedPerFile.contains(normalize(s"${table.root}/${seg.path}")))
+    val hitRows = hit.map(_.rowCount).sum
+    val removeIds = hit.map(_.segmentId)
+    val survivorsInHit = hitRows - rowsDeleted
 
     // the coverage recommit (time-series tables) is part of the SAME
     // commit as the Remove/Add actions — no crash window can leave a
     // stale snapshot rejecting appends into the vacated range
     val repairCov = table.timeSpec.isDefined
     val newSegs: Seq[graft.meta.SegmentMeta] =
-      if (survivorsInCandidates == 0L) {
+      if (survivorsInHit == 0L) {
         table.commitRemovals(removeIds, recomputeCoverage = repairCov); Nil
-      } else table.swapSegments(reader.where(keep), removeIds, recomputeCoverage = repairCov)
+      } else {
+        val hitPaths = hit.map(seg => s"${table.root}/${seg.path}")
+        table.swapSegments(spark.read.parquet(hitPaths: _*).where(keep), removeIds,
+          recomputeCoverage = repairCov)
+      }
 
-    Report(candidates.size, untouched.size, newSegs.size,
-      candidateRows - survivorsInCandidates,
-      totalRows - (candidateRows - survivorsInCandidates), table.version)
+    Report(candidates.size, untouched.size + cleanCandidates.size, newSegs.size,
+      rowsDeleted, totalRows - rowsDeleted, table.version)
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

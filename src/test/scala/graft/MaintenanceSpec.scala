@@ -225,6 +225,27 @@ class MaintenanceSpec extends SparkFunSuite {
       s"no-op delete rewrote/committed (v $vBefore -> ${t.version})")
   }
 
+  test("delete where: candidates without actual matches are never rewritten") {
+    import spark.implicits._
+    import graft.maintain.DeleteWhere
+    val root = tmpDir("del-perfile")
+    val t = TsTable.create(root, TableMeta("vals",
+      TableKind.Clustered(ClusterSpec(Seq("id"), "zorder")), None, None))
+    // file A stats [0, 99] but holds only {0, 99}; file B holds {40, 60}
+    t.append(Seq(0L, 99L).toDF("id").coalesce(1))
+    t.append(Seq(40L, 60L).toDF("id").coalesce(1))
+    val before = t.state.liveSegments.map(_.segmentId).toSet
+
+    // id = 40: BOTH files are stats candidates (A's [min,max] covers 40),
+    // but only B contains the row — A's bytes must survive untouched
+    val rep = DeleteWhere.delete(spark, t, col("id") === 40L)
+    assert(rep.candidates == 2 && rep.rowsDeleted == 1 && rep.filesOut == 1,
+      s"per-file refinement failed: $rep")
+    val after = t.state.liveSegments.map(_.segmentId).toSet
+    assert(before.intersect(after).size == 1, "zero-match candidate was rewritten")
+    assert(t.scan(spark).select("id").as[Long].collect().sorted.toSeq == Seq(0L, 60L, 99L))
+  }
+
   test("delete where: NULL predicate rows are kept (SQL DELETE semantics)") {
     import spark.implicits._
     import graft.maintain.DeleteWhere
