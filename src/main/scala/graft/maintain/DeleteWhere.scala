@@ -67,7 +67,10 @@ object DeleteWhere {
     // rows — such files are never rewritten (their bytes and segment ids
     // survive), and a fully-no-op DELETE returns without committing
     def normalize(p: String): String =
-      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+      if (p.startsWith("file:"))
+        try Option(new java.net.URI(p).getPath).getOrElse(p)
+        catch { case _: Exception => p } // URI-hostile path chars: raw form on both sides still matches
+      else p
     val paths = candidates.map(seg => s"${table.root}/${seg.path}")
     val matchedPerFile: Map[String, Long] = spark.read.parquet(paths: _*)
       .where(matchesCond)
