@@ -147,6 +147,12 @@ object Main {
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
         System.out, preload)
 
+    case "history" =>
+      val t = TsTable.open(req(args, "table"))
+      val n = opt(args, "max-rows").map(_.toInt).getOrElse(20)
+      print(org.apache.spark.sql.graft.Bridge.showString(
+        t.history(spark, limit = math.max(n, 1)), n, truncate = 0))
+
     case "coverage" =>
       val t = TsTable.open(req(args, "table"))
       val us = (d: String) => java.time.Instant.parse(d).toEpochMilli * 1000L

@@ -65,6 +65,37 @@ final class TsTable private (val root: String, val store: LogStore) {
   def readStream(spark: SparkSession, options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream.format("graft-table").options(options).load(root)
 
+  /** One row per commit (newest first): version, timestamp, action
+    * counts, and a derived operation label — the audit/debug view of the
+    * transaction log (DESCRIBE HISTORY analog). Driver-side metadata only:
+    * commit JSONs are KBs; rows are materialized via createDataFrame. */
+  def history(spark: SparkSession, limit: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    val cur = store.currentVersion()
+    val lo = math.max(1L, cur - limit + 1)
+    val rows = (lo to cur).reverseIterator.map { v =>
+      val c = store.readCommit(v)
+      val adds = c.actions.count(_.isInstanceOf[LogAction.AddSegment])
+      val removes = c.actions.count(_.isInstanceOf[LogAction.RemoveSegment])
+      val meta = c.actions.exists(_.isInstanceOf[LogAction.UpdateTableMeta])
+      val cov = c.actions.exists(_.isInstanceOf[LogAction.UpdateTableCoverage])
+      val txn = c.actions.collectFirst { case LogAction.SetTxn(app, b) => s"$app#$b" }
+      val rowsAdded = c.actions.collect { case LogAction.AddSegment(s) => s.rowCount }.sum
+      val op =
+        if (adds > 0 && removes > 0) "REWRITE"            // compaction/merge/delete swap
+        else if (removes > 0) "DELETE"                    // metadata-only removal
+        else if (adds > 0 && txn.isDefined) "STREAMING APPEND"
+        else if (adds > 0) "APPEND"
+        else if (meta && v == 1L) "CREATE"
+        else if (cov) "COVERAGE"
+        else "METADATA"
+      (v, new java.sql.Timestamp(c.timestampMillis), op, adds, removes, rowsAdded,
+        meta, cov, txn.orNull)
+    }.toSeq
+    rows.toDF("version", "timestamp", "operation", "files_added", "files_removed",
+      "rows_added", "meta_updated", "coverage_updated", "txn")
+  }
+
   private[graft] def scanState(spark: SparkSession, st: TableState): DataFrame =
     relationAt(spark, st) match {
       case Some(rel) => spark.baseRelationToDataFrame(rel)

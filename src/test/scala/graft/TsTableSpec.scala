@@ -11,6 +11,25 @@ import graft.table._
   * reference's append-pipeline and coverage-pipeline integration tests. */
 class TsTableSpec extends SparkFunSuite {
 
+  test("history: one labeled row per commit, newest first") {
+    import graft.maintain.{Compaction, DeleteWhere}
+    val root = tmpDir("hist-tbl")
+    val t = TsTable.create(root, TableMeta("tokens",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
+    t.append(graft.data.TokenGen.generate(spark, 100, numFiles = 4))
+    Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024)
+    DeleteWhere.delete(spark, t, org.apache.spark.sql.functions.col("doc_id") < "doc-000000000010")
+    val h = t.history(spark).collect()
+    assert(h.length == t.version.toInt)
+    assert(h.head.getLong(0) == t.version && h.last.getLong(0) == 1L, "not newest-first")
+    val ops = h.map(_.getString(2)).toSeq
+    assert(ops.last == "CREATE")
+    assert(ops.contains("APPEND") && ops.contains("REWRITE"), s"ops: $ops")
+    // limit keeps only the newest commits
+    assert(t.history(spark, limit = 2).collect().map(_.getLong(0)).toSeq ==
+      Seq(t.version, t.version - 1))
+  }
+
   private def tokenMeta = TableMeta("tokens",
     TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None)
 
