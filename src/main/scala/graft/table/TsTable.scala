@@ -73,7 +73,11 @@ final class TsTable private (val root: String, val store: LogStore) {
     import spark.implicits._
     val cur = store.currentVersion()
     val lo = math.max(1L, cur - limit + 1)
-    val rows = (lo to cur).reverseIterator.map { v =>
+    // snapshot expiration drops commit files at or below its checkpoint;
+    // history covers what the log still holds
+    val rows = (lo to cur).reverseIterator
+      .filter(v => Files.exists(store.commitPath(v)))
+      .map { v =>
       val c = store.readCommit(v)
       val adds = c.actions.count(_.isInstanceOf[LogAction.AddSegment])
       val removes = c.actions.count(_.isInstanceOf[LogAction.RemoveSegment])

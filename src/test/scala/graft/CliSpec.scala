@@ -78,6 +78,10 @@ class CliSpec extends SparkFunSuite {
     // predicate delete through the CLI
     run("delete", "--table", root, "--where", "n_tok < 100")
     assert(TsTable.open(root).scan(spark).where(col("n_tok") < 100).count() == 0)
+
+    // commit-log inspection (exercises the verb wiring; content asserted
+    // in TsTableSpec's history test)
+    run("history", "--table", root, "--max-rows", "5")
   }
 
   test("create rejects invalid bucket specs with a friendly error") {

@@ -52,6 +52,7 @@ class ShellSpec extends SparkFunSuite {
          |.refresh tok
          |SELECT count(*) AS n FROM tok WHERE doc_id = 'doc-; not a real id';
          |.maxrows 3
+         |.history tok
          |.quit
          |""".stripMargin
     val out = drive(script)
@@ -62,6 +63,8 @@ class ShellSpec extends SparkFunSuite {
     assert(out.contains("100"), s"time-travel count missing:\n$out")
     assert(out.contains("time: "), "timing line missing")
     assert(out.contains("maxrows 3"))
+    assert(out.contains("APPEND") && out.contains("operation"),
+      s".history output missing:\n$out")
   }
 
   test("shell: errors are reported, not fatal; unknown meta-command handled") {
