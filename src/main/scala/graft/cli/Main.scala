@@ -22,6 +22,7 @@ import graft.table.TsTable
   *   expire  --table ROOT --keep-from VERSION
   *   delete  --table ROOT --where "SQL predicate"
   *   merge   --table ROOT --updates PARQUET [--key COL]
+  *   history --table ROOT [--max-rows N]
   *   coverage --table ROOT --start ISO --end ISO
   */
 object Main {

@@ -65,23 +65,28 @@ object DeleteWhere {
     // per-file MATCH counts in one pass over the candidates: stats are
     // only necessary conditions, so a candidate can hold zero matching
     // rows — such files are never rewritten (their bytes and segment ids
-    // survive), and a fully-no-op DELETE returns without committing
-    def normalize(p: String): String =
-      if (p.startsWith("file:"))
-        try Option(new java.net.URI(p).getPath).getOrElse(p)
-        catch { case _: Exception => p } // URI-hostile path chars: raw form on both sides still matches
-      else p
+    // survive), and a fully-no-op DELETE returns without committing.
+    // Both sides of the attribution compare through PathNorm.canonical,
+    // so trailing-slash or relative table roots line up with
+    // input_file_name()'s URI form.
+    import graft.meta.PathNorm
     val paths = candidates.map(seg => s"${table.root}/${seg.path}")
     val matchedPerFile: Map[String, Long] = spark.read.parquet(paths: _*)
       .where(matchesCond)
       .groupBy(input_file_name().as("f")).count()
-      .collect().map(r => normalize(r.getString(0)) -> r.getLong(1)).toMap
+      .collect().map(r => PathNorm.canonical(r.getString(0)) -> r.getLong(1)).toMap
     val rowsDeleted = matchedPerFile.values.sum
     if (rowsDeleted == 0L)
       return Report(candidates.size, live.size, 0, 0L, totalRows, table.version)
 
-    val (hit, cleanCandidates) = candidates.partition(seg =>
-      matchedPerFile.contains(normalize(s"${table.root}/${seg.path}")))
+    var (hit, cleanCandidates) = candidates.partition(seg =>
+      matchedPerFile.contains(PathNorm.canonical(s"${table.root}/${seg.path}")))
+    // sanity net: every matched file must attribute to a candidate; if any
+    // does not (exotic path scheme), fall back to rewriting ALL candidates
+    // — sound, just less surgical
+    val attributed = candidates
+      .map(seg => PathNorm.canonical(s"${table.root}/${seg.path}")).toSet
+    if (matchedPerFile.keys.exists(!attributed(_))) { hit = candidates; cleanCandidates = Nil }
     val hitRows = hit.map(_.rowCount).sum
     val removeIds = hit.map(_.segmentId)
     val survivorsInHit = hitRows - rowsDeleted

@@ -35,8 +35,14 @@ object Ann {
     * Lloyd (k-means) iterations — assign every vector to its nearest
     * centroid (broadcast join, no shuffle of the corpus beyond the
     * groupBy), take the element-wise mean per list, keep the old centroid
-    * for any list that went empty. Reproducible end to end: hash seeding,
-    * fixed iteration count, order-insensitive means.
+    * for any list that went empty. Reproducibility: hash seeding and the
+    * fixed iteration count are exact; the means are rounded to 12 decimal
+    * digits so the (shuffle-fetch-order-dependent) low bits of the
+    * floating-point partial-sum reduction collapse to one value — runs
+    * agree unless a vector sits within ~1e-12 of a centroid decision
+    * boundary. For strict bit-reproducibility use lloydIters = 0, and to
+    * reuse ONE trained quantizer across builds pass the centroids
+    * explicitly (buildIvfIndexWith / ivfTopKWithIndex).
     *
     * Seed plan: orderBy + limit = TakeOrderedAndProject — each partition
     * emits its local top-k and the driver merges k×partitions rows, so
@@ -70,7 +76,7 @@ object Ann {
       val means = assigned
         .select(col("centroid_id"), posexplode(col("__v")))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg(round(avg(col("col")), 12).as("m"))
         .groupBy(col("centroid_id"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("mean"))
       // empty lists keep their previous centroid (standard Lloyd handling)
@@ -108,10 +114,15 @@ object Ann {
     * and Spark's partition pruning turns each probe into a directory read. */
   def buildIvfIndex(vectors: DataFrame, numCentroids: Int = 16,
                     vecCol: String = "embedding", idCol: String = "vec_id",
-                    lloydIters: Int = 2): DataFrame = {
-    val cents = centroids(vectors, numCentroids, vecCol, idCol, lloydIters)
+                    lloydIters: Int = 2): DataFrame =
+    buildIvfIndexWith(vectors,
+      centroids(vectors, numCentroids, vecCol, idCol, lloydIters), vecCol, idCol)
+
+  /** Index build against a PRE-TRAINED quantizer — the shape to use when
+    * the same centroids must serve several builds/query runs verbatim. */
+  def buildIvfIndexWith(vectors: DataFrame, cents: DataFrame,
+                        vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
     nearestLists(vectors, cents, idCol, vecCol, 1).withColumnRenamed("__v", "v")
-  }
 
   /** IVF top-k over a prebuilt index (columns: idCol, v, centroid_id) and
     * its centroid table: queries probe their `nProbe` nearest lists only —

@@ -38,18 +38,9 @@ object StreamingIngest {
     // replayed batches. (Tables whose watermarks predate this
     // canonicalization and used a "file:" spelling carry the old key; one
     // replayed batch after upgrading re-appends — re-create the checkpoint
-    // or the table when migrating such a stream.) Opaque URIs ("file:x",
-    // no slash) have a null getPath — fall through to the raw string.
-    val local =
-      if (checkpointDir.startsWith("file:"))
-        try Option(new java.net.URI(checkpointDir).getPath).getOrElse(checkpointDir)
-        catch { case _: Exception => checkpointDir }
-      else checkpointDir
-    val canonical =
-      if (local.contains(":/")) local.stripSuffix("/") // non-local URI (s3a://…): as-is
-      else try java.nio.file.Paths.get(local).toAbsolutePath.normalize.toString
-      catch { case _: Exception => local }
-    "stream:" + canonical
+    // or the table when migrating such a stream.)
+    val c = graft.meta.PathNorm.canonical(checkpointDir)
+    "stream:" + (if (c.contains(":/")) c.stripSuffix("/") else c)
   }
 
   /** Attach a graft-table sink to a streaming DataFrame. Caller starts the
@@ -60,10 +51,10 @@ object StreamingIngest {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) { // empty replays are naturally idempotent
-          table.append(batch, txn = Some((app, batchId)))
-          ()
-        }
+        // append() no-ops on empty batches (watermark still advances) —
+        // no pre-flight isEmpty job, every batch plan executes once
+        table.append(batch, txn = Some((app, batchId)))
+        ()
       }
   }
 

@@ -243,15 +243,20 @@ final class GraftSourceProvider extends StreamSourceProvider with StreamSinkProv
     val ckpt = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v
     }.getOrElse(throw new IllegalArgumentException(
-      "graft-table sink needs option(\"checkpointLocation\", ...) — it keys the exactly-once txn watermark"))
+      "graft-table sink needs an EXPLICIT option(\"checkpointLocation\", ...): it keys the " +
+        "exactly-once txn watermark, which must be stable across restarts. The session default " +
+        "(spark.sql.streaming.checkpointLocation) resolves to a per-start subdirectory for " +
+        "unnamed queries, so it cannot provide that identity."))
     val app = StreamingIngest.appId(ckpt)
     new Sink {
       private lazy val table = TsTable.open(tableRoot)
       override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
         // the engine hands a streaming-tagged plan whose actions throw;
-        // re-wrap it as a batch DF over the same physical RDD
-        val batch = org.apache.spark.sql.graft.Bridge.asBatch(data)
-        if (!batch.isEmpty) { table.append(batch, txn = Some((app, batchId))); () }
+        // re-wrap it as a batch DF over the same physical RDD. append()
+        // executes it exactly once and no-ops on empty batches.
+        table.append(org.apache.spark.sql.graft.Bridge.asBatch(data),
+          txn = Some((app, batchId)))
+        ()
       }
       override def toString: String = s"GraftTableSink[$tableRoot]"
     }

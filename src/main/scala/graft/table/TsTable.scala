@@ -203,16 +203,31 @@ final class TsTable private (val root: String, val store: LogStore) {
 
     // (1) write data files once; all retries below are metadata-only
     df.write.options(segmentWriteOptions).mode("overwrite").parquet(stagingAbs)
-    val written = listParquet(stagingAbs)
-    require(written.nonEmpty, "append produced no data files")
+    val written0 = listParquet(stagingAbs)
+
+    // (2) per-file stats from footers only — no data scan. Empty input is
+    // a successful NO-OP (zero-row part files are discarded, never
+    // committed as segments); a streaming txn batch still advances its
+    // watermark so replays of the empty batch stay idempotent — this is
+    // what lets the streaming sinks hand every batch straight to append
+    // without a pre-flight isEmpty job.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statsAll = FooterStats.readAll(conf, written0)
+    val (liveStats, emptyStats) = statsAll.partition(_._2.rowCount > 0)
+    emptyStats.foreach(f => Files.deleteIfExists(Paths.get(stripScheme(f._1))))
+    if (liveStats.isEmpty) {
+      deleteRecursively(Paths.get(stripScheme(stagingAbs)))
+      return txn match {
+        case Some((app, batch)) => commitTxnOnly(app, batch)
+        case None => refresh(); cachedState.version
+      }
+    }
+    val written = liveStats.map(_._1)
+    val fileStats = liveStats
 
     // canonical on-disk schema (reference adopts from the Parquet footer,
     // append.rs:130-151)
     val diskSchema = spark.read.parquet(stagingAbs).schema
-
-    // (2) per-file stats from footers only — no data scan
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fileStats = FooterStats.readAll(conf, written)
 
     // (3) time-series extras: coverage bitmaps + entity identity
     val tsExtras = timeSpec.map { spec =>
@@ -432,6 +447,28 @@ final class TsTable private (val root: String, val store: LogStore) {
         val v = store.commitWithExpectedVersion(st.version, actions)
         cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
         return segs
+      } catch {
+        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Watermark-only commit for an empty streaming batch: the (app, batch)
+    * txn advances with no segments, so a replay of the empty batch is
+    * still recognized as already-applied. */
+  private def commitTxnOnly(app: String, batch: Long, maxRetries: Int = 3): Long = {
+    var attempt = 0
+    while (true) {
+      refresh()
+      val st = cachedState
+      if (st.txns.get(app).exists(_ >= batch)) return st.version
+      val actions: Seq[LogAction] = Seq(LogAction.SetTxn(app, batch))
+      try {
+        val v = store.commitWithExpectedVersion(st.version, actions)
+        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
+        return v
       } catch {
         case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
           attempt += 1

@@ -225,6 +225,19 @@ class MaintenanceSpec extends SparkFunSuite {
       s"no-op delete rewrote/committed (v $vBefore -> ${t.version})")
   }
 
+  test("delete where works with a trailing-slash table root (path canonicalization)") {
+    import spark.implicits._
+    import graft.maintain.DeleteWhere
+    val root = tmpDir("del-slash")
+    TsTable.create(root, TableMeta("vals",
+      TableKind.Clustered(ClusterSpec(Seq("id"), "zorder")), None, None))
+    val t = TsTable.open(root + "/") // user-supplied trailing slash
+    t.append((1L to 10L).toDF("id").coalesce(1))
+    val rep = DeleteWhere.delete(spark, t, col("id") <= 3L)
+    assert(rep.rowsDeleted == 3, s"trailing-slash root broke per-file attribution: $rep")
+    assert(t.scan(spark).count() == 7)
+  }
+
   test("delete where: candidates without actual matches are never rewritten") {
     import spark.implicits._
     import graft.maintain.DeleteWhere

@@ -231,7 +231,7 @@ class OpsSpec extends SparkFunSuite {
     val queries = emb.where(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding"))
     val cents = Ann.centroids(vectors, 8)
-    val index = Ann.buildIvfIndex(vectors, 8)
+    val index = Ann.buildIvfIndexWith(vectors, cents) // ONE quantizer for build + probe
     val idxDir = tmpDir("ivf-stored")
     index.write.mode("overwrite").partitionBy("centroid_id").parquet(idxDir)
     val stored = spark.read.parquet(idxDir)

@@ -74,6 +74,32 @@ class StreamingSpec extends SparkFunSuite {
     assert(t3.scan(spark).count() == 100, "replay after checkpoint must still skip")
   }
 
+  test("empty batch: append no-ops but the txn watermark still advances") {
+    import spark.implicits._
+    val root = tmpDir("stream-empty")
+    val t = TsTable.create(root, tokenMeta)
+    t.append(TokenGen.generate(spark, 20))
+    val app = StreamingIngest.appId(tmpDir("stream-empty-ckpt"))
+    val before = t.version
+
+    // an all-filtered (empty) batch: no segments, no zero-row files, but
+    // the watermark records the batch so its replay is recognized
+    val empty = TokenGen.generate(spark, 10).where(col("n_tok") < 0)
+    t.append(empty, txn = Some((app, 0L)))
+    assert(t.scan(spark).count() == 20)
+    assert(t.state.liveSegments.forall(_.rowCount > 0), "zero-row segment committed")
+    assert(t.state.txns(app) == 0L, "empty batch did not advance the watermark")
+    assert(t.version == before + 1)
+
+    // replay of the empty batch: nothing moves
+    val v = t.append(TokenGen.generate(spark, 10), txn = Some((app, 0L)))
+    assert(v == t.version && t.scan(spark).count() == 20, "replayed batch landed")
+
+    // without a txn, empty input is a pure no-op (no commit at all)
+    val v2 = t.append(empty)
+    assert(v2 == t.version && t.scan(spark).count() == 20)
+  }
+
   test("foreachBatch replay through the sink is idempotent per checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

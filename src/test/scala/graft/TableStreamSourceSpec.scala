@@ -226,7 +226,7 @@ class TableStreamSourceSpec extends SparkFunSuite {
     t.refresh()
     assert(t.scan(spark).count() == 120)
     // and new data lands incrementally
-    mem.addData(rows.take(0) ++ TokenGen.generate(spark, 30, idStart = 5000).as[Tok].collect())
+    mem.addData(TokenGen.generate(spark, 30, idStart = 5000).as[Tok].collect().toSeq)
     runOnce()
     t.refresh()
     assert(t.scan(spark).count() == 150)
