@@ -199,15 +199,24 @@ object SparkEntry {
       Dedup.exact(tbl(s, dir, "documents")
         .select(TextOps.fingerprint(col("text")).as("fp"), col("doc_id")), "fp", "doc_id")),
 
+    // LSH candidates + EXACT shingle-set Jaccard verification: the output
+    // semantics ({pairs : jaccard >= 0.5}) carry no hash opacity, so the
+    // oracle recomputes the emitted set end-to-end with quadratic SQL.
+    // 0.5 sits in the corpus's similarity gap (background <= 0.4, planted
+    // dups >= 0.8, where 16x4 banding recall is ~1 per pair).
     "q21_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashLshPairs(tbl(s, dir, "documents"), "text", "doc_id",
-        threshold = 0.2).select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("ej"))),
+      Dedup.minhashLshPairsVerified(tbl(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 5, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))),
 
-    // default radius 3 rides the lossless block-combination scheme
-    // (C(8,5) 40-bit keys); the round-1 radius-16 call degenerated to
-    // single-chunk blocking, which cannot scale past ~10^6 docs
+    // radius 3 rides the LOSSLESS block-combination scheme (C(8,5) 40-bit
+    // keys), so the emitted set is exactly {pairs : hamming <= 3}; the
+    // md5-word-hash simhash variant lets DuckDB rebuild the hash from
+    // md5() hex digits and recompute that set quadratically — end-to-end
+    // oracle coverage of the blocking + pairing machinery (the xxhash64
+    // kernel stays the production fast path, exercised in Bench/OpsSpec)
     "q22_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(tbl(s, dir, "documents"), "text", "doc_id", maxHamming = 3)),
+      Dedup.simhashPairsMd5(tbl(s, dir, "documents"), "text", "doc_id", maxHamming = 3)),
 
     "q23_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "text", "doc_id",
@@ -234,14 +243,19 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
     }),
 
-    // IVF ANN (scale path; recall measured in tests) — rows-only check
+    // IVF ANN at FULL probe (nProbe == numCentroids): every query probes
+    // every list, which is mathematically identical to brute force — so
+    // the q25 oracle applies verbatim and a green row proves the whole
+    // IVF machinery (centroid training, argmax assignment, list-probe
+    // join, ranking) end to end. Partial-probe recall is measured in
+    // OpsSpec; the scale story is the partition-pruned probe join.
     "q26_ivf_ann" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val qs = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding"))
-      Ann.ivfTopK(emb.where(col("vec_id") % 100 =!= 0), qs, 5, numCentroids = 16, nProbe = 4)
-        .select(col("q_id"), col("vec_id"), col("rank"))
+      Ann.ivfTopK(emb.where(col("vec_id") % 100 =!= 0), qs, 5, numCentroids = 16, nProbe = 16)
+        .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
     }),
 
     // ---- text analysis --------------------------------------------------
@@ -320,6 +334,24 @@ object SparkEntry {
     * xxhash64, IVF recall, rolling fingerprints, langid heuristic). */
   def oracleSql: Map[String, String] = {
     val docIdNum = "CAST(substr(doc_id, 5) AS BIGINT)" // engine tables carry doc-%012d
+    // exact cosine top-5 — shared by q25 (brute force) and q26 (IVF at
+    // full probe, which is mathematically the same search)
+    val annTopK =
+      """WITH qs AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings WHERE vec_id % 100 = 0),
+        |  vs AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id % 100 <> 0),
+        |  scored AS (
+        |    SELECT q_id, vec_id,
+        |      (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |         FROM (SELECT unnest(v) AS x, unnest(q) AS y) z) /
+        |      sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |         FROM (SELECT unnest(v) AS x) z2)) /
+        |      sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |         FROM (SELECT unnest(q) AS y) z3)) AS cos
+        |    FROM vs CROSS JOIN qs),
+        |  ranked AS (SELECT q_id, vec_id, cos,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |    FROM scored)
+        |SELECT q_id, vec_id, rank, round(cos, 6) AS cos_r FROM ranked WHERE rank <= 5""".stripMargin
     Map(
       "q01_agg" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
@@ -408,6 +440,48 @@ object SparkEntry {
           |  got AS (SELECT DISTINCT date_trunc('minute', ts) AS m FROM events)
           |SELECT m AS bucket_start FROM exp EXCEPT SELECT m AS bucket_start FROM got""".stripMargin,
 
+      // q21 emits {pairs : exact 5-gram jaccard >= 0.5} (LSH proposes,
+      // exact verification decides) — plain quadratic SQL at oracle scale
+      "q21_minhash_pairs" ->
+        """WITH sh AS (
+          |  SELECT doc_id AS id,
+          |    list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)),
+          |                  i -> substring(text, i, 5))) AS s
+          |  FROM documents),
+          |p AS (
+          |  SELECT a.id AS id_a, b.id AS id_b,
+          |    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS sa, len(b.s) AS sb
+          |  FROM sh a JOIN sh b ON a.id < b.id)
+          |SELECT id_a, id_b, round(inter * 1.0 / (sa + sb - inter), 4) AS j
+          |FROM p WHERE inter * 1.0 / (sa + sb - inter) >= 0.5""".stripMargin,
+
+      // q22: rebuild the md5-word-hash simhash per doc (bit b of a word's
+      // hash = bit (3 - b%4) of md5 hex digit b/4, exactly the kernel's
+      // byte/bit order; two 32-bit halves sidestep BIGINT sign issues),
+      // then all-pairs Hamming <= 3 — the emitted set is lossless-blocked,
+      // so quadratic recomputation is exact
+      "q22_simhash_pairs" ->
+        """WITH w AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+          |  FROM documents),
+          |h AS (SELECT doc_id, list_transform(ws, x -> md5(x)) AS hs FROM w),
+          |s AS (SELECT doc_id,
+          |  CAST(list_sum(list_transform(range(0, 32), b -> CASE WHEN
+          |      2 * len(list_filter(hs, m ->
+          |        ((strpos('0123456789abcdef', substr(m, CAST(b // 4 AS INT) + 1, 1)) - 1)
+          |          >> (3 - CAST(b % 4 AS INT))) & 1 = 1)) > len(hs)
+          |      THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END)) AS BIGINT) AS w0,
+          |  CAST(list_sum(list_transform(range(32, 64), b -> CASE WHEN
+          |      2 * len(list_filter(hs, m ->
+          |        ((strpos('0123456789abcdef', substr(m, CAST(b // 4 AS INT) + 1, 1)) - 1)
+          |          >> (3 - CAST(b % 4 AS INT))) & 1 = 1)) > len(hs)
+          |      THEN CAST(1 AS BIGINT) << CAST(b - 32 AS INT) ELSE 0 END)) AS BIGINT) AS w1
+          |  FROM h)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS hamming
+          |FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3""".stripMargin,
+
       // exact n-gram jaccard is plain (quadratic) SQL at oracle scale;
       // maxShingleFreq never triggers at sf0.01 (500 docs < 1000 freq cap)
       "q23_ngram_jaccard" ->
@@ -442,22 +516,8 @@ object SparkEntry {
           |    FROM s a JOIN s b ON a.vec_id < b.vec_id)
           |SELECT id_a, id_b, round(cos, 6) AS cos_r FROM p WHERE cos >= 0.15""".stripMargin,
 
-      "q25_ann_topk" ->
-        """WITH qs AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings WHERE vec_id % 100 = 0),
-          |  vs AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id % 100 <> 0),
-          |  scored AS (
-          |    SELECT q_id, vec_id,
-          |      (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-          |         FROM (SELECT unnest(v) AS x, unnest(q) AS y) z) /
-          |      sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-          |         FROM (SELECT unnest(v) AS x) z2)) /
-          |      sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
-          |         FROM (SELECT unnest(q) AS y) z3)) AS cos
-          |    FROM vs CROSS JOIN qs),
-          |  ranked AS (SELECT q_id, vec_id, cos,
-          |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-          |    FROM scored)
-          |SELECT q_id, vec_id, rank, round(cos, 6) AS cos_r FROM ranked WHERE rank <= 5""".stripMargin,
+      "q25_ann_topk" -> annTopK,
+      "q26_ivf_ann" -> annTopK,
 
       "q30_token_count" ->
         """SELECT source,

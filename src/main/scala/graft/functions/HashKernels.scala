@@ -154,6 +154,48 @@ object HashKernels {
     }
     sh
   }
+
+  /** 64-bit SimHash with MD5 word hashes — the oracle-recomputable
+    * variant: xxhash64 is Spark-private, but MD5 is identical in every
+    * engine, so DuckDB can rebuild this hash from
+    * `md5(word)` hex digits and cross-check emitted near-dup pairs
+    * end-to-end (CORRECTNESS gate q22). Tokens are maximal non-whitespace
+    * runs (== regexp_split_to_array + drop-empties in the oracle; no
+    * empty-token votes, unlike [[simhash]]'s Java-split semantics). Bit b
+    * of a word's hash is bit (7 − b%8) of MD5 byte b/8 — the natural
+    * bit order of the hex string, so the oracle indexes hex digit b/4.
+    * Zero tokens → hash 0. The production path stays [[simhash]]
+    * (~5× faster: no digest allocation); parity of the *pair semantics*
+    * is what OpsSpec asserts. */
+  def simhashMd5(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val counts = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (!isWs(bytes(i))) {
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        md.reset()
+        md.update(bytes, start, i - start)
+        val d = md.digest()
+        var b = 0
+        while (b < 64) {
+          val bit = (d(b >> 3) >> (7 - (b & 7))) & 1
+          counts(b) += (if (bit == 1) 1 else -1)
+          b += 1
+        }
+      } else i += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sh |= 1L << b
+      b += 1
+    }
+    sh
+  }
 }
 
 /** Codegen'd MinHash signature column (array<bigint> of length
@@ -192,6 +234,24 @@ case class ShingleHashes(child: Expression, shingleSize: Int) extends UnaryExpre
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.shingleHashes($c, $shingleSize)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd MD5-word-hash SimHash column (oracle-recomputable variant). */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string column, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5"
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.simhashMd5(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhashMd5($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Tight-loop kernels for the embedding operators (same rationale as
   * HashKernels: Spark's higher-order functions never codegen, and the
@@ -25,6 +25,55 @@ object VectorKernels {
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
+  }
+
+  /** Top-`n` nearest centroids of `v` by cosine, as 1-based centroid ids
+    * ordered by (cosine desc, id asc) — the ties and ordering of the
+    * former Window.partitionBy(id) formulation, without its n×NC shuffle:
+    * the centroid matrix rides along as a broadcast-sized literal and the
+    * argmax is one tight loop per row, so IVF assignment (and every Lloyd
+    * iteration) is a pure projection. Zero-norm vectors or centroids score
+    * −2.0 (< any real cosine), so a degenerate all-zero centroid can never
+    * capture the corpus via NaN ordering (0/0 sorts first under desc). */
+  def nearestCentroids(v: ArrayData, cents: Array[Array[Double]],
+                       norms: Array[Double], n: Int): ArrayData = {
+    val nc = cents.length
+    val dims = v.numElements()
+    var vn = 0.0
+    var i = 0
+    while (i < dims) { val x = v.getDouble(i); vn += x * x; i += 1 }
+    vn = math.sqrt(vn)
+    val scores = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val cent = cents(c)
+      if (vn == 0.0 || norms(c) == 0.0) scores(c) = -2.0
+      else {
+        val m = math.min(dims, cent.length)
+        var acc = 0.0
+        var j = 0
+        while (j < m) { acc += v.getDouble(j) * cent(j); j += 1 }
+        scores(c) = acc / vn / norms(c)
+      }
+      c += 1
+    }
+    val k = math.min(n, nc)
+    val out = new Array[Int](k)
+    val taken = new Array[Boolean](nc)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < nc) {
+        if (!taken(c2) && scores(c2) > bestScore) { best = c2; bestScore = scores(c2) }
+        c2 += 1
+      }
+      taken(best) = true
+      out(r) = best + 1 // 1-based centroid_id, ties broken by smaller id
+      r += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Multi-probe hyperplane LSH blocks for a vector: element 0 is the home
@@ -92,6 +141,41 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Codegen'd top-`n` nearest-centroid ids (array<int>, 1-based, ordered
+  * by cosine desc then id). The centroid matrix is a literal carried into
+  * generated code as a reference object — the broadcast-argmax shape that
+  * replaces the Window-over-crossJoin IVF assignment (a multi-PB exchange
+  * per Lloyd iteration at 10^10 vectors × 256 centroids). Centroids are
+  * held as Seq-of-Seq so expression equality/canonicalization stays
+  * structural. */
+case class NearestCentroids(child: Expression, cents: Seq[Seq[Double]], n: Int)
+    extends UnaryExpression {
+  require(cents.nonEmpty && n >= 1)
+  @transient private lazy val matrix: Array[Array[Double]] = cents.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] =
+    matrix.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCentroids(v.asInstanceOf[ArrayData], matrix, norms, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centsMatrix", matrix, "double[][]")
+    val nm = ctx.addReferenceObj("centsNorms", norms, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.nearestCentroids($c, $m, $nm, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Codegen'd multi-probe hyperplane-LSH block keys (array<bigint>,

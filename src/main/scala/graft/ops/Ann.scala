@@ -93,17 +93,33 @@ object Ann {
     cents
   }
 
-  /** Assign each row of `df` to its `n` nearest centroids (broadcast the
-    * tiny centroid table, per-row argmax window). */
+  /** Assign each row of `df` to its `n` nearest centroids. The centroid
+    * table is quantizer-sized (tiny by construction), so it is collected
+    * once and compiled into a single codegen'd per-row argmax projection
+    * ([[graft.functions.NearestCentroids]]) — zero shuffle, zero
+    * crossJoin: the round-2 formulation exploded every vector against
+    * every centroid and ranked with Window.partitionBy(id), an n×NC
+    * exchange that at 10^10 vectors × 256 centroids is a multi-PB shuffle
+    * per Lloyd iteration. Ordering and ties (cosine desc, centroid_id
+    * asc) are identical; zero-norm vectors/centroids score −2.0 instead
+    * of NaN (which sorted FIRST under desc and let a degenerate centroid
+    * swallow the corpus). */
   private def nearestLists(df: DataFrame, cents: DataFrame, dfId: String,
                            dfVec: String, n: Int): DataFrame = {
-    val scored = df.select(col(dfId), col(dfVec).as("__v"))
-      .crossJoin(broadcast(cents))
-      .select(col(dfId), col("__v"), col("centroid_id"),
-        cosine(col("__v"), col("centroid")).as("__cs"))
-    val w = Window.partitionBy(dfId).orderBy(col("__cs").desc, col("centroid_id"))
-    scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= n)
-      .select(col(dfId), col("__v"), col("centroid_id"))
+    import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+    val rows = cents.select(col("centroid_id"), col("centroid")).collect()
+      .sortBy(_.getInt(0))
+    require(rows.nonEmpty, "empty centroid table")
+    require(rows.head.getInt(0) == 1 && rows.last.getInt(0) == rows.length,
+      "centroid_id must be dense 1..NC")
+    val matrix: Seq[Seq[Double]] = rows.toSeq.map(_.getSeq[Double](1))
+    val nearest = ofExpr(graft.functions.NearestCentroids(
+      toExpr(col("__v")), matrix, n))
+    val base = df.select(col(dfId), col(dfVec).as("__v"))
+    if (n == 1)
+      base.select(col(dfId), col("__v"), element_at(nearest, 1).as("centroid_id"))
+    else
+      base.select(col(dfId), col("__v"), explode(nearest).as("centroid_id"))
   }
 
   /** The IVF "index build": vectors labeled with their nearest centroid.

@@ -91,6 +91,56 @@ object Dedup {
     finally banded.unpersist(false)
   }
 
+  /** MinHash-LSH near-dup pairs with EXACT Jaccard verification — the
+    * candidates-then-verify pipeline every production dedup runs, and the
+    * oracle-green shape (CORRECTNESS gate q21): LSH banding proposes
+    * candidates, each candidate is verified with the EXACT shingle-set
+    * Jaccard, so the emitted set equals {pairs : jaccard ≥ threshold}
+    * (up to band-recall, below) and a DuckDB oracle recomputes it
+    * end-to-end with plain quadratic SQL — no xxhash64 opacity in the
+    * OUTPUT semantics. Per-pair candidate probability at true Jaccard j
+    * is 1−(1−j^r)^bands (r = numHashes/bands); at the defaults
+    * (16 bands × r = 4) that is ≥ 0.9998 for j ≥ 0.8 and < 1 % for the
+    * j ≤ 0.2 background, i.e. the banding keeps candidate volume ~linear
+    * while recall at near-dup similarity is effectively 1 — choose
+    * threshold inside the corpus's similarity gap (background « threshold
+    * ≤ planted dups) so borderline-j pairs, where band recall < 1, don't
+    * exist. Candidate volume per band is Σ_buckets C(size,2); hot buckets
+    * are AQE-skew-split. */
+  def minhashLshPairsVerified(df: DataFrame, textCol: String, idCol: String,
+                              numHashes: Int = 64, bands: Int = 16,
+                              shingleSize: Int = 5,
+                              threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sh = df.select(col(idCol).as("id"),
+      minhashSignature(textCol, numHashes, shingleSize).as("sig"),
+      ofExpr(graft.functions.ShingleHashes(toExpr(col(textCol)), shingleSize)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sh.select(col("id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r), b))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
+    val a = banded.select(col("band"), col("h"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("h"), col("id").as("id_b"))
+    // distinct candidate pairs first; the (larger) shingle sets join on
+    // AFTER the dedupe so they are never replicated per agreeing band
+    val cand = a.join(b, Seq("band", "h")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sets = sh.select(col("id"), col("sh"), size(col("sh")).as("sz"))
+    val verified = cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        col("sz_a"), col("sz_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    try verified.localCheckpoint(true)
+    finally sh.unpersist(false)
+  }
+
   /** 64-bit SimHash over whitespace tokens (sign of per-bit weight sums),
     * via the native codegen'd kernel (graft.functions.SimHash64). */
   def simhash(textCol: String): Column = {
@@ -131,7 +181,26 @@ object Dedup {
     * them. For maxHamming ≥ blocks the combo width clamps to one chunk —
     * recall-oriented approximation (losslessness is impossible there). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3, blocks: Int = 8): DataFrame = {
+                   maxHamming: Int = 3, blocks: Int = 8): DataFrame =
+    simhashPairsFromHashes(
+      df.select(col(idCol).as("id"), simhash(textCol).as("sh")), maxHamming, blocks)
+
+  /** [[simhashPairs]] with MD5 word hashes ([[graft.functions.SimHashMd5]])
+    * — same lossless block-combination candidate scheme over a hash DuckDB
+    * can rebuild from md5() hex, so the emitted pair set is recomputable
+    * by the correctness oracle end-to-end (gate q22). Production keeps the
+    * xxhash64 kernel. */
+  def simhashPairsMd5(df: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3, blocks: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+    simhashPairsFromHashes(
+      df.select(col(idCol).as("id"),
+        ofExpr(graft.functions.SimHashMd5(toExpr(col(textCol)))).as("sh")),
+      maxHamming, blocks)
+  }
+
+  private def simhashPairsFromHashes(hashed: DataFrame,
+                                     maxHamming: Int, blocks: Int): DataFrame = {
     // blocks == 1 would need a 64-bit mask, where (1L << 64) wraps to 1 —
     // and a single all-bits bucket is a cross join anyway; require real blocking
     require(blocks > 1 && 64 % blocks == 0, "blocks must divide 64 and be > 1")
@@ -147,7 +216,6 @@ object Dedup {
       }.mkString("(", " | ", ")")
       s"named_struct('cb', $ci, 'k', $key)"
     }.mkString("array(", ", ", ")")
-    val hashed = df.select(col(idCol).as("id"), simhash(textCol).as("sh"))
     val banded = hashed.select(col("id"), col("sh"), explode(expr(keyArr)).as("bk"))
       .select(col("id"), col("sh"), col("bk.cb").as("cb"), col("bk.k").as("k"))
     val a = banded.select(col("cb"), col("k"), col("id").as("id_a"), col("sh").as("sh_a"))
