@@ -210,6 +210,97 @@ class OpsSpec extends SparkFunSuite {
     intercept[IllegalArgumentException](Dedup.simhashPairs(d, "text", "doc_id", blocks = 1))
   }
 
+  test("md5-simhash pairs equal quadratic all-pairs Hamming (lossless blocking)") {
+    import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // ground truth: collect every doc's md5-simhash, brute-force all pairs
+    val hashes = d.select(col("doc_id"),
+        ofExpr(graft.functions.SimHashMd5(toExpr(col("text")))).as("sh"))
+      .as[(Long, Long)].collect()
+    val expected = (for {
+      (ia, ha) <- hashes.iterator
+      (ib, hb) <- hashes.iterator
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb))).toSet
+    val got = Dedup.simhashPairsMd5(d, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(got == expected, s"block-combination candidates lost pairs: " +
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(expected.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
+  test("verified minhash pairs carry the EXACT shingle-set jaccard") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm windowsill every afternoon"
+    val nearDup = base.replace("warm", "cold")
+    val unrelated = "completely different content about spark catalyst optimizer rules and parquet row group statistics pruning"
+    val d = docs((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
+    val out = Dedup.minhashLshPairsVerified(d, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(out.get((1L, 4L)).contains(1.0), s"exact dup must verify at jaccard 1.0: $out")
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) < 1.0 && out((1L, 2L)) >= 0.5)
+    assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+    // the emitted jaccard IS the exact set jaccard (recompute one pair)
+    def shingles(t: String) = (0 to math.max(t.length - 5, 0)).map(i =>
+      t.substring(i, math.min(i + 5, t.length))).toSet
+    val (sa, sb) = (shingles(base), shingles(nearDup))
+    val exact = (sa intersect sb).size.toDouble / (sa union sb).size
+    assert(math.abs(out((1L, 2L)) - exact) < 1e-9,
+      s"emitted ${out((1L, 2L))} != exact set jaccard $exact")
+  }
+
+  test("zero-norm vectors and centroids score -2, never capture via NaN") {
+    // round-2 ADVICE: 0/0 = NaN sorted FIRST under desc, so a degenerate
+    // all-zero centroid silently swallowed every vector
+    val vecs = Seq((1L, Seq(0.0, 1.0)), (2L, Seq(0.0, 0.0))).toDF("vec_id", "embedding")
+    val cents = Seq((1, Seq(0.0, 0.0)), (2, Seq(0.0, 1.0))).toDF("centroid_id", "centroid")
+    val assigned = Ann.buildIvfIndexWith(vecs, cents)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    assert(assigned(1L) == 2, s"zero centroid captured a normal vector: $assigned")
+    assert(assigned(2L) == 1, "all scores tied at -2 must break to smallest id")
+  }
+
+  test("IVF at full probe equals brute-force exact top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val qs = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val corpus = emb.where(col("vec_id") % 100 =!= 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("vec_id"), col("rank")).as[(Long, Long, Int)].collect().toSet
+    val exact = key(Ann.bruteForceTopK(corpus, qs, 5))
+    val full = key(Ann.ivfTopK(corpus, qs, 5, numCentroids = 8, nProbe = 8))
+    assert(full == exact && exact.nonEmpty,
+      "full-probe IVF must be mathematically identical to brute force")
+  }
+
+  test("IVF recall on a clusterable corpus (the workload IVF is for)") {
+    // 16 well-separated clusters in 16 dims: center c = one-hot(c) scaled,
+    // plus small deterministic noise — neighbors share a cluster, so
+    // probing the home list finds them. Random/unstructured corpora are
+    // the IVF worst case (recall ~nProbe/NC by construction); this fixture
+    // evidences the operator on the data shape it exists for.
+    val n = 2000
+    val rows = (0 until n).map { i =>
+      val c = i % 16
+      val v = (0 until 16).map { d =>
+        val noise = (((i.toLong * 31 + d * 7) % 101) - 50) / 250.0
+        (if (d == c) 4.0 else 0.0) + noise
+      }
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val qs = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val corpus = emb.where(col("vec_id") % 100 =!= 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val exact = key(Ann.bruteForceTopK(corpus, qs, 10))
+    val approx = key(Ann.ivfTopK(corpus, qs, 10, numCentroids = 16, nProbe = 2, lloydIters = 4))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall on clusterable data too low: $recall")
+  }
+
   test("IVF ANN recall vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))

@@ -60,6 +60,23 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!pNd.contains("CartesianProduct"), "embedding LSH degenerated to all-pairs")
   }
 
+  test("IVF centroid assignment is a pure projection: no exchange, no window") {
+    // round-2 finding: assignment exploded corpus x centroids and ranked
+    // with Window.partitionBy(id) — an n x NC shuffle per Lloyd iteration.
+    // The broadcast-argmax kernel must keep assignment shuffle-free.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cents = graft.ops.Ann.centroids(emb, 8, lloydIters = 0)
+    val assigned = graft.ops.Ann.buildIvfIndexWith(emb, cents)
+    val plan = executed(assigned)
+    assert(!plan.contains("Window"), s"assignment ranks with a window again:\n$plan")
+    assert(!plan.contains("Exchange"), s"assignment shuffles the corpus:\n$plan")
+    assert(plan.contains("nearest_centroids"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("nearest_centroids") && l.trim.startsWith("*(")),
+      s"argmax kernel fell out of codegen:\n$plan")
+  }
+
   test("native hash kernels run inside whole-stage codegen") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = docs.select(graft.ops.Dedup.minhashSignature("text", 64, 5).as("sig"),
