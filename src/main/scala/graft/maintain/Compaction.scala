@@ -117,13 +117,13 @@ object Compaction {
                          maxRetries: Int): Seq[SegmentMeta] = {
     val paths = inputs.map(s => s"${table.root}/${s.path}")
     val totalBytes = math.max(inputs.flatMap(_.fileSize).sum, 1L)
-    withSizedReadSplits(spark, totalBytes) {
+    withSizedReadSplits(spark, totalBytes) { scoped =>
       // NOTE: the range partitioner samples its child, so the bin is read
       // twice per rewrite. Caching it was measured (500 k rows, local[8])
       // and LOST badly — deserialized token rows are ~3× the parquet bytes
       // and the cache write+memory pressure dwarfs a second columnar scan.
       // MERGE differs: its child embeds an anti join, so it does cache.
-      val df = spark.read.parquet(paths: _*)
+      val df = scoped.read.parquet(paths: _*)
       val sorted = clusterSorted(df, curve, outFiles, fit)
       table.swapSegments(sorted, inputs.map(_.segmentId), maxRetries)
     }
@@ -133,15 +133,27 @@ object Compaction {
     * ≥ 3 scan waves per core. The default 128 MB maxPartitionBytes turns a
     * multi-GB rewrite into a handful of scan tasks and starves the scan +
     * range-sampling stages (measured 0.54 scaling efficiency 8→32 cores
-    * before this); shared by compaction and MERGE INTO. */
-  def withSizedReadSplits[T](spark: SparkSession, totalBytes: Long)(f: => T): T = {
+    * before this); shared by compaction and MERGE INTO.
+    *
+    * `f` receives an ISOLATED session (same SparkContext, own SQLConf,
+    * current runtime conf carried over) and must create its parquet reads
+    * from it — split sizing binds to the session the relation was created
+    * on. Round-2 finding: mutating the shared session's conf made every
+    * CONCURRENT query on that session silently plan with the maintenance
+    * job's split size (and vice versa on restore). */
+  def withSizedReadSplits[T](spark: SparkSession, totalBytes: Long)(f: SparkSession => T): T = {
     val cores = spark.sparkContext.defaultParallelism
     val targetSplit = math.min(128L * 1024 * 1024,
       math.max(8L * 1024 * 1024, math.max(totalBytes, 1L) / (3L * cores)))
-    val conf = spark.conf
-    val prevSplit = conf.get("spark.sql.files.maxPartitionBytes")
-    conf.set("spark.sql.files.maxPartitionBytes", targetSplit.toString)
-    try f finally conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+    val scoped = spark.newSession()
+    // newSession() starts from the context defaults; carry the caller's
+    // runtime SQL conf (shuffle partitions, AQE, timezone) so maintenance
+    // plans like the caller would — static/non-settable entries skipped
+    spark.conf.getAll.foreach { case (k, v) =>
+      try scoped.conf.set(k, v) catch { case _: Exception => () }
+    }
+    scoped.conf.set("spark.sql.files.maxPartitionBytes", targetSplit.toString)
+    f(scoped)
   }
 
   /** Apply the clustering layout: curve key + salt → GLOBAL range partition

@@ -24,8 +24,10 @@ import graft.table.TsTable
   *  2. Candidates are rewritten keeping `NOT coalesce(cond, false)` —
   *     SQL DELETE semantics: rows where the predicate is NULL are KEPT.
   *  3. One atomic Remove+Add commit (swapSegments — snapshot isolation,
-  *     OCC rebase). All-matching candidates degenerate to a metadata-only
-  *     remove commit.
+  *     OCC rebase). A hit file whose match count equals its row count is
+  *     dropped metadata-only (never read by the rewrite job); only
+  *     partially-matched files are rewritten. A DELETE whose hits are all
+  *     fully matched degenerates to a pure-Remove commit.
   *  4. Time-series tables get their table-coverage snapshot recomputed
   *     from the surviving segments' sidecars, so a later append into the
   *     deleted range is not falsely rejected as overlap.
@@ -33,7 +35,8 @@ import graft.table.TsTable
 object DeleteWhere {
 
   final case class Report(candidates: Int, filesKept: Int, filesOut: Int,
-                          rowsDeleted: Long, survivors: Long, version: Long)
+                          rowsDeleted: Long, survivors: Long, version: Long,
+                          filesDroppedMetaOnly: Int = 0)
 
   def delete(spark: SparkSession, table: TsTable, condition: Column): Report = {
     table.refresh()
@@ -48,6 +51,15 @@ object DeleteWhere {
       analyzed.collectFirst { case f: LFilter => f.condition }
         .map(splitConjuncts).getOrElse(Seq(Bridge.toExpr(condition)))
     }
+    // DELETE evaluates the predicate in TWO independent jobs (per-file
+    // match counts, then the rewrite) and drops whole files on the first
+    // evaluation's word — a nondeterministic condition (rand(), now()-
+    // derived exprs via the CLI's --where) could delete a row set no
+    // single evaluation ever selected. Reject up front, like Delta-style
+    // engines do.
+    require(resolved.forall(_.deterministic),
+      "DELETE WHERE requires a deterministic predicate; " +
+        s"got: ${resolved.filterNot(_.deterministic).mkString(", ")}")
 
     val (candidates, untouched) = live.partition { seg =>
       // a file is a candidate unless SOME conjunct is provably false for
@@ -87,25 +99,37 @@ object DeleteWhere {
     val attributed = candidates
       .map(seg => PathNorm.canonical(s"${table.root}/${seg.path}")).toSet
     if (matchedPerFile.keys.exists(!attributed(_))) { hit = candidates; cleanCandidates = Nil }
-    val hitRows = hit.map(_.rowCount).sum
     val removeIds = hit.map(_.segmentId)
-    val survivorsInHit = hitRows - rowsDeleted
+
+    // per-file degenerate handling: a hit file whose match count equals
+    // its row count has NO survivors — drop it metadata-only (one Remove
+    // action) instead of pushing its bytes through the rewrite job. On a
+    // curve-clustered table a range DELETE typically fully-matches a few
+    // files and grazes the rest; rewriting only the grazed ones is the
+    // difference between touching the deleted range and rewriting the
+    // table (round-2 finding). Fully-matched and partially-matched files
+    // still swap in ONE atomic commit (removeIds covers both).
+    val (fullyMatched, partial) = hit.partition(seg =>
+      // getOrElse: on the fallback path `hit` includes unattributed files
+      // with no recorded matches — those must be rewritten, not dropped
+      matchedPerFile.getOrElse(
+        PathNorm.canonical(s"${table.root}/${seg.path}"), 0L) == seg.rowCount)
 
     // the coverage recommit (time-series tables) is part of the SAME
     // commit as the Remove/Add actions — no crash window can leave a
     // stale snapshot rejecting appends into the vacated range
     val repairCov = table.timeSpec.isDefined
     val newSegs: Seq[graft.meta.SegmentMeta] =
-      if (survivorsInHit == 0L) {
+      if (partial.isEmpty) {
         table.commitRemovals(removeIds, recomputeCoverage = repairCov); Nil
       } else {
-        val hitPaths = hit.map(seg => s"${table.root}/${seg.path}")
-        table.swapSegments(spark.read.parquet(hitPaths: _*).where(keep), removeIds,
+        val partialPaths = partial.map(seg => s"${table.root}/${seg.path}")
+        table.swapSegments(spark.read.parquet(partialPaths: _*).where(keep), removeIds,
           recomputeCoverage = repairCov)
       }
 
     Report(candidates.size, untouched.size + cleanCandidates.size, newSegs.size,
-      rowsDeleted, totalRows - rowsDeleted, table.version)
+      rowsDeleted, totalRows - rowsDeleted, table.version, fullyMatched.size)
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

@@ -89,11 +89,6 @@ object MergeInto {
       return Report(0, 0, 0, 0, 0, table.version)
 
     val candBytes = candidates.flatMap(_.fileSize).sum
-    val merged =
-      if (candidates.isEmpty) upd
-      else spark.read.parquet(candidates.map(s => s"${table.root}/${s.path}"): _*)
-        .join(upd.select(col(key)), Seq(key), "left_anti")
-        .unionByName(upd)
 
     // size the output by estimated bytes/row of the inputs (4 KiB default);
     // row counts come from the manifest, never from extra data passes
@@ -114,7 +109,15 @@ object MergeInto {
     // read→anti-join→union, so without a cache the whole merge pipeline
     // executes once for the sample pass and again for the write pass.
     // Persist for the two passes, then release.
-    val added = Compaction.withSizedReadSplits(spark, candBytes) {
+    val added = Compaction.withSizedReadSplits(spark, candBytes) { scoped =>
+      // the candidate read is created on the scoped session: split sizing
+      // binds to the relation's session, so the tuned maxPartitionBytes
+      // applies here and ONLY here (upd keeps the caller's session/conf)
+      val merged =
+        if (candidates.isEmpty) upd
+        else scoped.read.parquet(candidates.map(s => s"${table.root}/${s.path}"): _*)
+          .join(upd.select(col(key)), Seq(key), "left_anti")
+          .unionByName(upd)
       val cached = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val clustered = Compaction.clusterSorted(cached, curve, outFiles, ClusterKey.fit(live))

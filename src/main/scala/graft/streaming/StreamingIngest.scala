@@ -35,12 +35,31 @@ object StreamingIngest {
     // "file:" URIs resolve to the same checkpoint as the bare local path,
     // so they must yield the same app id — otherwise restarting a query
     // with the other spelling would miss the txn watermark and re-append
-    // replayed batches. (Tables whose watermarks predate this
-    // canonicalization and used a "file:" spelling carry the old key; one
-    // replayed batch after upgrading re-appends — re-create the checkpoint
-    // or the table when migrating such a stream.)
+    // replayed batches. Tables whose watermarks predate this
+    // canonicalization carry the raw "stream:file:/…" key; sink() migrates
+    // it forward (migrateLegacyWatermark) before the query starts.
     val c = graft.meta.PathNorm.canonical(checkpointDir)
     "stream:" + (if (c.contains(":/")) c.stripSuffix("/") else c)
+  }
+
+  /** Watermarks written before appId canonicalization used the raw
+    * "stream:file:/…" spelling for file:-scheme checkpoints. If the table
+    * holds a watermark ONLY under that legacy key, carry it forward with a
+    * SetTxn-only commit — otherwise the first replayed batch after an
+    * upgrade would re-append (duplicate rows). Idempotent and cheap: one
+    * metadata commit, only when a legacy key exists and the new one does
+    * not. */
+  private[graft] def migrateLegacyWatermark(table: TsTable, checkpointDir: String,
+                                            app: String): Unit = {
+    val legacy = "stream:" + checkpointDir.stripSuffix("/")
+    if (legacy == app) return
+    table.refresh()
+    val txns = table.state.txns
+    if (!txns.contains(app)) txns.get(legacy).foreach { batch =>
+      System.err.println(s"[graft-streaming] migrating legacy txn watermark " +
+        s"'$legacy' (batch $batch) to '$app'")
+      table.commitTxnOnly(app, batch)
+    }
   }
 
   /** Attach a graft-table sink to a streaming DataFrame. Caller starts the
@@ -48,6 +67,7 @@ object StreamingIngest {
   def sink(stream: DataFrame, table: TsTable,
            checkpointDir: String): DataStreamWriter[Row] = {
     val app = appId(checkpointDir)
+    migrateLegacyWatermark(table, checkpointDir, app)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -167,7 +167,19 @@ final class TableStreamSource(
       case None => startingVersion match {
         case Some(sv) => addedIn(sv, endV)
         case None => // initial snapshot, pinned at the first batch's version
-          TableState.rebuildAt(table.store, endV).liveSegments.map(s => s"$rootPath/${s.path}")
+          // on restart the engine re-issues getBatch(None, v) for the
+          // already-committed snapshot batch; if a manifest rewrite has
+          // since expired the commits below v the replay cannot be
+          // reconstructed — name the cause instead of a raw missing-file
+          try TableState.rebuildAt(table.store, endV).liveSegments.map(s => s"$rootPath/${s.path}")
+          catch { case e: Exception
+              if e.getMessage != null && e.getMessage.contains("missing commit file") =>
+            throw new IllegalStateException(
+              s"initial-snapshot version $endV of $rootPath has been expired by " +
+                "snapshot retention (a manifest rewrite dropped its commits); " +
+                "restart from a fresh checkpoint or pin a startingVersion that " +
+                "still exists", e)
+          }
       }
     }
     val batch =
@@ -185,7 +197,16 @@ final class TableStreamSource(
 
   /** Segment paths appended by commits fromV..toV, skipping (or refusing)
     * data-change commits — any commit that removes a segment. */
-  private def addedIn(fromV: Long, toV: Long): Seq[String] =
+  private def addedIn(fromV: Long, toV: Long): Seq[String] = {
+    // snapshot expiration may have dropped commits in the range while the
+    // stream was down; fail with the expired range spelled out instead of
+    // a raw missing-file error (mirrors the history() guard)
+    val expired = (fromV to toV).filterNot(v =>
+      java.nio.file.Files.exists(table.store.commitPath(v)))
+    if (expired.nonEmpty) throw new IllegalStateException(
+      s"offset versions ${expired.min}..${expired.max} of $rootPath have been " +
+        "expired by snapshot retention while the stream was down; restart from a " +
+        "fresh checkpoint (or a startingVersion that still exists) to resume")
     (fromV to toV).flatMap { v =>
       val c = table.store.readCommit(v)
       if (c.actions.exists(_.isInstanceOf[LogAction.RemoveSegment])) {
@@ -196,6 +217,7 @@ final class TableStreamSource(
         Nil
       } else c.actions.collect { case LogAction.AddSegment(seg) => s"$rootPath/${seg.path}" }
     }
+  }
 
   // v1 Offset extends the v2 interface, so one decoder serves both paths
   private def version(o: OffsetV2): Long = o match {

@@ -283,6 +283,20 @@ final class TsTable private (val root: String, val store: LogStore) {
         case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
           attempt += 1
           refresh() // rebase and re-validate against the new snapshot
+        case e: Throwable =>
+          // Non-retryable rejection (CoverageOverlap / SchemaMismatch /
+          // EntityIdentity / uncovered-segments precondition) or retry
+          // budget exhausted: no commit references the files already moved
+          // into data/, and Expire's orphan scan only reclaims segments
+          // the log has seen — without this cleanup every rejected append
+          // would leak its full data size forever (round-2 finding).
+          // Mirrors the txn-replay cleanup above.
+          segs.foreach { seg =>
+            Files.deleteIfExists(Paths.get(stripScheme(s"$root/${seg.path}")))
+            seg.coveragePath.foreach(cp =>
+              Files.deleteIfExists(Paths.get(stripScheme(s"$root/$cp"))))
+          }
+          throw e
       }
     }
     throw new IllegalStateException("unreachable")
@@ -458,7 +472,7 @@ final class TsTable private (val root: String, val store: LogStore) {
   /** Watermark-only commit for an empty streaming batch: the (app, batch)
     * txn advances with no segments, so a replay of the empty batch is
     * still recognized as already-applied. */
-  private def commitTxnOnly(app: String, batch: Long, maxRetries: Int = 3): Long = {
+  private[graft] def commitTxnOnly(app: String, batch: Long, maxRetries: Int = 3): Long = {
     var attempt = 0
     while (true) {
       refresh()

@@ -225,6 +225,63 @@ class MaintenanceSpec extends SparkFunSuite {
       s"no-op delete rewrote/committed (v $vBefore -> ${t.version})")
   }
 
+  test("maintenance split sizing is session-scoped — never bleeds into the shared session") {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val before = spark.conf.get(key)
+    Compaction.withSizedReadSplits(spark, 10L * 1024 * 1024 * 1024) { scoped =>
+      assert(scoped ne spark)
+      assert(scoped.conf.get(key) != before, "scoped session did not get the tuned split")
+      // a concurrent query planning on the SHARED session mid-maintenance
+      // must see its own (untouched) split size — round-2 finding
+      assert(spark.conf.get(key) == before, "maintenance conf bled into the shared session")
+      // the caller's runtime conf is carried into the scoped session
+      assert(scoped.conf.get("spark.sql.shuffle.partitions") ==
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    }
+    assert(spark.conf.get(key) == before)
+  }
+
+  test("delete where: fully-matched files drop metadata-only while partials rewrite") {
+    import spark.implicits._
+    import graft.maintain.DeleteWhere
+    val root = tmpDir("del-degenerate")
+    val t = TsTable.create(root, TableMeta("vals",
+      TableKind.Clustered(ClusterSpec(Seq("id"), "zorder")), None, None))
+    // file A = {10..19} (fully inside the delete range), file B = {15..24}
+    // (grazed: only 15..19 match), file C = {100..109} (stats-pruned)
+    t.append((10L to 19L).toDF("id").coalesce(1))
+    t.append((15L to 24L).toDF("id").coalesce(1))
+    t.append((100L to 109L).toDF("id").coalesce(1))
+    // ^ overlapping ranges OK: no coverage semantics on clustered tables
+    val rep = DeleteWhere.delete(spark, t, col("id") < 20L)
+    assert(rep.candidates == 2 && rep.rowsDeleted == 15, s"unexpected: $rep")
+    assert(rep.filesDroppedMetaOnly == 1,
+      s"fully-matched file should drop without a rewrite: $rep")
+    assert(rep.filesOut == 1, s"only the grazed file should be rewritten: $rep")
+    assert(t.scan(spark).select("id").as[Long].collect().sorted.toSeq ==
+      ((20L to 24L) ++ (100L to 109L)).toSeq)
+    // one atomic commit covered both the drop and the swap
+    // (version advanced exactly once for the whole DELETE)
+    val repAll = DeleteWhere.delete(spark, t, col("id") >= 20L && col("id") < 25L)
+    assert(repAll.filesOut == 0 && repAll.filesDroppedMetaOnly == 1 &&
+      repAll.rowsDeleted == 5, s"all-matched delete should be pure-Remove: $repAll")
+  }
+
+  test("delete where rejects nondeterministic predicates") {
+    import spark.implicits._
+    import graft.maintain.DeleteWhere
+    val root = tmpDir("del-nondet")
+    val t = TsTable.create(root, TableMeta("vals",
+      TableKind.Clustered(ClusterSpec(Seq("id"), "zorder")), None, None))
+    t.append((1L to 10L).toDF("id").coalesce(1))
+    // two independent jobs evaluate the predicate; rand() could drop a
+    // row set no single evaluation selected
+    val e = intercept[IllegalArgumentException](
+      DeleteWhere.delete(spark, t, rand() < 0.5))
+    assert(e.getMessage.contains("deterministic"))
+    assert(t.scan(spark).count() == 10, "rejected delete must not touch rows")
+  }
+
   test("delete where works with a trailing-slash table root (path canonicalization)") {
     import spark.implicits._
     import graft.maintain.DeleteWhere

@@ -119,4 +119,34 @@ class StreamingSpec extends SparkFunSuite {
     t.refresh()
     assert(t.scan(spark).count() == 50)
   }
+
+  test("legacy 'stream:file:/…' watermark migrates forward before the query starts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("stream-legacy")
+    val t = TsTable.create(root, tokenMeta)
+    val ckpt = tmpDir("stream-legacy-ckpt")
+    val ckptUri = "file:" + ckpt // pre-canonicalization spelling
+
+    // simulate a pre-upgrade table: batches 0..1 recorded under the RAW
+    // file:-URI key (what the old appId produced for URI checkpoints)
+    val legacyKey = "stream:" + ckptUri
+    t.commitTxnOnly(legacyKey, 1L)
+    val newKey = StreamingIngest.appId(ckptUri)
+    assert(newKey != legacyKey, "fixture must exercise the spelling change")
+
+    // ...and a checkpoint that believes batch 0..1 are done: feed the same
+    // batches again through the sink — with migration the replay must skip
+    val rows = TokenGen.generate(spark, 30).as[Tok].collect().toSeq
+    val mem = MemoryStream[Tok]
+    mem.addData(rows)
+    // first post-upgrade run: batch ids restart at 0 here (fresh ckpt dir),
+    // and 0..1 sit under the legacy key only — without migration they land
+    StreamingIngest.ingestAvailable(mem.toDF(), t, ckptUri)
+    t.refresh()
+    assert(t.state.txns.get(newKey).exists(_ >= 1L),
+      s"legacy watermark not migrated: ${t.state.txns}")
+    assert(t.scan(spark).count() == 0,
+      "replayed batches under the legacy watermark were re-appended")
+  }
 }

@@ -105,6 +105,31 @@ class TableStreamSourceSpec extends SparkFunSuite {
     assert(e.getMessage.contains("RemoveSegment") || Option(e.getCause).exists(_.getMessage.contains("RemoveSegment")))
   }
 
+  test("offsets expired while the stream was down fail with a descriptive error") {
+    val root = tmpDir("srcstream-exp")
+    val out = tmpDir("srcstream-exp-out")
+    val ckpt = tmpDir("srcstream-exp-ckpt")
+    val t = TsTable.create(root, tokenMeta)
+    t.append(TokenGen.generate(spark, 50))
+    assert(drain(t.readStream(spark), out, ckpt).count() == 50)
+
+    // while the stream is down: two more appends, then snapshot expiration
+    // drops the first of them from the log
+    t.append(TokenGen.generate(spark, 20, idStart = 1000))
+    t.append(TokenGen.generate(spark, 20, idStart = 2000))
+    graft.maintain.Expire.expire(t, t.version)
+
+    val q = t.readStream(spark).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[StreamingQueryException](q.awaitTermination())
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t => t.getMessage +: msgs(t.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("expired by snapshot retention")),
+      s"raw missing-file error instead of the descriptive one: ${msgs(e)}")
+  }
+
   test("startingVersion tails from a pinned commit; maxVersionsPerTrigger bounds batches") {
     val root = tmpDir("srcstream-sv")
     val t = TsTable.create(root, tokenMeta)

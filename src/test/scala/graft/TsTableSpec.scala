@@ -143,6 +143,33 @@ class TsTableSpec extends SparkFunSuite {
     assert(t.loadTableCoverage().cardinality == 3L)
   }
 
+  test("rejected append leaves no orphaned files (data/ and coverage sidecars)") {
+    import java.nio.file.{Files, Paths}
+    def count(dir: String): Long = {
+      val p = Paths.get(dir)
+      if (!Files.exists(p)) 0L
+      else { val s = Files.walk(p); try s.filter(Files.isRegularFile(_)).count() finally s.close() }
+    }
+    // coverage-overlap rejection (time-series table)
+    val root = tmpDir("prices-orphan")
+    val t = TsTable.create(root, pricesMeta())
+    t.append(pricesDf(Seq((1L, "A", 10.0), (61L, "A", 11.0))))
+    val (d0, c0) = (count(s"$root/data"), count(s"$root/_coverage"))
+    intercept[CoverageOverlapException](t.append(pricesDf(Seq((30L, "A", 99.0)))))
+    assert(count(s"$root/data") == d0,
+      "rejected overlapping append leaked data files")
+    assert(count(s"$root/_coverage") == c0,
+      "rejected overlapping append leaked coverage sidecars")
+    // schema-mismatch rejection leaks neither
+    intercept[SchemaMismatchException](
+      t.append(pricesDf(Seq((130L, "A", 1.0))).withColumn("extra", lit(1))))
+    assert(count(s"$root/data") == d0 && count(s"$root/_coverage") == c0,
+      "rejected schema-mismatch append leaked files")
+    // table still healthy: a valid append lands
+    t.append(pricesDf(Seq((130L, "A", 13.0))))
+    assert(t.scan(spark).count() == 3)
+  }
+
   test("prices table: schema is adopted then frozen (exact enforcement)") {
     import spark.implicits._
     val root = tmpDir("prices-schema")
