@@ -299,7 +299,111 @@ object StatsPruning {
       case _ => None
     }
 
+    /** A recognized epoch-number transform of a ts column: the column and
+      * its unit in micros (floorDiv semantics in all of Spark's unix_*
+      * family). Shared by the custom-binning patterns below. */
+    def epochUnitOf(e: Expression): Option[(String, Long)] = e match {
+      case UnixMicros(inner) => tsColumnOf(inner).map((_, 1L))
+      case UnixMillis(inner) => tsColumnOf(inner).map((_, 1000L))
+      case UnixSeconds(inner) => tsColumnOf(inner).map((_, 1000000L))
+      case UnixTimestamp(inner, _, tz, _) if epochZoneOk(inner, tz) =>
+        tsColumnOf(inner).map((_, 1000000L))
+      case ToUnixTimestamp(inner, _, tz, _) if epochZoneOk(inner, tz) =>
+        tsColumnOf(inner).map((_, 1000000L))
+      case _ => None
+    }
+
+    /** The TimeWindowing rewrite of `window(ts, w).start`:
+      * PTC(PTC(ts) − floorMod(PTC(ts) − startTime, slide) ± consts) where
+      * floorMod is the generated CASE WHEN over %, exact floor semantics
+      * for every ts including pre-epoch. Returns (column, startTime,
+      * slide, constOffset). This is the Spark analog of the reference's
+      * date_bin pruning (time_predicate.rs:513-551, 1017-1104). */
+    def windowBase(e: Expression): Option[(String, Long, Long, Long)] = {
+      def ptcCol(t: Expression): Option[String] = t match {
+        case PreciseTimestampConversion(inner, TimestampType, LongType) => tsColumnOf(inner)
+        case _ => None
+      }
+      def floorModArgs(cw: CaseWhen, t: Expression): Option[(Long, Long)] = cw match {
+        case CaseWhen(Seq((LessThan(r1, Literal(0L, LongType)), Add(r2, Literal(s1: Long, LongType), _))),
+                      Some(r3)) =>
+          r1 match {
+            case Remainder(Subtract(t2, Literal(start: Long, LongType), _),
+                           Literal(slide: Long, LongType), _)
+                if slide > 0 && slide == s1 && t2.semanticEquals(t) &&
+                   r2.semanticEquals(r1) && r3.semanticEquals(r1) => Some((start, slide))
+            case _ => None
+          }
+        case _ => None
+      }
+      e match {
+        case Subtract(inner, Literal(c: Long, LongType), _) =>
+          inner match {
+            case Subtract(t, cw: CaseWhen, _) => // the core, with trailing const
+              for { col <- ptcCol(t); (st, sl) <- floorModArgs(cw, t) } yield (col, st, sl, -c)
+            case _ => windowBase(inner).map { case (col, st, sl, acc) => (col, st, sl, acc - c) }
+          }
+        case Add(inner, Literal(c: Long, LongType), _) =>
+          windowBase(inner).map { case (col, st, sl, acc) => (col, st, sl, acc + c) }
+        case Add(Literal(c: Long, LongType), inner, _) =>
+          windowBase(inner).map { case (col, st, sl, acc) => (col, st, sl, acc + c) }
+        case Subtract(t, cw: CaseWhen, _) =>
+          for { col <- ptcCol(t); (st, sl) <- floorModArgs(cw, t) } yield (col, st, sl, 0L)
+        case _ => None
+      }
+    }
+
     colE match {
+      // analysis wrapper around the TimeWindowing rewrite — transparent
+      case KnownNullable(c) => transformCmp(b, flipped, c, k, stats, rows)
+
+      // window(ts, w).start/.end OP k — exact stride bucketing: the value
+      // is start-grid-aligned with value ≤ ts < value + slide (+ const)
+      case PreciseTimestampConversion(x, LongType, TimestampType)
+          if (k.dataType == TimestampType || k.dataType == TimestampNTZType) && k.value != null =>
+        windowBase(x) match {
+          case Some((col, start, slide, c)) =>
+            try {
+              val kAdj = Math.subtractExact(k.value.asInstanceOf[Long], c)
+              val lo = Math.subtractExact(kAdj,
+                Math.floorMod(Math.subtractExact(kAdj, start), slide))
+              bucketCmp(col, exact = true, aligned = lo == kAdj,
+                lo, Math.addExact(lo, slide), 0L)
+            } catch { case _: ArithmeticException => Unknown }
+          case None => Unknown
+        }
+
+      // custom binning: unix_*(ts) div S — Spark div truncates toward
+      // zero, so bucket k spans [kS, kS+S) for k>0, (-S, S) for k=0,
+      // (kS-S, kS] for k<0; floorDiv epochs compose exactly with ×unit
+      case IntegralDivide(inner, Literal(s: Long, LongType), _)
+          if s > 0 && longK.isDefined && epochUnitOf(inner).isDefined =>
+        val (col, u) = epochUnitOf(inner).get
+        try {
+          val kv = longK.get
+          val kS = Math.multiplyExact(kv, s)
+          val loS = if (kv > 0) kS else Math.addExact(kS, 1L - s)
+          val hiS = if (kv >= 0) Math.addExact(kS, s) else Math.addExact(kS, 1L)
+          bucketCmp(col, exact = true, aligned = true,
+            Math.multiplyExact(loS, u), Math.multiplyExact(hiS, u), 0L)
+        } catch { case _: ArithmeticException => Unknown }
+
+      // custom binning through doubles: floor(unix_*(ts) / S). Double
+      // division rounds, so the computed floor can be off by one near
+      // bucket boundaries — widen one bucket each side and clamp to a
+      // necessary-only condition (exact=false)
+      case Floor(Divide(Cast(inner, DoubleType, _, _), Literal(sD: Double, DoubleType), _))
+          if sD > 0 && java.lang.Double.isFinite(sD) && longK.isDefined &&
+             epochUnitOf(inner).isDefined =>
+        val (col, u) = epochUnitOf(inner).get
+        val kv = longK.get.toDouble
+        val loD = (kv - 1.0) * sD * u
+        val hiD = (kv + 2.0) * sD * u
+        if (!java.lang.Double.isFinite(loD) || !java.lang.Double.isFinite(hiD) ||
+            loD < -4.6e18 || hiD > 4.6e18) Unknown
+        else bucketCmp(col, exact = false, aligned = false,
+          math.floor(loD).toLong, math.ceil(hiD).toLong, 0L)
+
       // to_date(ts) / CAST(ts AS DATE): k is a DateType literal (days).
       // NTZ casts are zone-free; TIMESTAMP casts bucket by the zone's real
       // local day with a ±DstPad pad for Olson zones.

@@ -112,6 +112,78 @@ class PruneMatrixSpec extends SparkFunSuite {
     assert(q4.count() == 0 && filesRead(q4) == 0)
   }
 
+  test("window() bucket comparisons prune files and return correct rows") {
+    // the Spark analog of the reference's date_bin pruning
+    // (time_predicate.rs:513-551, 1017-1104): TimeWindowing rewrites
+    // window(ts, w).start into floorMod arithmetic we compile to bounds
+    // the filter's output keeps the projected window struct (Spark's
+    // TimeWindowing shape); select the data columns for the collect
+    val w = window(col("ts"), "5 minutes")
+    val q1 = scan.where(w("start") === ts("2024-03-01 12:15:00")).select("ts", "price")
+    assert(q1.count() == 5 && filesRead(q1) == 1)
+    val q2 = scan.where(w("start") < ts("2024-03-01 11:00:00")).select("ts", "price")
+    assert(q2.count() == 60 && filesRead(q2) == 1)
+    val q3 = scan.where(w("end") <= ts("2024-03-01 11:00:00")).select("ts", "price")
+    assert(q3.count() == 60 && filesRead(q3) == 1)
+    // equality on a non-grid-aligned literal is provably empty
+    val q4 = scan.where(w("start") === ts("2024-03-01 12:17:00")).select("ts", "price")
+    assert(q4.count() == 0 && filesRead(q4) == 0)
+    // custom slide origin via startTime
+    val q5 = scan.where(window(col("ts"), "5 minutes", "5 minutes", "2 minutes")("start") ===
+      ts("2024-03-01 12:12:00")).select("ts", "price")
+    assert(q5.count() == 5 && filesRead(q5) == 1)
+  }
+
+  test("integral-div epoch binning prunes with exact truncation semantics") {
+    val b1215 = java.time.Instant.parse("2024-03-01T12:15:00Z").getEpochSecond * 1000000L / 300000000L
+    val q1 = scan.where(expr(s"unix_micros(ts) div 300000000 = $b1215"))
+    assert(q1.count() == 5 && filesRead(q1) == 1)
+    val h10 = java.time.Instant.parse("2024-03-01T10:00:00Z").getEpochSecond / 3600L
+    val q2 = scan.where(expr(s"unix_seconds(ts) div 3600 = $h10"))
+    assert(q2.count() == 60 && filesRead(q2) == 1)
+    val q3 = scan.where(expr(s"unix_micros(ts) div 300000000 < $b1215"))
+    assert(q3.count() == 60 + 15 && filesRead(q3) == 2)
+    val q4 = scan.where(expr(s"unix_micros(ts) div 300000000 > ${h10 * 12 + 100000}"))
+    assert(q4.count() == 0 && filesRead(q4) == 0)
+  }
+
+  test("floor(epoch/S) double binning prunes one-bucket-padded, stays one-way") {
+    val b1215 = java.time.Instant.parse("2024-03-01T12:15:00Z").getEpochSecond * 1000000L / 300000000L
+    val q1 = scan.where(expr(s"floor(unix_micros(ts) / 300000000) = $b1215"))
+    assert(q1.count() == 5 && filesRead(q1) == 1)
+    // a 5-min bucket inside hour 12 still prunes the hour-10 file even
+    // with the one-bucket pad; the padded rewrite is necessary-only, so
+    // NOT must not prune through it
+    val qNot = scan.where(!(expr(s"floor(unix_micros(ts) / 300000000) = $b1215")))
+    assert(qNot.count() == 115 && filesRead(qNot) == 2)
+  }
+
+  test("pre-epoch binning: div truncates toward zero, floor floors — both exact") {
+    import spark.implicits._
+    val root = tmpDir("prune-preepoch")
+    val t = TsTable.create(root, TableMeta("prices",
+      TableKind.TimeSeries(TimeIndexSpec("ts", Nil, TimeBucket.parse("1m"), None)), None, None))
+    def minuteDf(day: String, h: Int, mFrom: Int, mTo: Int) =
+      (mFrom to mTo).map(m => (f"$day $h%02d:$m%02d:00", m * 1.0)).toDF("tss", "price")
+        .select(to_timestamp(col("tss")).as("ts"), col("price"))
+    t.append(minuteDf("1969-12-31", 23, 0, 59).coalesce(1))
+    t.append(minuteDf("1970-01-01", 1, 0, 59).coalesce(1))
+    val s = t.scan(spark)
+    // 23:30:00Z = -1800 s; trunc(-1.8e9 / 3e8) = -6 exactly. Truncation
+    // bucket -6 = (-2100 s, -1800 s] -> minutes 26..30 (5 rows)
+    val qd = s.where(expr("unix_micros(ts) div 300000000 = -6"))
+    assert(qd.count() == 5 && filesRead(qd) == 1)
+    assert(qd.select(min(col("ts")).cast("string")).head.getString(0) == "1969-12-31 23:26:00")
+    // floor bucket -6 = [-1800 s, -1500 s) -> minutes 30..34 (5 rows)
+    val qf = s.where(expr("floor(unix_micros(ts) / 300000000) = -6"))
+    assert(qf.count() == 5 && filesRead(qf) == 1)
+    assert(qf.select(min(col("ts")).cast("string")).head.getString(0) == "1969-12-31 23:30:00")
+    // window() is floor-aligned across the epoch too
+    val qw = s.where(window(col("ts"), "5 minutes")("start") === ts("1969-12-31 23:30:00"))
+      .select("ts", "price")
+    assert(qw.count() == 5 && filesRead(qw) == 1)
+  }
+
   test("month-bearing interval comparisons prune through [28,31]-day widening") {
     // actual ts+1month = 2024-04-01 10:00..13:00; k−31d = 2024-03-02 11:30
     // exceeds every ts -> both files provably out
