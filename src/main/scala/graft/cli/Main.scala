@@ -16,7 +16,7 @@ import graft.table.TsTable
   *            [--entity COL]... | --cluster-by c1,c2,c3 [--curve zorder|hilbert|lexico])
   *   append  --table ROOT --parquet FILE
   *   query   --table ROOT --sql SQL [--at-version V] [--explain] [--timing]
-  *           [--max-rows N] [--output PATH --format csv|jsonl]
+  *           [--max-rows N] [--output PATH --format csv|jsonl] [--pager]
   *           [--param k=v]... [--arg v]...   ($1..$N bind to --arg in order)
   *   compact --table ROOT [--target-file-size BYTES] [--job-id ID]
   *   expire  --table ROOT --keep-from VERSION
@@ -98,7 +98,7 @@ object Main {
       val df = spark.sql(sqlText, params)
       if (flag(args, "explain")) df.explain("formatted")
       else output(df, opt(args, "output"), opt(args, "format").getOrElse("csv"),
-        opt(args, "max-rows").map(_.toInt))
+        opt(args, "max-rows").map(_.toInt), pager = flag(args, "pager"))
       if (flag(args, "timing"))
         println(f"time: ${(System.nanoTime() - t0) / 1e9}%.3f s")
 
@@ -193,14 +193,19 @@ object Main {
   }
 
   /** CSV/JSONL export sink (reference storage/output.rs:117-141) or
-    * truncated stdout table. */
+    * truncated stdout table; --pager pipes the rendered table through
+    * `less -S` (reference main.rs:127-129, query.rs:180-211). */
   private def output(df: DataFrame, path: Option[String], format: String,
-                     maxRows: Option[Int]): Unit = path match {
+                     maxRows: Option[Int], pager: Boolean = false): Unit = path match {
     case Some(p) => format match {
       case "csv"   => df.coalesce(1).write.option("header", "true").mode("overwrite").csv(p)
       case "jsonl" => df.coalesce(1).write.mode("overwrite").json(p)
       case f       => sys.error(s"unknown format '$f'")
     }
-    case None => df.show(maxRows.getOrElse(20), truncate = false)
+    case None =>
+      if (pager) Shell.pageOutput(
+        org.apache.spark.sql.graft.Bridge.showString(df, maxRows.getOrElse(20), truncate = 0),
+        System.out, Seq("less", "-S"))
+      else df.show(maxRows.getOrElse(20), truncate = false)
   }
 }

@@ -18,14 +18,18 @@ object Shell {
 
   private final case class State(
       var tables: Map[String, TsTable] = Map.empty,
+      var aliases: Map[String, String] = Map.empty, // alias -> registered view
       var timing: Boolean = false,
       var maxRows: Int = 20,
+      var pager: Boolean = false,
+      var pagerCmd: Seq[String] = Seq("less", "-S"),
       var done: Boolean = false)
 
   def repl(spark: SparkSession, in: BufferedReader, out: PrintStream,
-           preload: Map[String, String] = Map.empty): Unit = {
+           preload: Map[String, String] = Map.empty,
+           pagerCmd: Seq[String] = Seq("less", "-S")): Unit = {
     graft.functions.GraftFunctions.register(spark) // simhash64(...) etc in SQL
-    val st = State()
+    val st = State(pagerCmd = pagerCmd)
     preload.foreach { case (name, root) => openTable(spark, st, out, root, Some(name)) }
     val sqlBuf = new StringBuilder
     out.println("graft shell — .help for commands, SQL statements end with ';'")
@@ -63,6 +67,9 @@ object Shell {
           |.refresh NAME          re-register NAME at latest version
           |.timing on|off         print statement wall time
           |.maxrows N             rows shown per statement (default 20)
+          |.alias NAME [TABLE]    rewrite NAME to TABLE in SQL (show: .alias)
+          |.alias --clear         drop all aliases   (.unalias NAME: drop one)
+          |.pager on|off          page statement output through `less -S`
           |.quit / .exit          leave""".stripMargin)
       case ".open" => parts.tail match {
         case Seq(root) => openTable(spark, st, out, root, None)
@@ -87,6 +94,33 @@ object Shell {
       case ".history" => withTable(st, out, parts) { (_, t) =>
         out.print(org.apache.spark.sql.graft.Bridge.showString(
           t.history(spark, limit = st.maxRows), st.maxRows, truncate = 0)) }
+      // SQL alias rewriting (reference shell.rs:387-516: `alias NAME` with
+      // the quote-aware tokenizer) generalized to this shell's multiple
+      // tables: `.alias NAME TABLE` (TABLE defaults to the only open table)
+      case ".alias" => parts.tail match {
+        case Seq() =>
+          if (st.aliases.isEmpty) out.println("alias: (none)")
+          else st.aliases.toSeq.sortBy(_._1).foreach { case (a, t) => out.println(s"alias: $a -> $t") }
+        case Seq("--clear") => st.aliases = Map.empty; out.println("alias: (none)")
+        case Seq(name) if st.tables.size == 1 => setAlias(st, out, name, st.tables.keys.head)
+        case Seq(name) => out.println(
+          if (st.tables.isEmpty) "no open tables (.open first)"
+          else "several tables open — usage: .alias NAME TABLE")
+        case Seq(name, tbl) if st.tables.contains(tbl) => setAlias(st, out, name, tbl)
+        case Seq(_, tbl) => out.println(s"no such table '$tbl' (.tables)")
+        case _ => out.println("usage: .alias [NAME [TABLE] | --clear]")
+      }
+      case ".unalias" => parts.tail match {
+        case Seq(name) if st.aliases.contains(name) =>
+          st.aliases -= name; out.println(s"alias '$name' dropped")
+        case Seq(name) => out.println(s"no such alias '$name'")
+        case _ => out.println("usage: .unalias NAME")
+      }
+      case ".pager" => parts.tail match {
+        case Seq("on")  => st.pager = true;  out.println("pager on")
+        case Seq("off") => st.pager = false; out.println("pager off")
+        case _ => out.println("usage: .pager on|off")
+      }
       case ".timing" => parts.tail match {
         case Seq("on")  => st.timing = true;  out.println("timing on")
         case Seq("off") => st.timing = false; out.println("timing off")
@@ -118,13 +152,23 @@ object Shell {
       out.println(s"opened $root as $name (v${t.version})")
     } catch { case e: Exception => out.println(s"error: ${e.getMessage}") }
 
+  private def setAlias(st: State, out: PrintStream, name: String, tbl: String): Unit =
+    if (!isValidAlias(name)) out.println("alias must match [A-Za-z_][A-Za-z0-9_]*")
+    else { st.aliases += name -> tbl; out.println(s"alias: $name -> $tbl") }
+
+  private[graft] def isValidAlias(s: String): Boolean =
+    s.nonEmpty && (s.head.isLetter && s.head <= 'z' || s.head == '_') &&
+      s.tail.forall(c => (c.isLetterOrDigit && c <= 'z') || c == '_')
+
   private def runSql(spark: SparkSession, st: State, out: PrintStream, sql: String): Unit = {
     if (sql.trim.isEmpty) return
     val t0 = System.nanoTime()
     try {
-      val df = spark.sql(sql)
+      val rewritten = st.aliases.foldLeft(sql) { case (s, (a, t)) => rewriteSqlAlias(s, a, t) }
+      val df = spark.sql(rewritten)
       // showString is what df.show prints; capture it for our own stream
-      out.print(org.apache.spark.sql.graft.Bridge.showString(df, st.maxRows, truncate = 0))
+      val text = org.apache.spark.sql.graft.Bridge.showString(df, st.maxRows, truncate = 0)
+      if (st.pager) pageOutput(text, out, st.pagerCmd) else out.print(text)
       if (st.timing) out.println(f"time: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     } catch { case e: Exception =>
       // e.getMessage can be null (e.g. a bare NPE out of analysis); the
@@ -177,6 +221,68 @@ object Shell {
     }
     (None, text)
   }
+
+  /** Rewrite bare and backtick-quoted occurrences of `alias` to `actual`
+    * (reference rewrite_sql_alias, shell.rs:401-516), via the shared
+    * scanner: single/double-quoted strings and comments pass through
+    * untouched; backtick identifiers whose (``-unescaped) content equals
+    * the alias are replaced with the backtick-quoted actual; bare
+    * identifier runs are replaced on exact match. */
+  private[graft] def rewriteSqlAlias(sql: String, alias: String, actual: String): String = {
+    if (alias == actual) return sql
+    @inline def identChar(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+    val out = new StringBuilder(sql.length + 16)
+    var i = 0
+    var state: Char = ' '
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (state == ' ' && c == '`') {
+        // whole backtick identifier in one step (`` = escaped backtick)
+        val content = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < sql.length && !closed) {
+          if (sql.charAt(j) == '`') {
+            if (j + 1 < sql.length && sql.charAt(j + 1) == '`') { content += '`'; j += 2 }
+            else { closed = true; j += 1 }
+          } else { content += sql.charAt(j); j += 1 }
+        }
+        if (closed && content.toString == alias)
+          out += '`' ++= actual.replace("`", "``") += '`'
+        else out ++= sql.substring(i, j)
+        i = j
+      } else if (state == ' ' && identChar(c)) {
+        val start = i
+        while (i < sql.length && identChar(sql.charAt(i))) i += 1
+        val ident = sql.substring(start, i)
+        out ++= (if (ident == alias) actual else ident)
+      } else {
+        val (s2, adv) = scanStep(sql, i, state)
+        out ++= sql.substring(i, math.min(i + adv, sql.length))
+        state = s2; i += adv
+      }
+    }
+    out.toString
+  }
+
+  /** Pipe `text` through the pager (reference page_output, query.rs:180-211:
+    * `less -S` — no truncation, horizontal scroll); on spawn failure warn
+    * and fall back to plain printing so output is never lost. */
+  private[graft] def pageOutput(text: String, out: PrintStream, cmd: Seq[String]): Unit =
+    try {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val w = p.getOutputStream
+      try w.write(text.getBytes("UTF-8")) finally w.close()
+      p.waitFor()
+      ()
+    } catch { case e: Exception =>
+      out.println(s"warning: failed to launch pager '${cmd.mkString(" ")}': ${e.getMessage}")
+      out.print(text)
+    }
 
   /** Shared view-name derivation for a table root (used by .open and the
     * CLI --table preload). */

@@ -384,6 +384,10 @@ final class TsTable private (val root: String, val store: LogStore) {
     } finally ch.close()
     if (head != "PAR1" || tail != "PAR1")
       throw SchemaMismatchException(s"'$path' is not a parquet file (bad magic)")
+    // explicit logical-schema rejection for foreign files (INT96, exotic
+    // decimals, nullable map keys) — BEFORE the copy, so a rejected file
+    // never lands in data/
+    LogicalSchema.validateFooterSchema(spark.sparkContext.hadoopConfiguration, src.toString)
     val inRoot = src.toAbsolutePath.startsWith(Paths.get(stripScheme(root)).toAbsolutePath)
     val local =
       if (inRoot) src

@@ -93,6 +93,94 @@ class ShellSpec extends SparkFunSuite {
     assert(out.contains("tok\t"), s"REPL died before .tables:\n$out")
   }
 
+  test("alias rewrite: quote-aware, backtick-aware, exact-identifier only") {
+    import Shell.rewriteSqlAlias
+    assert(rewriteSqlAlias("SELECT * FROM seqs", "seqs", "tok") == "SELECT * FROM tok")
+    // substring identifiers stay untouched
+    assert(rewriteSqlAlias("SELECT seqs2, aseqs FROM seqs", "seqs", "tok") ==
+      "SELECT seqs2, aseqs FROM tok")
+    // single-quoted strings and comments pass through
+    assert(rewriteSqlAlias("SELECT 'seqs' FROM seqs -- seqs\n", "seqs", "tok") ==
+      "SELECT 'seqs' FROM tok -- seqs\n")
+    assert(rewriteSqlAlias("SELECT /* seqs */ 1 FROM seqs", "seqs", "tok") ==
+      "SELECT /* seqs */ 1 FROM tok")
+    // backtick identifier matches rewrite quoted; others untouched
+    assert(rewriteSqlAlias("SELECT `seqs`.x FROM `seqs`", "seqs", "tok") ==
+      "SELECT `tok`.x FROM `tok`")
+    assert(rewriteSqlAlias("SELECT `seqs extra` FROM seqs", "seqs", "tok") ==
+      "SELECT `seqs extra` FROM tok")
+    // escaped backtick content compares unescaped
+    assert(rewriteSqlAlias("SELECT * FROM `se``qs`", "se`qs", "x`y") ==
+      "SELECT * FROM `x``y`")
+    assert(Shell.isValidAlias("_a1") && !Shell.isValidAlias("1a") &&
+      !Shell.isValidAlias("a-b") && !Shell.isValidAlias(""))
+  }
+
+  test("shell: .alias rewrites queries, .unalias drops, invalid names rejected") {
+    val root = tmpDir("shell-alias")
+    val t = TsTable.create(root, TableMeta("tokens",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
+    t.append(TokenGen.generate(spark, 25))
+    val out = drive(
+      s""".open $root AS tok
+         |.alias seqs
+         |SELECT count(*) AS n FROM seqs;
+         |.alias
+         |.alias 9bad
+         |.unalias seqs
+         |SELECT count(*) AS n FROM seqs;
+         |.quit
+         |""".stripMargin)
+    assert(out.contains("alias: seqs -> tok"), s"alias not set:\n$out")
+    assert(out.contains("25"), s"aliased query did not run:\n$out")
+    assert(out.contains("must match"), s"invalid alias accepted:\n$out")
+    assert(out.contains("alias 'seqs' dropped"), out)
+    // after unalias the name no longer resolves
+    assert(out.contains("TABLE_OR_VIEW_NOT_FOUND") || out.contains("error:"), out)
+  }
+
+  test("shell: .pager pipes output through the pager, falls back on spawn failure") {
+    val root = tmpDir("shell-pager")
+    val t = TsTable.create(root, TableMeta("tokens",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
+    t.append(TokenGen.generate(spark, 7))
+    val sink = tmpDir("shell-pager-sink") + "/paged.txt"
+    // pager = shell redirect: proves the rendered table went through the
+    // external process's stdin, not the shell's own stream
+    val outOk = {
+      val bytes = new ByteArrayOutputStream()
+      Shell.repl(spark, new BufferedReader(new StringReader(
+        s""".open $root AS tok
+           |.pager on
+           |SELECT count(*) AS n FROM tok;
+           |.quit
+           |""".stripMargin)),
+        new PrintStream(bytes, true, "UTF-8"), Map.empty,
+        pagerCmd = Seq("/bin/sh", "-c", s"cat > $sink"))
+      bytes.toString("UTF-8")
+    }
+    assert(outOk.contains("pager on"))
+    val paged = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sink)), "UTF-8")
+    assert(paged.contains("7"), s"pager did not receive the rendered table:\n$paged")
+    assert(!outOk.contains("| 7 "), s"output bypassed the pager:\n$outOk")
+
+    // nonexistent pager binary: warn + fall back to printing
+    val outFb = {
+      val bytes = new ByteArrayOutputStream()
+      Shell.repl(spark, new BufferedReader(new StringReader(
+        s""".open $root AS tok
+           |.pager on
+           |SELECT count(*) AS n FROM tok;
+           |.quit
+           |""".stripMargin)),
+        new PrintStream(bytes, true, "UTF-8"), Map.empty,
+        pagerCmd = Seq("/nonexistent-pager-binary"))
+      bytes.toString("UTF-8")
+    }
+    assert(outFb.contains("warning: failed to launch pager"), outFb)
+    assert(outFb.contains("7"), s"fallback lost the output:\n$outFb")
+  }
+
   test("streaming appId: scheme URIs are cwd-independent, local paths canonicalize") {
     import graft.streaming.StreamingIngest.appId
     assert(appId("s3a://bucket/ck/") == "stream:s3a://bucket/ck")

@@ -170,6 +170,27 @@ class TsTableSpec extends SparkFunSuite {
     assert(t.scan(spark).count() == 3)
   }
 
+  test("foreign parquet with INT96 timestamps is rejected by name, file never copied") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("int96-reject")
+    val t = TsTable.create(root, pricesMeta())
+    // write a legacy INT96 file the way old writers did
+    val legacyDir = tmpDir("int96-src")
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "INT96")
+      pricesDf(Seq((1L, "A", 10.0))).coalesce(1).write.mode("overwrite").parquet(legacyDir)
+    } finally spark.conf.set(key, prev)
+    val file = Files.list(Paths.get(legacyDir)).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get().toString
+    val e = intercept[SchemaMismatchException](t.appendParquetFile(spark, file))
+    assert(e.getMessage.contains("INT96"), e.getMessage)
+    val dataDir = Paths.get(root, "data")
+    assert(!Files.exists(dataDir) || { val s = Files.list(dataDir); try s.count() == 0 finally s.close() },
+      "rejected INT96 file was copied into data/")
+  }
+
   test("prices table: schema is adopted then frozen (exact enforcement)") {
     import spark.implicits._
     val root = tmpDir("prices-schema")
