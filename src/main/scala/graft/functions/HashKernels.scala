@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -109,6 +109,46 @@ object HashKernels {
       p += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, n))
+  }
+
+  /** |A ∩ B| for two long arrays whose elements are distinct within each
+    * array (ShingleHashes guarantees that): open-addressing set over the
+    * smaller side, probe with the larger. One JVM loop per candidate pair
+    * vs interpreted array_intersect + size — the verification inner loop
+    * of the exact-verified LSH pipelines. */
+  def intersectCount(a: ArrayData, b: ArrayData): Int = {
+    val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val n = small.numElements()
+    if (n == 0) return 0
+    val cap = java.lang.Integer.highestOneBit(math.max(n, 4)) * 4
+    val table = new Array[Long](cap)
+    val maskT = cap - 1
+    var sawZero = false
+    var i = 0
+    while (i < n) {
+      val h = small.getLong(i)
+      if (h == 0L) sawZero = true
+      else {
+        var slot = (h ^ (h >>> 32)).toInt & maskT
+        while (table(slot) != 0L && table(slot) != h) slot = (slot + 1) & maskT
+        table(slot) = h
+      }
+      i += 1
+    }
+    var count = 0
+    val m = large.numElements()
+    var j = 0
+    while (j < m) {
+      val h = large.getLong(j)
+      if (h == 0L) { if (sawZero) count += 1 }
+      else {
+        var slot = (h ^ (h >>> 32)).toInt & maskT
+        while (table(slot) != 0L && table(slot) != h) slot = (slot + 1) & maskT
+        if (table(slot) == h) count += 1
+      }
+      j += 1
+    }
+    count
   }
 
   @inline private def isWs(b: Byte): Boolean =
@@ -237,6 +277,28 @@ case class ShingleHashes(child: Expression, shingleSize: Int) extends UnaryExpre
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Codegen'd |A ∩ B| of two array<bigint> columns with per-array-distinct
+  * elements. */
+case class IntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true; case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two array<bigint> columns, got ${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.intersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** Codegen'd MD5-word-hash SimHash column (oracle-recomputable variant). */

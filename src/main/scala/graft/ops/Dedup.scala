@@ -128,12 +128,16 @@ object Dedup {
     val cand = a.join(b, Seq("band", "h")).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val sets = sh.select(col("id"), col("sh"), size(col("sh")).as("sz"))
+    // |A∩B| via the codegen'd IntersectCount kernel (one JVM loop per
+    // candidate pair; array_intersect would interpret with boxed longs)
+    val interCol = {
+      import org.apache.spark.sql.graft.Bridge.{ofExpr => oe, toExpr => te}
+      oe(graft.functions.IntersectCount(te(col("sh_a")), te(col("sh_b"))))
+    }
     val verified = cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
-        col("sz_a"), col("sz_b"))
+      .select(col("id_a"), col("id_b"), interCol.as("inter"), col("sz_a"), col("sz_b"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)

@@ -229,6 +229,20 @@ class OpsSpec extends SparkFunSuite {
     assert(expected.nonEmpty, "fixture should contain near-dup pairs")
   }
 
+  test("IntersectCount kernel matches size(array_intersect) on shingle sets") {
+    import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val sh = d.select(col("doc_id"),
+      ofExpr(graft.functions.ShingleHashes(toExpr(col("text")), 5)).as("sh"))
+    val pairs = sh.as("a").crossJoin(sh.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(
+        ofExpr(graft.functions.IntersectCount(toExpr(col("a.sh")), toExpr(col("b.sh")))).as("k"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("ref"))
+    assert(pairs.where(col("k") =!= col("ref")).count() == 0)
+    assert(pairs.where(col("k") > 0).count() > 0, "fixture should overlap somewhere")
+  }
+
   test("verified minhash pairs carry the EXACT shingle-set jaccard") {
     val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm windowsill every afternoon"
     val nearDup = base.replace("warm", "cold")
