@@ -283,6 +283,23 @@ object SparkEntry {
     "q34_rolling_fp" -> ((s, dir) => tbl(s, dir, "documents")
       .select(col("doc_id"), TextOps.minFingerprintMd5(col("text")).as("min_fp"))),
 
+    // deterministic engine-portable train/val/test split (md5 bucket) —
+    // membership is a pure function of the key, recomputable anywhere
+    "q35_sample_split" -> ((s, dir) => graft.ops.Sampling.split(
+      tbl(s, dir, "documents").select("doc_id"), "doc_id")
+      .withColumn("bucket", graft.ops.Sampling.md5Bucket(col("doc_id"), 100))),
+
+    // GPT-style sequence packing THROUGH THE SCALABLE PATH (two-pass
+    // distributed prefix sum; the oracle recomputes with window SQL)
+    "q36_seq_pack" -> ((s, dir) => graft.ops.Packing.packStreamScalable(
+      tokenDf(s, dir).select("source", "doc_id", "n_tok"),
+      "source", "doc_id", "n_tok", maxTokens = 2048)
+      .select("source", "doc_id", "stream_pos", "seq_id")),
+
+    // corpus vocabulary stats: top-50 token ids by frequency
+    "q37_vocab_topk" -> ((s, dir) =>
+      graft.ops.TextOps.vocabTopK(tokenDf(s, dir), "tokens", 50)),
+
     // ---- multimodal plumbing (decode stubbed; schema/plumbing real) -----
     "q40_multimodal_meta" -> ((s, dir) => {
       val blobs = Multimodal.synthesizeBlobs(tbl(s, dir, "documents"), "doc_id")
@@ -574,6 +591,38 @@ object SparkEntry {
           |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
           |                          ' +', ' ', 'g'))) AS fp
           |FROM documents""".stripMargin,
+
+      // q35: md5-derived bucket rebuilt from hex digits (first 8 = 32 bits)
+      "q35_sample_split" ->
+        """WITH h AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx FROM documents),
+          |b AS (SELECT doc_id,
+          |  CAST(list_sum(list_transform(range(0, 8), i ->
+          |    CAST(strpos('0123456789abcdef', substr(hx, CAST(i AS INT) + 1, 1)) - 1 AS BIGINT)
+          |      << CAST(4 * (7 - i) AS INT))) % 100 AS INT) AS bucket
+          |  FROM h)
+          |SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+          |                    ELSE 'test' END AS split, bucket
+          |FROM b""".stripMargin,
+
+      // q36: the two-pass distributed prefix sum must equal plain window
+      // SQL over the same (source, doc_id) order
+      "q36_seq_pack" ->
+        """WITH t AS (SELECT source, 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id,
+          |                  CAST(64 + doc_id % 1985 AS BIGINT) AS n FROM documents),
+          |w AS (SELECT source, doc_id,
+          |        COALESCE(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+          |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sp
+          |      FROM t)
+          |SELECT source, doc_id, CAST(sp AS BIGINT) AS stream_pos,
+          |       CAST(sp // 2048 AS BIGINT) AS seq_id FROM w""".stripMargin,
+
+      "q37_vocab_topk" ->
+        """WITH tok AS (
+          |  SELECT unnest(list_transform(generate_series(0, CAST(64 + doc_id % 1985 AS INT) - 1),
+          |                i -> CAST((doc_id * 31 + i) % 50257 AS INT))) AS token
+          |  FROM documents)
+          |SELECT token, count(*) AS cnt FROM tok GROUP BY 1
+          |ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
 
       "q40_multimodal_meta" ->
         """SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -140,6 +140,16 @@ object TextOps {
 
   def minFingerprintMd5(text: Column, window: Int = 4): Column =
     array_min(rollingFingerprintsMd5(text, window))
+
+  /** Corpus vocabulary statistics: the k most frequent token ids across
+    * an array<int> token column — explode + hash-aggregate with map-side
+    * partial counts (the optimal distributed shape: the shuffle carries
+    * at most |vocab| rows per partition, never the corpus), then a
+    * TakeOrderedAndProject top-k. Ties break by token id for determinism. */
+  def vocabTopK(df: DataFrame, tokensCol: String, k: Int): DataFrame =
+    df.select(explode(col(tokensCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(k)
 }
 
 /** Tiny embedded stopword tables (top function words; public knowledge). */

@@ -359,6 +359,51 @@ class OpsSpec extends SparkFunSuite {
     assert(mem == disk && mem.nonEmpty)
   }
 
+  test("sequence packing: two-pass scalable prefix sum equals the window form") {
+    // skewed fixture: one hot group holding 80% of rows, forced across
+    // MANY range partitions — the case where Window.partitionBy would
+    // serialize through one task and the two-pass path must not
+    val rows = (0 until 2000).map { i =>
+      val g = if (i % 5 != 0) "hot" else s"cold${i % 7}"
+      (g, f"id-$i%06d", 64 + (i * 31) % 1985)
+    }
+    import spark.implicits._
+    val df = rows.toDF("source", "doc_id", "n_tok").repartition(13)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("source"), col("doc_id"), col("stream_pos"), col("seq_id"))
+        .as[(String, String, Long, Long)].collect().toSet
+    val window = key(Packing.packStream(df, "source", "doc_id", "n_tok", 2048))
+    val scalable = key(Packing.packStreamScalable(df, "source", "doc_id", "n_tok", 2048,
+      partitions = 16))
+    assert(scalable == window, s"two-pass prefix sum diverged: " +
+      s"missing=${(window -- scalable).take(3)} extra=${(scalable -- window).take(3)}")
+    // hot group genuinely spans several range partitions in the fixture
+    val hotParts = df.where(col("source") === "hot")
+      .repartitionByRange(16, col("source"), col("doc_id"))
+      .select(spark_partition_id()).distinct().count()
+    assert(hotParts > 1, "fixture failed to spread the hot group")
+    // packing semantics: stream positions are dense per group
+    val hot = Packing.packStream(df, "source", "doc_id", "n_tok", 2048)
+      .where(col("source") === "hot").orderBy("doc_id")
+      .select(col("stream_pos"), col("n_tok")).as[(Long, Int)].collect()
+    hot.sliding(2).foreach { case Array((p1, n1), (p2, _)) => assert(p1 + n1 == p2); case _ => }
+  }
+
+  test("deterministic sampling: stable buckets, exact split fractions semantics") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("id")
+    val a = Sampling.split(df, "id").groupBy("split").count().as[(String, Long)].collect().toMap
+    val b = Sampling.split(df, "id").groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(a == b, "split must be deterministic across evaluations")
+    assert(a("train") > 800 && a("train") < 950, s"train fraction off: $a")
+    assert(a.values.sum == 1000)
+    // buckets in range for both hash families
+    val r = df.select(Sampling.hashBucket(col("id"), 100).as("x"),
+      Sampling.md5Bucket(col("id"), 100).as("m"))
+      .agg(min("x"), max("x"), min("m"), max("m")).head
+    assert(r.getInt(0) >= 0 && r.getInt(1) < 100 && r.getInt(2) >= 0 && r.getInt(3) < 100)
+  }
+
   test("text ops: token counts, quality, langid, fingerprint invariance") {
     val d = Seq(
       (1L, "The quick brown fox, with the lazy dog!"),
