@@ -120,6 +120,61 @@ class StreamingSpec extends SparkFunSuite {
     assert(t.scan(spark).count() == 50)
   }
 
+  test("watermarked window aggregation: closed windows emit once, late data drops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val stream = mem.toDF().toDF("ts", "value")
+    val agg = graft.streaming.StreamAnalytics.windowedCounts(
+      stream, "ts", "5 minutes", "1 minute")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // batch 1: two windows' worth of events
+      mem.addData(Seq(
+        (ts("2024-03-01 10:00:10"), 1.0), (ts("2024-03-01 10:02:00"), 2.0),
+        (ts("2024-03-01 10:06:00"), 3.0)))
+      q.processAllAvailable()
+      // batch 2: watermark pusher (10:20) + a LATE event for the first
+      // window, far behind the watermark -> must be dropped
+      mem.addData(Seq(
+        (ts("2024-03-01 10:20:00"), 4.0), (ts("2024-03-01 10:01:00"), 99.0)))
+      q.processAllAvailable()
+      // one more empty-ish batch so the advanced watermark closes windows
+      mem.addData(Seq((ts("2024-03-01 10:21:00"), 5.0)))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .select(col("window_start").cast("string"), col("n"))
+        .as[(String, Long)].collect().toMap
+      // [10:00,10:05) closed with 2 events (late 99.0 dropped), [10:05,10:10) with 1
+      assert(rows.get("2024-03-01 10:00:00").contains(2L), s"got $rows")
+      assert(rows.get("2024-03-01 10:05:00").contains(1L), s"got $rows")
+      // the open tail window ([10:20,10:25)) has not closed -> not emitted
+      assert(!rows.contains("2024-03-01 10:20:00"), s"open window emitted early: $rows")
+    } finally q.stop()
+  }
+
+  test("custom-state streaming dedup: first key occurrence across batches, min id in batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val out = graft.streaming.StreamAnalytics.dedupFirstSeen(
+      mem.toDF().toDF("fp", "doc_id"), "fp", "doc_id")
+    val q = out.toDF("fp", "doc_id").writeStream.format("memory")
+      .queryName("dedup_stream").outputMode("append").start()
+    try {
+      mem.addData(Seq(("fpA", "doc3"), ("fpA", "doc1"), ("fpB", "doc2")))
+      q.processAllAvailable()
+      // second batch repeats fpA/fpB (state must swallow) + a new key
+      mem.addData(Seq(("fpA", "doc9"), ("fpB", "doc8"), ("fpC", "doc7")))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").as[(String, String)].collect().toMap
+      assert(rows == Map("fpA" -> "doc1", "fpB" -> "doc2", "fpC" -> "doc7"),
+        s"streaming dedup wrong: $rows")
+    } finally q.stop()
+  }
+
   test("legacy 'stream:file:/…' watermark migrates forward before the query starts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
