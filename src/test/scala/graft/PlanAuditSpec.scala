@@ -90,6 +90,21 @@ class PlanAuditSpec extends SparkFunSuite {
       s"minhash kernel projection fell out of codegen:\n$plan")
   }
 
+  test("sampling is a zero-shuffle projection; vocab top-k is partial-agg + TakeOrdered") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pS = executed(graft.ops.Sampling.split(docs.select("doc_id"), "doc_id"))
+    assert(!pS.contains("Exchange"), s"split membership must not shuffle:\n$pS")
+    assert(pS.contains("*("), s"split projection fell out of codegen:\n$pS")
+
+    val toks = docs.select(split(col("text"), " ").as("tokens"))
+    val pV = executed(graft.ops.TextOps.vocabTopK(toks, "tokens", 10))
+    assert(pV.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort:\n$pV")
+    // map-side partial aggregation before the exchange
+    assert(pV.indexOf("HashAggregate") != pV.lastIndexOf("HashAggregate"),
+      s"vocab count lacks partial aggregation:\n$pV")
+  }
+
   test("token aggregation over the table scan stays inside codegen") {
     val q = table.scan(spark)
       .select(sum(expr("aggregate(tokens, 0L, (a, x) -> a + x)")).as("s"))
