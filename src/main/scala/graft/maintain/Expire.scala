@@ -28,9 +28,15 @@ import graft.table.TsTable
 object Expire {
 
   final case class Report(watermark: Long, dataFilesDeleted: Int, bytesDeleted: Long,
-                          sidecarsDeleted: Int, commitsDropped: Int)
+                          sidecarsDeleted: Int, commitsDropped: Int,
+                          stagingDirsDeleted: Int = 0)
 
-  def expire(table: TsTable, keepFromVersion: Long): Report = {
+  /** `stagingGraceMs`: `.staging-*` directories (a writer's pre-commit
+    * scratch) older than this are reclaimed as crashed-writer debris. The
+    * grace period is what makes this safe against writers mid-append: a
+    * LIVE writer's staging dir is at most minutes old. */
+  def expire(table: TsTable, keepFromVersion: Long,
+             stagingGraceMs: Long = 60L * 60 * 1000): Report = {
     val store = table.store
     val current = store.currentVersion()
     require(keepFromVersion >= 1 && keepFromVersion <= current,
@@ -92,7 +98,34 @@ object Expire {
       Files.deleteIfExists(store.checkpointPath(v))
       v += 1
     }
-    Report(keepFromVersion, files, bytes, sidecars, dropped)
+
+    // 4) crashed-writer debris: a writer that died between staging its
+    //    parquet output and moving it into data/ leaves a `.staging-*`
+    //    dir no commit will ever reference. Age-guarded so a live
+    //    writer's scratch (minutes old at most) is never touched.
+    var stagingDeleted = 0
+    val rootPath = Paths.get(strip(table.root))
+    val cutoff = System.currentTimeMillis() - stagingGraceMs
+    if (Files.isDirectory(rootPath)) {
+      val s = Files.list(rootPath)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith(".staging-"))
+          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+          .foreach { p => deleteTree(p); stagingDeleted += 1 }
+      } finally s.close()
+    }
+    Report(keepFromVersion, files, bytes, sidecars, dropped, stagingDeleted)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try { import scala.jdk.CollectionConverters._; s.iterator().asScala.foreach(deleteTree) }
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
   }
 
   private def strip(p: String): String =

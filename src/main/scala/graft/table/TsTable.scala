@@ -450,14 +450,27 @@ final class TsTable private (val root: String, val store: LogStore) {
       val segId = SegmentMeta.segmentIdV1(rel, Paths.get(stripScheme(s"$root/$rel")))
       SegmentMeta(segId, rel, "parquet", fs.rowCount, Some(fs.fileSize), fs.stats, covByPath.get(rel))
     }
+    // same orphan rule as append: the rewritten files were moved into
+    // data/ above, so every abort path below (lost race on a removed
+    // segment, retry budget exhausted) must delete them + their sidecars
+    // before propagating — no commit references them and Expire's orphan
+    // scan only reclaims log-seen segments
+    def cleanupAndThrow(e: Throwable): Nothing = {
+      segs.foreach { seg =>
+        Files.deleteIfExists(Paths.get(stripScheme(s"$root/${seg.path}")))
+        seg.coveragePath.foreach(cp =>
+          Files.deleteIfExists(Paths.get(stripScheme(s"$root/$cp"))))
+      }
+      throw e
+    }
     var attempt = 0
     while (true) {
       refresh()
       val st = cachedState
       val missing = removeIds.filterNot(st.segments.contains)
       if (missing.nonEmpty)
-        throw new IllegalStateException(
-          s"swap aborted: segments already rewritten by a concurrent job: $missing")
+        cleanupAndThrow(new IllegalStateException(
+          s"swap aborted: segments already rewritten by a concurrent job: $missing"))
       val actions: Seq[LogAction] =
         removeIds.map(LogAction.RemoveSegment) ++ segs.map(LogAction.AddSegment) ++
           (if (recomputeCoverage) coverageActionFor(st, removeIds, segs).toSeq else Nil)
@@ -468,6 +481,7 @@ final class TsTable private (val root: String, val store: LogStore) {
       } catch {
         case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
           attempt += 1
+        case e: Throwable => cleanupAndThrow(e)
       }
     }
     throw new IllegalStateException("unreachable")

@@ -170,6 +170,54 @@ class TsTableSpec extends SparkFunSuite {
     assert(t.scan(spark).count() == 3)
   }
 
+  test("expire reclaims aged crashed-writer staging dirs, spares fresh ones") {
+    import java.nio.file.{Files, Paths}
+    import graft.data.TokenGen
+    val root = tmpDir("staging-gc")
+    val t = TsTable.create(root, tokenMeta)
+    t.append(TokenGen.generate(spark, 20).coalesce(1))
+    // simulate a crashed writer: staged output that never moved into data/
+    val stale = Paths.get(root, ".staging-deadbeef")
+    Files.createDirectories(stale)
+    Files.writeString(stale.resolve("part-0.parquet"), "bytes")
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200_000L))
+    val fresh = Paths.get(root, ".staging-cafebabe")
+    Files.createDirectories(fresh)
+    Files.writeString(fresh.resolve("part-0.parquet"), "bytes")
+
+    val rep = graft.maintain.Expire.expire(t, t.version)
+    assert(rep.stagingDirsDeleted == 1, s"expected 1 staging dir reclaimed: $rep")
+    assert(!Files.exists(stale), "aged staging dir not reclaimed")
+    assert(Files.exists(fresh), "fresh staging dir (live writer) must be spared")
+    assert(TsTable.open(root).scan(spark).count() == 20)
+  }
+
+  test("aborted swap (lost concurrent-rewrite race) leaves no orphaned files") {
+    import java.nio.file.{Files, Paths}
+    import graft.data.TokenGen
+    def count(dir: String): Long = {
+      val s = Files.list(Paths.get(dir)); try s.count() finally s.close()
+    }
+    val root = tmpDir("swap-orphan")
+    TsTable.create(root, tokenMeta)
+    val t1 = TsTable.open(root)
+    t1.append(TokenGen.generate(spark, 100).coalesce(1))
+    val seg = t1.state.liveSegments.head
+    val t2 = TsTable.open(root) // second writer, same snapshot
+    // writer 1 rewrites the segment first
+    t1.swapSegments(t1.scan(spark), Seq(seg.segmentId))
+    val filesAfterT1 = count(s"$root/data")
+    // writer 2 still believes seg is live; its swap must abort AND clean up
+    val e = intercept[IllegalStateException](
+      t2.swapSegments(spark.read.parquet(s"$root/${seg.path}"), Seq(seg.segmentId)))
+    assert(e.getMessage.contains("swap aborted"), e.getMessage)
+    assert(count(s"$root/data") == filesAfterT1,
+      "aborted swap leaked its rewritten files into data/")
+    // table unharmed
+    assert(TsTable.open(root).scan(spark).count() == 100)
+  }
+
   test("foreign parquet with INT96 timestamps is rejected by name, file never copied") {
     import java.nio.file.{Files, Paths}
     val root = tmpDir("int96-reject")
