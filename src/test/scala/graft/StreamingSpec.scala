@@ -155,6 +155,45 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("composition: watermarked window aggregates land in a graft table exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("stream-winagg-tbl")
+    // bucket == window size: every closed 5-minute window is one coverage
+    // bucket, so append-once semantics are also coverage-checked
+    val t = TsTable.create(root, TableMeta("win_counts",
+      TableKind.TimeSeries(TimeIndexSpec("ts", Nil, TimeBucket.parse("5m"), None)), None, None))
+    val ckpt = tmpDir("stream-winagg-ckpt")
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = graft.streaming.StreamAnalytics.windowedCounts(
+      mem.toDF().toDF("ts", "value"), "ts", "5 minutes", "1 minute")
+      .select(col("window_start").as("ts"), col("n"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = StreamingIngest.sink(agg, t, ckpt).start()
+    try {
+      mem.addData(Seq((ts("2024-03-01 10:00:10"), 1.0), (ts("2024-03-01 10:02:00"), 2.0),
+        (ts("2024-03-01 10:06:00"), 3.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((ts("2024-03-01 10:20:00"), 4.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((ts("2024-03-01 10:21:00"), 5.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    t.refresh()
+    val rows = t.scan(spark).select(col("ts").cast("string"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(rows == Map("2024-03-01 10:00:00" -> 2L, "2024-03-01 10:05:00" -> 1L),
+      s"closed windows wrong: $rows")
+    // restart on the same checkpoint with no new data: nothing lands twice
+    val mem2 = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg2 = graft.streaming.StreamAnalytics.windowedCounts(
+      mem2.toDF().toDF("ts", "value"), "ts", "5 minutes", "1 minute")
+      .select(col("window_start").as("ts"), col("n"))
+    StreamingIngest.ingestAvailable(agg2, t, ckpt)
+    t.refresh()
+    assert(t.scan(spark).count() == 2, "replay duplicated windowed aggregates")
+  }
+
   test("custom-state streaming dedup: first key occurrence across batches, min id in batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
