@@ -35,7 +35,11 @@ object Shell {
     out.println("graft shell — .help for commands, SQL statements end with ';'")
     var line = in.readLine()
     while (line != null && !st.done) {
-      if (sqlBuf.toString.trim.isEmpty && line.trim.startsWith(".")) {
+      if (line.trim == ".clear") {
+        // works MID-STATEMENT (other meta-commands are only recognized
+        // between statements): abandon the partial SQL buffer
+        sqlBuf.clear(); out.println("buffer cleared")
+      } else if (sqlBuf.toString.trim.isEmpty && line.trim.startsWith(".")) {
         sqlBuf.clear() // drop inter-statement whitespace remainder
         // a typo (.at t abc, expired version, …) must not kill the REPL
         try meta(spark, st, out, line.trim)
@@ -70,6 +74,8 @@ object Shell {
           |.alias NAME [TABLE]    rewrite NAME to TABLE in SQL (show: .alias)
           |.alias --clear         drop all aliases   (.unalias NAME: drop one)
           |.pager on|off          page statement output through `less -S`
+          |.append NAME PATH      append a parquet file to NAME (transactional)
+          |.clear                 abandon the partial SQL statement buffer
           |.quit / .exit          leave""".stripMargin)
       case ".open" => parts.tail match {
         case Seq(root) => openTable(spark, st, out, root, None)
@@ -129,6 +135,18 @@ object Shell {
       case ".maxrows" => parts.tail match {
         case Seq(n) if n.forall(_.isDigit) && n.nonEmpty => st.maxRows = n.toInt; out.println(s"maxrows $n")
         case _ => out.println("usage: .maxrows N")
+      }
+      // reference shell.rs `append <path>`: transactional single-file
+      // append from the REPL (validates magic + logical schema, refuses
+      // overwrite), then re-registers the view at the new version
+      case ".append" => parts.tail match {
+        case Seq(name, path) if st.tables.contains(name) =>
+          val t = st.tables(name)
+          val v = t.appendParquetFile(spark, path)
+          t.scan(spark).createOrReplaceTempView(name)
+          out.println(s"appended $path to $name -> v$v")
+        case Seq(name, _) => out.println(s"no such table '$name' (.tables)")
+        case _ => out.println("usage: .append NAME PARQUET_PATH")
       }
       case ".quit" | ".exit" => st.done = true
       case other => out.println(s"unknown meta-command '$other' (.help)")

@@ -181,6 +181,29 @@ class ShellSpec extends SparkFunSuite {
     assert(outFb.contains("7"), s"fallback lost the output:\n$outFb")
   }
 
+  test("shell: .append lands a parquet file transactionally; .clear abandons a partial statement") {
+    val root = tmpDir("shell-append")
+    val t = TsTable.create(root, TableMeta("tokens",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
+    t.append(TokenGen.generate(spark, 10).coalesce(1))
+    // external parquet to append through the shell
+    val ext = tmpDir("shell-append-src")
+    TokenGen.generate(spark, 5, idStart = 900).coalesce(1).write.mode("overwrite").parquet(ext)
+    val file = java.nio.file.Files.list(java.nio.file.Paths.get(ext))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get().toString
+    val out = drive(
+      s""".open $root AS tok
+         |SELECT count(*) AS broken_statement
+         |.clear
+         |.append tok $file
+         |SELECT count(*) AS n FROM tok;
+         |.quit
+         |""".stripMargin)
+    assert(out.contains("buffer cleared"), s"mid-statement .clear not honored:\n$out")
+    assert(out.contains("to tok -> v"), s".append did not commit:\n$out")
+    assert(out.contains("15"), s"appended rows not visible:\n$out")
+  }
+
   test("streaming appId: scheme URIs are cwd-independent, local paths canonicalize") {
     import graft.streaming.StreamingIngest.appId
     assert(appId("s3a://bucket/ck/") == "stream:s3a://bucket/ck")
