@@ -85,10 +85,18 @@ object Bench {
     q("full_scan_after") = latency(t.scan(spark)
       .select(sum(expr("aggregate(tokens, 0L, (a, x) -> a + x)"))))
 
-    // MERGE INTO: 1% updates + 0.1% inserts
+    // MERGE INTO: 1% updates + 0.1% inserts. The update set is STAGED to
+    // parquet outside the timed section — TokenGen's interpreted-HOF token
+    // synthesis would otherwise re-execute inside every job MERGE runs
+    // over the lazy frame (count, key collect, bloom probe, the cached
+    // two-pass write), charging data synthesis to the engine (same
+    // accounting fix the ingest section got in round 2)
     val updates = TokenGen.generate(spark, rows / 100, idStart = 0, numFiles = 4)
     val inserts = TokenGen.generate(spark, rows / 1000, idStart = rows * 10, numFiles = 1)
-    val (_, tMerge) = time { MergeInto.merge(spark, t, updates.unionByName(inserts)) }
+    val updStage = Files.createTempDirectory("graft-bench-upd").toString
+    updates.unionByName(inserts).write.mode("overwrite").parquet(updStage)
+    val updIn = spark.read.parquet(updStage)
+    val (_, tMerge) = time { MergeInto.merge(spark, t, updIn) }
     q("merge_upsert") = tMerge
 
     // DELETE WHERE: a contiguous 1% id range (post-zorder, stats keep most
@@ -137,7 +145,7 @@ object Bench {
     spark.stop()
     // reclaim the dataset-sized temp dirs (staged input + table root) so
     // repeated runs don't fill /tmp
-    Seq(stage, root).foreach { d =>
+    Seq(stage, root, updStage).foreach { d =>
       try deleteRecursively(java.nio.file.Paths.get(d))
       catch { case _: Exception => () }
     }
