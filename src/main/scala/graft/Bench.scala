@@ -115,7 +115,8 @@ object Bench {
     // ---------- headline queries over the shared testdata ---------------
     val headline = Seq("q01_agg", "q03_join", "q05_date_trunc", "q10_maintain_scan",
       "q21_minhash_pairs", "q22_simhash_pairs", "q24_embed_neardup", "q25_ann_topk",
-      "q30_token_count", "q35_sample_split", "q36_seq_pack", "q37_vocab_topk")
+      "q30_token_count", "q35_sample_split", "q36_seq_pack", "q37_vocab_topk",
+      "q38_pipeline_e2e")
     headline.foreach { name =>
       val (_, sec) = time {
         try SparkEntry.queries(name)(spark, sfDir).count()

@@ -300,6 +300,28 @@ object SparkEntry {
     "q37_vocab_topk" -> ((s, dir) =>
       graft.ops.TextOps.vocabTopK(tokenDf(s, dir), "tokens", 50)),
 
+    // FLAGSHIP COMPOSITION: the whole training-data prep pipeline in one
+    // declarative plan — exact dedup (content fingerprint, min doc_id
+    // survives) -> quality filter (>= 20 words) -> deterministic train
+    // split (md5 bucket < 90) -> subword token estimate -> sequence
+    // packing. Every stage is an operator from ops/; the oracle
+    // recomputes the chain end-to-end in SQL.
+    "q38_pipeline_e2e" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val survivors = Dedup.exact(
+        docs.select(TextOps.fingerprint(col("text")).as("fp"), col("doc_id")),
+        "fp", "doc_id").select("doc_id")
+      val train = graft.ops.Sampling.split(
+          docs.join(survivors, "doc_id")
+            .where(TextOps.tokenCount(col("text")) >= 20), "doc_id")
+        .where(col("split") === "train")
+      val tok = train.select(col("doc_id"), col("source"),
+        TextOps.subwordCountEstimate(col("text")).cast("long").as("n_tok"))
+      graft.ops.Packing.packStream(tok, "source", "doc_id", "n_tok", 2048)
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          col("stream_pos"), col("seq_id"))
+    }),
+
     // ---- multimodal plumbing (decode stubbed; schema/plumbing real) -----
     "q40_multimodal_meta" -> ((s, dir) => {
       val blobs = Multimodal.synthesizeBlobs(tbl(s, dir, "documents"), "doc_id")
@@ -623,6 +645,41 @@ object SparkEntry {
           |  FROM documents)
           |SELECT token, count(*) AS cnt FROM tok GROUP BY 1
           |ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
+      // q38: the pipeline chain recomputed stage by stage in SQL
+      "q38_pipeline_e2e" ->
+        """WITH fp AS (
+          |  SELECT doc_id, source, text,
+          |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+          |                            ' +', ' ', 'g'))) AS fp
+          |  FROM documents),
+          |keep AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY 1),
+          |dedup AS (SELECT f.doc_id, f.source, f.text FROM fp f JOIN keep k ON f.doc_id = k.doc_id),
+          |qual AS (
+          |  SELECT * FROM dedup
+          |  WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) >= 20),
+          |bkt AS (
+          |  SELECT doc_id, source, text,
+          |    CAST(list_sum(list_transform(range(0, 8), i ->
+          |      CAST(strpos('0123456789abcdef', substr(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), CAST(i AS INT) + 1, 1)) - 1 AS BIGINT)
+          |        << CAST(4 * (7 - i) AS INT))) % 100 AS INT) AS bucket
+          |  FROM qual),
+          |train AS (SELECT * FROM bkt WHERE bucket < 90),
+          |tok AS (
+          |  SELECT doc_id, source,
+          |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE (SELECT sum(greatest(1, CAST(ceil(length(w) / 4.0) AS INT)))
+          |               FROM unnest(regexp_split_to_array(trim(text), '\s+')) t(w)) END AS BIGINT) AS n_tok
+          |  FROM train),
+          |packed AS (
+          |  SELECT source, doc_id, n_tok,
+          |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS stream_pos
+          |  FROM tok)
+          |SELECT source, doc_id, n_tok, stream_pos,
+          |       CAST(stream_pos // 2048 AS BIGINT) AS seq_id
+          |FROM packed""".stripMargin,
 
       "q40_multimodal_meta" ->
         """SELECT CAST(doc_id AS VARCHAR) AS media_id,
