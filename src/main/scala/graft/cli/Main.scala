@@ -19,6 +19,7 @@ import graft.table.TsTable
   *           [--max-rows N] [--output PATH --format csv|jsonl] [--pager]
   *           [--param k=v]... [--arg v]...   ($1..$N bind to --arg in order)
   *   compact --table ROOT [--target-file-size BYTES] [--job-id ID]
+  *           [--where "SQL predicate"]   (stats-scoped: only matching files)
   *   expire  --table ROOT --keep-from VERSION
   *   delete  --table ROOT --where "SQL predicate"
   *   merge   --table ROOT --updates PARQUET [--key COL]
@@ -106,7 +107,8 @@ object Main {
       val t = TsTable.open(req(args, "table"))
       val rep = Compaction.run(spark, t,
         targetFileSize = opt(args, "target-file-size").map(_.toLong).getOrElse(512L * 1024 * 1024),
-        jobId = opt(args, "job-id").getOrElse(java.util.UUID.randomUUID().toString.take(8)))
+        jobId = opt(args, "job-id").getOrElse(java.util.UUID.randomUUID().toString.take(8)),
+        where = opt(args, "where").map(org.apache.spark.sql.functions.expr))
       println(s"compacted: bins=${rep.binsExecuted}/${rep.binsPlanned} rows=${rep.rowsRewritten} " +
         s"filesIn=${rep.filesIn} filesOut=${rep.filesOut} ms=${rep.millis} jobId=${rep.jobId}")
 

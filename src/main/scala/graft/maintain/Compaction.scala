@@ -66,18 +66,47 @@ object Compaction {
   }
 
   /** Execute a compaction+clustering pass. Resumable: pass the same jobId
-    * to skip already-committed bins. Returns the metrics report. */
+    * to skip already-committed bins. Returns the metrics report.
+    *
+    * `where`: scope the pass to the stats-selected slice of the table — a
+    * file is IN SCOPE unless some conjunct of the predicate is provably
+    * false over its stats (the same 3-valued evaluation the scan and
+    * DELETE use, so padded transform rewrites only ever widen the scope:
+    * sound, never lossy). The operational shape at 10^12 rows: "compact
+    * yesterday's ingest" touches yesterday's files, not the table. The
+    * predicate selects FILES, never rows — rewritten bins keep every row
+    * byte-identical. */
   def run(spark: SparkSession, table: TsTable, targetFileSize: Long,
           jobId: String = UUID.randomUUID().toString.take(8),
           curve: Option[String] = None,
           groupFactor: Int = 64,
-          maxRetries: Int = 5): Report = {
+          maxRetries: Int = 5,
+          where: Option[org.apache.spark.sql.Column] = None): Report = {
     val t0 = System.currentTimeMillis()
     val journal = new LineageJournal(table.root, jobId)
     val done = journal.completedBins()
     table.refresh()
     val curveName = curve.orElse(table.clusterSpec.map(_.curve)).getOrElse("none")
-    val bins = plan(table.state.liveSegments, targetFileSize, groupFactor = groupFactor)
+    val inScope = where match {
+      case None => table.state.liveSegments
+      case Some(cond) =>
+        import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression}
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+          case other => Seq(other)
+        }
+        // resolve against the table schema so stats see real attributes
+        val analyzed = table.scan(spark).where(cond).queryExecution.analyzed
+        val resolved = analyzed
+          .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+          .map(conjuncts)
+          .getOrElse(Seq(org.apache.spark.sql.graft.Bridge.toExpr(cond)))
+        table.state.liveSegments.filter { seg =>
+          !resolved.exists(c =>
+            graft.scan.StatsPruning.eval(c, seg.stats, seg.rowCount) == graft.scan.StatsPruning.AlwaysFalse)
+        }
+    }
+    val bins = plan(inScope, targetFileSize, groupFactor = groupFactor)
     var executed = 0; var skipped = 0
     var rows = 0L; var bytes = 0L; var filesIn = 0; var filesOut = 0
 

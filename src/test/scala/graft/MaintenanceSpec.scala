@@ -225,6 +225,33 @@ class MaintenanceSpec extends SparkFunSuite {
       s"no-op delete rewrote/committed (v $vBefore -> ${t.version})")
   }
 
+  test("predicate-scoped compaction touches only the stats-selected slice") {
+    val root = tmpDir("compact-where")
+    val t = TsTable.create(root, TableMeta("tokens",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
+    // two id slices, several small files each -> disjoint doc_id stats
+    t.append(TokenGen.generate(spark, 600, idStart = 0, numFiles = 4))
+    t.append(TokenGen.generate(spark, 600, idStart = 1000000, numFiles = 4))
+    val highBefore = t.state.liveSegments
+      .filter(_.stats.get("doc_id").exists(_.min.exists {
+        case graft.meta.StatVal.S(s) => s >= "doc-000001000000"
+        case _ => false
+      }))
+      .map(_.segmentId).toSet
+    assert(highBefore.size == 4)
+
+    val rep = Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024,
+      where = Some(col("doc_id") < "doc-000001000000"))
+    assert(rep.filesIn == 4, s"scope leak: $rep") // only the low slice rewritten
+    val after = t.state.liveSegments.map(_.segmentId).toSet
+    assert(highBefore.subsetOf(after), "out-of-scope files were rewritten")
+    assert(t.scan(spark).count() == 1200, "rows changed under scoped compaction")
+    // unscoped follow-up compacts the rest (4 high files + the still-small
+    // output file of the scoped pass get bin-packed together)
+    val rep2 = Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024)
+    assert(rep2.filesIn == 5 && t.scan(spark).count() == 1200)
+  }
+
   test("maintenance split sizing is session-scoped — never bleeds into the shared session") {
     val key = "spark.sql.files.maxPartitionBytes"
     val before = spark.conf.get(key)
