@@ -108,6 +108,30 @@ class RobustnessSpec extends SparkFunSuite {
     assert(t.coverageRatioForRange(0L, 240L * 1000000L) == 0.75)
   }
 
+  test("concurrent appenders: OCC rebase lands every append exactly once") {
+    val root = tmpDir("occ-stress")
+    TsTable.create(root, tokenMeta())
+    val threads = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futures = (0 until threads).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            val t = TsTable.open(root) // independent handle per writer
+            t.append(TokenGen.generate(spark, 200, idStart = i * 100000L).coalesce(1),
+              maxRetries = 30)
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val t = TsTable.open(root)
+    assert(t.version == threads + 1L, // +1 = create commit
+      s"expected ${threads + 1} commits, got v${t.version}")
+    assert(t.scan(spark).count() == threads * 200L, "rows lost or duplicated under OCC races")
+    assert(t.scan(spark).select("doc_id").distinct().count() == threads * 200L)
+  }
+
   test("merge into a table concurrently compacted: stale candidates abort cleanly") {
     val root = tmpDir("merge-race")
     val t1 = TsTable.create(root, tokenMeta())
