@@ -135,6 +135,17 @@ object SparkEntry {
         expr(tokSum).as("tok_sum"))
     }),
 
+    // the same maintenance pass over the HILBERT layout: identical data,
+    // different space-filling curve — full-path gate coverage of the
+    // Hilbert encoder (clustering changes layout, never content, so the
+    // q10 oracle applies verbatim)
+    "q39_hilbert_scan" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir, curve = "hilbert")
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
+        expr(tokSum).as("tok_sum"))
+    }),
+
     // MERGE INTO: revise every doc_id%10==0 (factor-37 tokens), insert
     // brand-new ids (offset 10^7) for doc_id%97==0; untouched rows must
     // remain byte-identical — all visible to the oracle via closed forms
@@ -438,6 +449,12 @@ object SparkEntry {
           |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY 1""".stripMargin,
 
       "q10_maintain_scan" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents""".stripMargin,
+
+      "q39_hilbert_scan" ->
         s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
            |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
            |  ${tokSumOracle("doc_id", 31)} AS tok_sum
