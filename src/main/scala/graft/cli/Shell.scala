@@ -285,22 +285,31 @@ object Shell {
   }
 
   /** Pipe `text` through the pager (reference page_output, query.rs:180-211:
-    * `less -S` — no truncation, horizontal scroll); on spawn failure warn
-    * and fall back to plain printing so output is never lost. */
-  private[graft] def pageOutput(text: String, out: PrintStream, cmd: Seq[String]): Unit =
-    try {
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      val p = pb.start()
-      val w = p.getOutputStream
-      try w.write(text.getBytes("UTF-8")) finally w.close()
+    * `less -S` — no truncation, horizontal scroll); on SPAWN failure warn
+    * and fall back to plain printing so output is never lost. A write
+    * failure after a successful spawn is the user quitting the pager
+    * early (EPIPE on a table larger than the pipe buffer) — that output
+    * was deliberately dismissed, so it is NOT re-printed. */
+  private[graft] def pageOutput(text: String, out: PrintStream, cmd: Seq[String]): Unit = {
+    val proc =
+      try {
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        Some(pb.start())
+      } catch { case e: Exception =>
+        out.println(s"warning: failed to launch pager '${cmd.mkString(" ")}': ${e.getMessage}")
+        out.print(text)
+        None
+      }
+    proc.foreach { p =>
+      try {
+        val w = p.getOutputStream
+        try w.write(text.getBytes("UTF-8")) finally w.close()
+      } catch { case _: java.io.IOException => () } // pager quit early (EPIPE)
       p.waitFor()
-      ()
-    } catch { case e: Exception =>
-      out.println(s"warning: failed to launch pager '${cmd.mkString(" ")}': ${e.getMessage}")
-      out.print(text)
     }
+  }
 
   /** Shared view-name derivation for a table root (used by .open and the
     * CLI --table preload). */

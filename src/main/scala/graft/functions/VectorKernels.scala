@@ -53,7 +53,11 @@ object VectorKernels {
         var acc = 0.0
         var j = 0
         while (j < m) { acc += v.getDouble(j) * cent(j); j += 1 }
-        scores(c) = acc / vn / norms(c)
+        val s = acc / vn / norms(c)
+        // NaN (dirty vector: NaN/Inf elements) would make every comparison
+        // below false and leave best = -1 — map it to the same sentinel as
+        // zero-norm so a dirty row still gets a deterministic assignment
+        scores(c) = if (java.lang.Double.isNaN(s)) -2.0 else s
       }
       c += 1
     }

@@ -101,8 +101,11 @@ object Expire {
 
     // 4) crashed-writer debris: a writer that died between staging its
     //    parquet output and moving it into data/ leaves a `.staging-*`
-    //    dir no commit will ever reference. Age-guarded so a live
-    //    writer's scratch (minutes old at most) is never touched.
+    //    dir no commit will ever reference. Age-guarded on the NEWEST
+    //    mtime anywhere in the tree — a live long-running write keeps
+    //    touching files under _temporary/, so only a genuinely dead
+    //    writer's scratch ages past the grace (the top-level dir mtime
+    //    alone is set at creation and would misjudge a multi-hour write).
     var stagingDeleted = 0
     val rootPath = Paths.get(strip(table.root))
     val cutoff = System.currentTimeMillis() - stagingGraceMs
@@ -112,11 +115,21 @@ object Expire {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala
           .filter(p => p.getFileName.toString.startsWith(".staging-"))
-          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+          .filter(p => newestMtime(p) < cutoff)
           .foreach { p => deleteTree(p); stagingDeleted += 1 }
       } finally s.close()
     }
     Report(keepFromVersion, files, bytes, sidecars, dropped, stagingDeleted)
+  }
+
+  private def newestMtime(p: java.nio.file.Path): Long = {
+    val s = Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(q => Files.getLastModifiedTime(q).toMillis)
+        .foldLeft(0L)(math.max)
+    } catch { case _: Exception => Long.MaxValue // vanished mid-walk: treat as live
+    } finally s.close()
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit = {

@@ -110,8 +110,11 @@ object Ann {
     val rows = cents.select(col("centroid_id"), col("centroid")).collect()
       .sortBy(_.getInt(0))
     require(rows.nonEmpty, "empty centroid table")
-    require(rows.head.getInt(0) == 1 && rows.last.getInt(0) == rows.length,
-      "centroid_id must be dense 1..NC")
+    // exact-sequence check: head/last alone would accept a duplicate id
+    // compensating for a gap (e.g. 1,2,2,4) and silently mis-map matrix
+    // indices to centroid ids
+    require(rows.iterator.map(_.getInt(0)).sameElements(Iterator.range(1, rows.length + 1)),
+      s"centroid_id must be dense 1..${rows.length}, got ${rows.map(_.getInt(0)).mkString(",")}")
     val matrix: Seq[Seq[Double]] = rows.toSeq.map(_.getSeq[Double](1))
     val nearest = ofExpr(graft.functions.NearestCentroids(
       toExpr(col("__v")), matrix, n))

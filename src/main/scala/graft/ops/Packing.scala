@@ -55,24 +55,28 @@ object Packing {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
             else spark.sessionState.conf.numShufflePartitions
-    // ONE sort-shuffle by (group, id); both passes read this layout.
-    // Caching it would help the double scan at small scale but hurt at
+    // ONE sort-shuffle by (group, id); both passes read this layout. The
+    // ORIGINAL group/nTok columns ride along untouched (same output
+    // schema as packStream); column 3 is the long view of nTok the sums
+    // use. Caching would help the double scan at small scale but hurt at
     // 100 TB (the second scan is columnar and cheap; the cache is not).
-    val sorted = df.select(col(groupCol).cast("string").as("g"),
-        col(idCol).as("id"), col(nTokCol).cast("long").as("n"))
-      .repartitionByRange(p, col("g"), col("id"))
-      .sortWithinPartitions(col("g"), col("id"))
+    val sorted = df.select(col(groupCol), col(idCol), col(nTokCol),
+        col(nTokCol).cast("long").as("__n"))
+      .repartitionByRange(p, col(groupCol), col(idCol))
+      .sortWithinPartitions(col(groupCol), col(idCol))
+    // group key for the driver maps: any stable string form works (keys
+    // only ever compare within this job); null group -> sentinel
+    def gkey(r: Row): String = if (r.isNullAt(0)) "\u0000null" else String.valueOf(r.get(0))
+    // null nTok contributes 0 (the window form's sum() skips nulls too)
+    def nval(r: Row): Long = if (r.isNullAt(3)) 0L else r.getLong(3)
 
     // pass 1: per-(partition, group) token totals — O(partitions × groups
     // present per partition) rows, collected to the driver
-    val partTotals: Array[(Int, Map[String, Long])] =
+    val partTotals: Array[(Int, Seq[(String, Long)])] =
       sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
         val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-        it.foreach { r =>
-          val g = r.getString(0)
-          sums(g) = sums.getOrElse(g, 0L) + r.getLong(2)
-        }
-        Iterator.single(pid -> sums.toMap)
+        it.foreach { r => val g = gkey(r); sums(g) = sums.getOrElse(g, 0L) + nval(r) }
+        Iterator.single(pid -> sums.toSeq)
       }.collect()
 
     // driver: base offset of each (partition, group) = totals of the SAME
@@ -92,22 +96,19 @@ object Packing {
     val basesB = spark.sparkContext.broadcast(bases)
 
     // pass 2: local running sum + broadcast base per (partition, group)
-    val outSchema = StructType(sorted.schema.fields ++ Seq(
+    val outSchema = StructType(sorted.schema.fields.take(3) ++ Seq(
       StructField("stream_pos", LongType, nullable = false),
       StructField("seq_id", LongType, nullable = false)))
     val packed = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       val base = basesB.value
       val local = scala.collection.mutable.Map.empty[String, Long]
       it.map { r =>
-        val g = r.getString(0)
-        val n = r.getLong(2)
+        val g = gkey(r)
         val start = base.getOrElse((pid, g), 0L) + local.getOrElse(g, 0L)
-        local(g) = local.getOrElse(g, 0L) + n
-        Row(g, r.get(1), n, start, start / maxTokens)
+        local(g) = local.getOrElse(g, 0L) + nval(r)
+        Row(r.get(0), r.get(1), r.get(2), start, start / maxTokens)
       }
     }
     spark.createDataFrame(packed, outSchema)
-      .withColumnRenamed("g", groupCol).withColumnRenamed("id", idCol)
-      .withColumnRenamed("n", nTokCol)
   }
 }

@@ -51,11 +51,18 @@ object StreamingIngest {
     * not. */
   private[graft] def migrateLegacyWatermark(table: TsTable, checkpointDir: String,
                                             app: String): Unit = {
-    val legacy = "stream:" + checkpointDir.stripSuffix("/")
-    if (legacy == app) return
+    // every spelling the OLD appId could have produced for this checkpoint:
+    // the raw string as passed, and the file:-URI forms of the canonical
+    // path (the restart may use the bare path while history used file:/…)
+    val canonical = app.stripPrefix("stream:")
+    val candidates = Seq(
+      "stream:" + checkpointDir.stripSuffix("/"),
+      "stream:file:" + canonical,
+      "stream:file://" + canonical).distinct.filter(_ != app)
     table.refresh()
     val txns = table.state.txns
-    if (!txns.contains(app)) txns.get(legacy).foreach { batch =>
+    if (!txns.contains(app)) candidates.find(txns.contains).foreach { legacy =>
+      val batch = txns(legacy)
       System.err.println(s"[graft-streaming] migrating legacy txn watermark " +
         s"'$legacy' (batch $batch) to '$app'")
       table.commitTxnOnly(app, batch)

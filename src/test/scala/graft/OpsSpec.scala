@@ -387,6 +387,21 @@ class OpsSpec extends SparkFunSuite {
       .where(col("source") === "hot").orderBy("doc_id")
       .select(col("stream_pos"), col("n_tok")).as[(Long, Int)].collect()
     hot.sliding(2).foreach { case Array((p1, n1), (p2, _)) => assert(p1 + n1 == p2); case _ => }
+    // schema preservation: a NUMERIC group column keeps its type in the
+    // scalable output (round-3 review finding: it was cast to string)
+    val intGrouped = rows.map { case (g, id, n) => (g.hashCode % 7, id, n) }
+      .toDF("shard", "doc_id", "n_tok")
+    val sc = Packing.packStreamScalable(intGrouped, "shard", "doc_id", "n_tok", 2048)
+    assert(sc.schema("shard").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(sc.schema("n_tok").dataType == org.apache.spark.sql.types.IntegerType)
+    val wn = key2(Packing.packStream(intGrouped, "shard", "doc_id", "n_tok", 2048))
+    assert(key2(sc) == wn, "int-group scalable packing diverged from window form")
+  }
+
+  private def key2(d: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    d.select(col("shard").cast("string"), col("doc_id"), col("stream_pos"), col("seq_id"))
+      .as[(String, String, Long, Long)].collect().toSet
   }
 
   test("deterministic sampling: stable buckets, exact split fractions semantics") {

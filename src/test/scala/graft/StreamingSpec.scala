@@ -242,5 +242,19 @@ class StreamingSpec extends SparkFunSuite {
       s"legacy watermark not migrated: ${t.state.txns}")
     assert(t.scan(spark).count() == 0,
       "replayed batches under the legacy watermark were re-appended")
+
+    // the restart may also use the BARE path while history holds the
+    // file:-URI key (round-3 review finding): migration must still fire
+    val root2 = tmpDir("stream-legacy2")
+    val t2 = TsTable.create(root2, tokenMeta)
+    val ckpt2 = tmpDir("stream-legacy2-ckpt")
+    t2.commitTxnOnly("stream:file:" + ckpt2, 1L)
+    val mem2 = MemoryStream[Tok]
+    mem2.addData(rows)
+    StreamingIngest.ingestAvailable(mem2.toDF(), t2, ckpt2) // bare-path spelling
+    t2.refresh()
+    assert(t2.state.txns.get(StreamingIngest.appId(ckpt2)).exists(_ >= 1L),
+      s"bare-path restart did not migrate the file:-URI watermark: ${t2.state.txns}")
+    assert(t2.scan(spark).count() == 0, "bare-path restart re-appended replayed batches")
   }
 }

@@ -180,8 +180,11 @@ class TsTableSpec extends SparkFunSuite {
     val stale = Paths.get(root, ".staging-deadbeef")
     Files.createDirectories(stale)
     Files.writeString(stale.resolve("part-0.parquet"), "bytes")
-    Files.setLastModifiedTime(stale,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200_000L))
+    // age is judged by the NEWEST mtime in the tree (a live writer keeps
+    // touching files) — age both the dir and its content
+    val old = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200_000L)
+    Files.setLastModifiedTime(stale.resolve("part-0.parquet"), old)
+    Files.setLastModifiedTime(stale, old)
     val fresh = Paths.get(root, ".staging-cafebabe")
     Files.createDirectories(fresh)
     Files.writeString(fresh.resolve("part-0.parquet"), "bytes")
