@@ -87,10 +87,17 @@ final class LogStore(val tableRoot: Path) {
     newVersion
   }
 
-  /** temp + fsync + atomic rename (reference storage/io.rs:81-131). */
+  /** temp + fsync + atomic rename (reference storage/io.rs:81-131). The
+    * force() before the move is what makes the claim true: rename alone
+    * can become durable before the temp file's DATA does, leaving an
+    * empty CURRENT after power loss — an unopenable table. */
   private def writeCurrentAtomic(version: Long): Unit = {
     val tmp = Files.createTempFile(logDir, ".CURRENT", ".tmp")
-    Files.writeString(tmp, s"$version\n")
+    val ch = java.nio.channels.FileChannel.open(tmp, StandardOpenOption.WRITE)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(s"$version\n".getBytes("UTF-8")))
+      ch.force(true)
+    } finally ch.close()
     Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }

@@ -60,9 +60,21 @@ object Compaction {
       if (bins.isEmpty || size + sz > cap) { bins += scala.collection.mutable.ArrayBuffer(s); size = sz }
       else { bins.last += s; size += sz }
     }
-    bins.zipWithIndex.collect {
-      case (b, i) if b.size >= 2 => Bin(f"$i%05d", b.toSeq)
+    bins.collect {
+      // CONTENT-ADDRESSED bin id (hash of the sorted member segment ids):
+      // resume replans from the post-crash manifest, where completed
+      // bins' inputs are gone — ordinal ids would renumber the remaining
+      // bins onto the completed ids and silently skip ALL remaining work.
+      // Same members ⇒ same id (mid-job resume skips correctly); any
+      // other membership ⇒ a fresh id that executes.
+      case b if b.size >= 2 => Bin(binId(b.toSeq), b.toSeq)
     }.toSeq
+  }
+
+  private def binId(segments: Seq[SegmentMeta]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    segments.map(_.segmentId).sorted.foreach(id => md.update((id + "\n").getBytes("UTF-8")))
+    md.digest().take(6).map(b => f"$b%02x").mkString
   }
 
   /** Execute a compaction+clustering pass. Resumable: pass the same jobId

@@ -54,7 +54,8 @@ object MergeInto {
         case _ => None
       }
     }
-    val statless = live.filter(s => !ranges.exists(_._1 == s.segmentId)).map(_.segmentId)
+    val withStats = ranges.iterator.map(_._1).toSet // O(live), not O(live²)
+    val statless = live.filterNot(s => withStats(s.segmentId)).map(_.segmentId)
 
     import spark.implicits._
     val keysDf = upd.select(col(key)).distinct()

@@ -46,9 +46,30 @@ object StatVal {
     case (D(x), D(y)) => Some(java.lang.Double.compare(x, y))
     case (L(x), D(y)) => Some(java.lang.Double.compare(x.toDouble, y))
     case (D(x), L(y)) => Some(java.lang.Double.compare(x, y.toDouble))
-    case (S(x), S(y)) => Some(x.compareTo(y))
+    case (S(x), S(y)) => Some(utf8Cmp(x, y))
     case (B(x), B(y)) => Some(java.lang.Boolean.compare(x, y))
     case _            => None
+  }
+
+  /** String order for stats comparisons: UNSIGNED UTF-8 byte order — the
+    * order Parquet computes footer min/max in (and the order Spark's
+    * UTF8String comparisons use). Java String.compareTo is UTF-16
+    * code-unit order, which DISAGREES for supplementary characters
+    * (surrogates 0xD800–0xDFFF sort below U+E000–U+FFFF in UTF-16, but
+    * their 4-byte UTF-8 forms sort ABOVE every 3-byte char) — comparing
+    * footer stats with compareTo could prune a file that contains the
+    * matching row. */
+  def utf8Cmp(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(a.length, b.length)
   }
 }
 

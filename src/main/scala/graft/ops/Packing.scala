@@ -70,10 +70,18 @@ object Packing {
     // null nTok contributes 0 (the window form's sum() skips nulls too)
     def nval(r: Row): Long = if (r.isNullAt(3)) 0L else r.getLong(3)
 
+    // ONE physical RDD serves both passes (Dataset.rdd is a lazy val, but
+    // hoisting makes it explicit): the range-partitioner samples once and
+    // the shuffle output is reused, so pass 1 and pass 2 see the IDENTICAL
+    // row-to-partition assignment even when upstream ordering is
+    // nondeterministic — two separate plans could sample different bounds
+    // and silently shift rows across the partition boundary.
+    val sortedRdd = sorted.rdd
+
     // pass 1: per-(partition, group) token totals — O(partitions × groups
     // present per partition) rows, collected to the driver
     val partTotals: Array[(Int, Seq[(String, Long)])] =
-      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      sortedRdd.mapPartitionsWithIndex { (pid, it) =>
         val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
         it.foreach { r => val g = gkey(r); sums(g) = sums.getOrElse(g, 0L) + nval(r) }
         Iterator.single(pid -> sums.toSeq)
@@ -99,7 +107,7 @@ object Packing {
     val outSchema = StructType(sorted.schema.fields.take(3) ++ Seq(
       StructField("stream_pos", LongType, nullable = false),
       StructField("seq_id", LongType, nullable = false)))
-    val packed = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val packed = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       val base = basesB.value
       val local = scala.collection.mutable.Map.empty[String, Long]
       it.map { r =>

@@ -102,10 +102,27 @@ object StatsPruning {
         (columnOf(c).flatMap(stats.get)) match {
           case Some(ColStats(Some(StatVal.S(mn)), Some(StatVal.S(mx)), _)) =>
             val prefix = p.toString
-            // s.startsWith(prefix) ⇒ prefix ≤ s AND s.take(len) == prefix.
-            // AlwaysFalse iff the whole [min,max] range misses the prefix band:
-            if (mx < prefix) AlwaysFalse                       // all values below the band
-            else if (mn.take(prefix.length) > prefix) AlwaysFalse // all values above it
+            // s.startsWith(prefix) ⇒ prefix ≤ s AND s's byte-prefix == the
+            // prefix bytes. AlwaysFalse iff the whole [min,max] range
+            // misses the prefix band — in the footer-stats UNSIGNED
+            // UTF-8 byte order (UTF-16 compareTo disagrees for
+            // supplementary chars). Byte-lexicographic truncation is
+            // monotone, so mn's byte-prefix above the prefix bytes puts
+            // every s ≥ mn above the band.
+            val pb = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val mnb = mn.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            def abovePrefixBand: Boolean = {
+              val k = math.min(mnb.length, pb.length)
+              var i = 0
+              while (i < k) {
+                val c = (mnb(i) & 0xff) - (pb(i) & 0xff)
+                if (c != 0) return c > 0
+                i += 1
+              }
+              false // equal through k: mn is inside or below the band
+            }
+            if (StatVal.utf8Cmp(mx, prefix) < 0) AlwaysFalse // all values below the band
+            else if (abovePrefixBand) AlwaysFalse            // all values above it
             else Unknown
           case _ => Unknown
         }

@@ -271,7 +271,14 @@ final class GraftSourceProvider extends StreamSourceProvider with StreamSinkProv
         "unnamed queries, so it cannot provide that identity."))
     val app = StreamingIngest.appId(ckpt)
     new Sink {
-      private lazy val table = TsTable.open(tableRoot)
+      private lazy val table = {
+        val t = TsTable.open(tableRoot)
+        // same upgrade path as StreamingIngest.sink: a pre-canonicalization
+        // watermark under a legacy 'stream:file:/…' spelling must carry
+        // forward or the first replayed batch re-appends
+        StreamingIngest.migrateLegacyWatermark(t, ckpt, app)
+        t
+      }
       override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
         // the engine hands a streaming-tagged plan whose actions throw;
         // re-wrap it as a batch DF over the same physical RDD. append()

@@ -251,7 +251,7 @@ final class TsTable private (val root: String, val store: LogStore) {
 
     val segs = moved.zip(fileStats).map { case ((src, rel), (_, fs)) =>
       val segId = SegmentMeta.segmentIdV1(rel, Paths.get(stripScheme(s"$root/$rel")))
-      val cov = tsExtras.flatMap(_._2.get(src)).map { bm =>
+      val cov = tsExtras.flatMap(_._2.get(graft.meta.PathNorm.canonical(src))).map { bm =>
         val covRel = s"_coverage/segments/segcov-$segId.cov"
         writeBytes(s"$root/$covRel", bm.serialize())
         covRel
@@ -399,7 +399,13 @@ final class TsTable private (val root: String, val store: LogStore) {
           throw new IllegalStateException(s"refusing to overwrite existing ${dst.getFileName}") }
         dst
       }
-    append(spark.read.parquet(local.toString).coalesce(1))
+    try append(spark.read.parquet(local.toString).coalesce(1))
+    finally if (!inRoot) Files.deleteIfExists(local)
+    // ^ the copy is only a TRANSPORT: append() stages the rows into its
+    // own commit-named data files, so the copied original is referenced
+    // by no commit and Expire would never reclaim it — delete it whether
+    // the append landed or was rejected (in-root sources stay the
+    // caller's files and are left alone)
   }
 
   /** Copy-on-write swap: write `df` as new segments and atomically commit
@@ -422,10 +428,18 @@ final class TsTable private (val root: String, val store: LogStore) {
     val commitId = UUID.randomUUID().toString.take(8)
     val stagingAbs = s"$root/.staging-$commitId"
     df.write.options(segmentWriteOptions).mode("overwrite").parquet(stagingAbs)
-    val written = listParquet(stagingAbs)
-    require(written.nonEmpty, "rewrite produced no data files")
+    val written0 = listParquet(stagingAbs)
     val conf = spark.sparkContext.hadoopConfiguration
-    val fileStats = FooterStats.readAll(conf, written)
+    // zero-row part files (a rewrite partition whose every row was
+    // filtered away) are DISCARDED like the append path does — committing
+    // one would create a rowCount=0 segment with no coverage sidecar,
+    // which wedges the time-series append precondition forever. An
+    // all-empty rewrite degenerates to a pure-Remove commit.
+    val statsAll = FooterStats.readAll(conf, written0)
+    val (liveOut, emptyOut) = statsAll.partition(_._2.rowCount > 0)
+    emptyOut.foreach(f => Files.deleteIfExists(Paths.get(stripScheme(f._1))))
+    val written = liveOut.map(_._1)
+    val fileStats = liveOut
     val moved = written.zipWithIndex.map { case (src, i) =>
       val rel = f"data/$commitId-$i%05d.parquet"
       Files.createDirectories(Paths.get(s"$root/data"))
@@ -436,15 +450,15 @@ final class TsTable private (val root: String, val store: LogStore) {
     // time-series tables: rewritten segments need coverage sidecars so the
     // append overlap-check precondition keeps holding after compaction
     val covByPath: Map[String, String] = timeSpec match {
-      case Some(spec) =>
+      case Some(spec) if moved.nonEmpty =>
         computeCoverage(spark, moved.map(rel => s"$root/$rel"), spec).map { case (p, bm) =>
-          val rel = p.stripPrefix(stripScheme(root) + "/")
+          val rel = p.stripPrefix(graft.meta.PathNorm.canonical(root) + "/")
           val segId = SegmentMeta.segmentIdV1(rel, Paths.get(p))
           val covRel = s"_coverage/segments/segcov-$segId.cov"
           writeBytes(s"$root/$covRel", bm.serialize())
           rel -> covRel
         }
-      case None => Map.empty
+      case _ => Map.empty
     }
     val segs = moved.zip(fileStats).map { case (rel, (_, fs)) =>
       val segId = SegmentMeta.segmentIdV1(rel, Paths.get(stripScheme(s"$root/$rel")))
@@ -562,6 +576,12 @@ final class TsTable private (val root: String, val store: LogStore) {
                               spec: TimeIndexSpec): Map[String, Bitmap] = {
     val lenSec = spec.bucket.lengthSeconds
     val rows = spark.read.parquet(paths: _*)
+      // null timestamps carry NO coverage (reference flatten,
+      // coverage.rs:179-246). The filter must run on the COLUMN: inside
+      // the bucket expression greatest() SKIPS nulls, so a null ts would
+      // otherwise clamp to bucket 0 and falsely claim epoch coverage
+      // (and collide two unrelated appends that both hold a null row)
+      .where(col(spec.timestampColumn).isNotNull)
       .select(
         input_file_name().as("f"),
         // greatest(...,0) clamps pre-epoch (reference bucket.rs:66-75);
@@ -570,7 +590,6 @@ final class TsTable private (val root: String, val store: LogStore) {
         // cast is value-preserving
         expr(s"greatest(unix_micros(CAST(`${spec.timestampColumn}` AS TIMESTAMP)), 0L) div ${1000000L * lenSec}L")
           .as("b"))
-      .where(col("b").isNotNull)
       .distinct()
       .collect()
     rows.groupBy(_.getString(0)).map { case (f, rs) =>
@@ -686,8 +705,12 @@ final class TsTable private (val root: String, val store: LogStore) {
     if (p.startsWith("file:")) new java.net.URI(p).getPath else p
 
   /** Canonical local path for matching input_file_name() URIs against
-    * staging paths (input_file_name yields "file:///x", staging "/x"). */
-  private def normalizeFileUri(p: String): String = stripScheme(p)
+    * staging paths: input_file_name yields "file:///abs/x" while staging
+    * paths can be RELATIVE (a CLI `--table ./events` root) — bare scheme
+    * stripping would never match those, committing time-series segments
+    * without coverage sidecars and wedging later appends. PathNorm
+    * absolutizes + normalizes both producers. */
+  private def normalizeFileUri(p: String): String = graft.meta.PathNorm.canonical(p)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p)) {

@@ -42,6 +42,28 @@ class RobustnessSpec extends SparkFunSuite {
     assert(t.scan(spark).count() == 2000)
   }
 
+  test("crash-resume after a COMMITTED bin: renumbered remaining bins still execute") {
+    // the hard resume case: bin 0 committed before the crash, so its
+    // inputs are gone from the manifest and the re-run replans DIFFERENT
+    // bins — ordinal bin ids would renumber them onto the completed id
+    // and skip all remaining work (round-3 review finding)
+    val root = tmpDir("resume-post-commit")
+    val t = TsTable.create(root, tokenMeta())
+    t.append(TokenGen.generate(spark, 2000, numFiles = 20))
+    val bins = Compaction.plan(t.state.liveSegments, targetFileSize = 4L * 1024 * 1024, groupFactor = 1)
+    assert(bins.size >= 2, s"fixture needs >=2 bins, got ${bins.size}")
+    val b0 = bins.head
+    t.swapSegments(
+      spark.read.parquet(b0.segments.map(s => s"$root/${s.path}"): _*),
+      b0.segments.map(_.segmentId))
+    val journal = new LineageJournal(root, "job-crash2")
+    journal.record(BinRecord(b0.id, b0.segments.map(_.segmentId), Some(t.version), None))
+    val rep = Compaction.run(spark, t, targetFileSize = 4L * 1024 * 1024,
+      jobId = "job-crash2", groupFactor = 1)
+    assert(rep.binsExecuted >= 1, s"resume skipped all remaining work: $rep")
+    assert(t.scan(spark).count() == 2000)
+  }
+
   test("lexico clustering: byte-identical rows and perfect leading-column pruning") {
     val root = tmpDir("lexico")
     val t = TsTable.create(root, tokenMeta("lexico"))

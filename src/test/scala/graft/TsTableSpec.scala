@@ -170,6 +170,24 @@ class TsTableSpec extends SparkFunSuite {
     assert(t.scan(spark).count() == 3)
   }
 
+  test("null timestamps claim no coverage (no bucket-0 collision across appends)") {
+    import spark.implicits._
+    // round-3 review finding: greatest() skips nulls, so a null ts used to
+    // clamp to bucket 0 — two disjoint appends each holding a null row
+    // would falsely collide on epoch coverage
+    val root = tmpDir("null-ts-cov")
+    val t = TsTable.create(root, pricesMeta())
+    def dfWithNull(epochS: Long, sym: String) =
+      Seq((Option(epochS), sym, 1.0), (Option.empty[Long], sym, 2.0))
+        .toDF("epoch_s", "symbol", "price")
+        .select(col("epoch_s").cast("timestamp").as("ts"), col("symbol"), col("price"))
+    t.append(dfWithNull(61L, "A").coalesce(1))  // bucket 1 (+ a null row)
+    t.append(dfWithNull(30L, "A").coalesce(1))  // bucket 0 (+ a null row) — must NOT collide
+    assert(t.loadTableCoverage().cardinality == 2L,
+      s"null rows perturbed coverage: ${t.loadTableCoverage().runList}")
+    assert(t.scan(spark).count() == 4)
+  }
+
   test("expire reclaims aged crashed-writer staging dirs, spares fresh ones") {
     import java.nio.file.{Files, Paths}
     import graft.data.TokenGen
