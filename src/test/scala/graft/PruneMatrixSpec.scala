@@ -295,6 +295,24 @@ class PruneMatrixSpec extends SparkFunSuite {
     assert(q.count() == 60 && filesRead(q) == 1)
   }
 
+  test("supplementary-char string stats: pruning stays sound (utf8 byte order)") {
+    import spark.implicits._
+    // parquet footer min/max for strings are UNSIGNED UTF-8 byte order;
+    // UTF-16 compareTo places U+FFFF ABOVE surrogate pairs, which used to
+    // prune the file containing '￿' when an emoji was the byte-max
+    val root = tmpDir("prune-utf8")
+    val t = TsTable.create(root, TableMeta("docs",
+      TableKind.Clustered(ClusterSpec(Seq("doc_id"), "lexico")), None, None))
+    t.append(Seq(("￿", 1L), ("😀", 2L)).toDF("doc_id", "v").coalesce(1))
+    val q = t.scan(spark).where(col("doc_id") === "￿")
+    assert(q.count() == 1, "row lost to UTF-16-ordered string pruning")
+    assert(filesRead(q) == 1)
+    val q2 = t.scan(spark).where(col("doc_id") === "😀")
+    assert(q2.count() == 1 && filesRead(q2) == 1)
+    // a probe below the byte-order min still prunes
+    assert(filesRead(t.scan(spark).where(col("doc_id") === "A")) == 0)
+  }
+
   test("multi-segment min/max, empty result, count(*)") {
     val none = scan.where(col("ts") > ts("2024-03-02 00:00:00"))
     assert(none.count() == 0 && filesRead(none) == 0)
