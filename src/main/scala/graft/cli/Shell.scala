@@ -240,23 +240,36 @@ object Shell {
     (None, text)
   }
 
-  /** Rewrite bare and backtick-quoted occurrences of `alias` to `actual`
-    * (reference rewrite_sql_alias, shell.rs:401-516), via the shared
-    * scanner: single/double-quoted strings and comments pass through
-    * untouched; backtick identifiers whose (``-unescaped) content equals
-    * the alias are replaced with the backtick-quoted actual; bare
-    * identifier runs are replaced on exact match. */
+  /** Rewrite occurrences of `alias` to `actual` (reference
+    * rewrite_sql_alias, shell.rs:401-516) — but ONLY in table-reference
+    * positions, so a column, SELECT-alias or CTE that happens to share the
+    * alias name is never silently rewritten (that changed query semantics
+    * without warning). A bare or backtick identifier equal to the alias is
+    * replaced when it is
+    *  - directly after FROM / JOIN / INTO / TABLE / UPDATE / DESCRIBE /
+    *    DESC / ANALYZE / VIEW (comments between keyword and name are
+    *    transparent), or
+    *  - after a top-level comma inside a FROM list (`FROM a, seqs`), or
+    *  - the head of a qualified name (`seqs.x` — but never `x.seqs`),
+    * and its name is not defined as a CTE in the same statement
+    * (`WITH seqs AS (…)` pins `seqs` to the CTE everywhere). Quoted
+    * strings and comments pass through untouched via the shared scanner. */
   private[graft] def rewriteSqlAlias(sql: String, alias: String, actual: String): String = {
     if (alias == actual) return sql
     @inline def identChar(c: Char): Boolean =
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
-    val out = new StringBuilder(sql.length + 16)
+
+    // ---- pass 1: tokenize -------------------------------------------------
+    // kinds: 'i' bare ident (text = ident), 'b' backtick ident (text =
+    // unescaped content), 'c' significant single char, 's' quoted string,
+    // 'm' comment, 'w' whitespace. Comments and whitespace are
+    // position-transparent; everything else is a significant token.
+    final case class Tok(kind: Char, text: String, raw: String)
+    val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
     var i = 0
-    var state: Char = ' '
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (state == ' ' && c == '`') {
-        // whole backtick identifier in one step (`` = escaped backtick)
+      if (c == '`') {
         val content = new StringBuilder
         var j = i + 1
         var closed = false
@@ -266,19 +279,91 @@ object Shell {
             else { closed = true; j += 1 }
           } else { content += sql.charAt(j); j += 1 }
         }
-        if (closed && content.toString == alias)
-          out += '`' ++= actual.replace("`", "``") += '`'
-        else out ++= sql.substring(i, j)
+        toks += Tok(if (closed) 'b' else 'c', content.toString, sql.substring(i, j))
         i = j
-      } else if (state == ' ' && identChar(c)) {
+      } else if (identChar(c)) {
         val start = i
         while (i < sql.length && identChar(sql.charAt(i))) i += 1
-        val ident = sql.substring(start, i)
-        out ++= (if (ident == alias) actual else ident)
+        toks += Tok('i', sql.substring(start, i), sql.substring(start, i))
+      } else if (c == '\'' || c == '"' || (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-')
+                 || (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*')) {
+        // string or comment: run the shared scanner until it returns to code
+        val start = i
+        var (state, adv) = scanStep(sql, i, ' ')
+        i += adv
+        while (i < sql.length && state != ' ') {
+          val (s2, a2) = scanStep(sql, i, state)
+          state = s2; i += a2
+        }
+        val raw = sql.substring(start, math.min(i, sql.length))
+        toks += Tok(if (c == '\'' || c == '"') 's' else 'm', raw, raw)
       } else {
-        val (s2, adv) = scanStep(sql, i, state)
-        out ++= sql.substring(i, math.min(i + adv, sql.length))
-        state = s2; i += adv
+        toks += Tok(if (c.isWhitespace) 'w' else 'c', c.toString, c.toString)
+        i += 1
+      }
+    }
+    @inline def significant(t: Tok): Boolean = t.kind != 'w' && t.kind != 'm'
+    def nextSig(from: Int): Int = {
+      var j = from + 1
+      while (j < toks.length && !significant(toks(j))) j += 1
+      j
+    }
+
+    // ---- pass 2: CTE names (ident AS ( …) — definition and usage are both
+    // excluded from rewriting) ---------------------------------------------
+    val cteNames = scala.collection.mutable.Set.empty[String]
+    for (j <- toks.indices if toks(j).kind == 'i' || toks(j).kind == 'b') {
+      val a = nextSig(j)
+      if (a < toks.length && toks(a).kind == 'i' && toks(a).text.equalsIgnoreCase("AS")) {
+        val p = nextSig(a)
+        if (p < toks.length && toks(p).kind == 'c' && toks(p).text == "(")
+          cteNames += toks(j).text
+      }
+    }
+
+    // ---- pass 3: rewrite table-reference positions ------------------------
+    val refKeywords = Set("FROM", "JOIN", "INTO", "TABLE", "UPDATE",
+      "DESCRIBE", "DESC", "ANALYZE", "VIEW")
+    val fromEnders = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "SELECT",
+      "UNION", "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY", "ON", "USING",
+      "SET", "VALUES", "WITH")
+    val out = new StringBuilder(sql.length + 16)
+    // `inFrom` is PER PAREN LEVEL: '(' pushes the outer state and starts
+    // fresh (function args and subqueries are their own scopes), ')' pops —
+    // so a subquery's inner FROM can never leak "from-list" state into the
+    // enclosing SELECT list, and vice versa
+    var inFrom = false
+    val fromStack = scala.collection.mutable.Stack.empty[Boolean]
+    var prevSig: Option[Tok] = None
+    for (j <- toks.indices) {
+      val t = toks(j)
+      val isAliasTok = (t.kind == 'i' || t.kind == 'b') && t.text == alias &&
+        !cteNames.contains(t.text)
+      val replace = isAliasTok && {
+        val afterKeyword = prevSig.exists(p => p.kind == 'i' && refKeywords(p.text.toUpperCase))
+        val afterFromComma = inFrom &&
+          prevSig.exists(p => p.kind == 'c' && p.text == ",")
+        val k = nextSig(j)
+        val qualifiedHead = k < toks.length && toks(k).kind == 'c' && toks(k).text == "." &&
+          !prevSig.exists(p => p.kind == 'c' && p.text == ".")
+        afterKeyword || afterFromComma || qualifiedHead
+      }
+      if (replace)
+        out ++= (if (t.kind == 'b') "`" + actual.replace("`", "``") + "`" else actual)
+      else out ++= t.raw
+      if (significant(t)) {
+        t.kind match {
+          case 'i' =>
+            val up = t.text.toUpperCase
+            if (up == "FROM" || up == "JOIN") inFrom = true
+            else if (fromEnders(up)) inFrom = false
+          case 'c' =>
+            if (t.text == "(") { fromStack.push(inFrom); inFrom = false }
+            else if (t.text == ")")
+              inFrom = if (fromStack.nonEmpty) fromStack.pop() else false
+          case _ => ()
+        }
+        prevSig = Some(t)
       }
     }
     out.toString

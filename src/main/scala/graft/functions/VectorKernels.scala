@@ -47,9 +47,13 @@ object VectorKernels {
     var c = 0
     while (c < nc) {
       val cent = cents(c)
-      if (vn == 0.0 || norms(c) == 0.0) scores(c) = -2.0
+      // a dims mismatch (wrong-width vector vs the trained quantizer) is
+      // quarantined like the dirty-vector case: sentinel score, NOT a
+      // truncated partial dot product — a silently-partial cosine against a
+      // full centroid norm gave deterministic but WRONG assignments
+      if (vn == 0.0 || norms(c) == 0.0 || cent.length != dims) scores(c) = -2.0
       else {
-        val m = math.min(dims, cent.length)
+        val m = dims
         var acc = 0.0
         var j = 0
         while (j < m) { acc += v.getDouble(j) * cent(j); j += 1 }

@@ -83,7 +83,20 @@ final class LogStore(val tableRoot: Path) {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw CommitFileExistsException(newVersion)
     }
-    writeCurrentAtomic(newVersion)
+    try writeCurrentAtomic(newVersion)
+    catch { case e: Throwable =>
+      // abort must be CLEAN: the commit file was durably created above, so
+      // a failure here (disk full, interrupt) would otherwise strand an
+      // orphan commit for newVersion while CURRENT still names `expected` —
+      // every later commit then passes the version check but hits
+      // CREATE_NEW on the orphan (CommitFileExists) forever, and the
+      // caller's cleanup paths may already have deleted the data files the
+      // orphan references, so adopting it by hand would be wrong too.
+      // Deleting the just-created commit file makes the failed commit
+      // invisible and the table retryable.
+      try Files.deleteIfExists(target) catch { case _: Exception => () }
+      throw e
+    }
     newVersion
   }
 

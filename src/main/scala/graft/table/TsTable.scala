@@ -201,6 +201,13 @@ final class TsTable private (val root: String, val store: LogStore) {
     val stagingRel = s".staging-$commitId"
     val stagingAbs = s"$root/$stagingRel"
 
+    // liveness beacon: keeps the staging tree's mtime fresh for the whole
+    // write-stats-coverage-commit span, so Expire's crashed-writer
+    // reclamation can never race a live append whose upstream stages
+    // outlast the grace period
+    val heartbeat = StagingHeartbeat.start(stagingAbs)
+    try {
+
     // (1) write data files once; all retries below are metadata-only
     df.write.options(segmentWriteOptions).mode("overwrite").parquet(stagingAbs)
     val written0 = listParquet(stagingAbs)
@@ -300,6 +307,8 @@ final class TsTable private (val root: String, val store: LogStore) {
       }
     }
     throw new IllegalStateException("unreachable")
+
+    } finally heartbeat.stop()
   }
 
   private def commitAppend(
@@ -427,6 +436,10 @@ final class TsTable private (val root: String, val store: LogStore) {
     val spark = df.sparkSession
     val commitId = UUID.randomUUID().toString.take(8)
     val stagingAbs = s"$root/.staging-$commitId"
+    // same liveness beacon as append: a long rewrite must not lose its
+    // staging tree to a concurrent Expire's crashed-writer reclamation
+    val heartbeat = StagingHeartbeat.start(stagingAbs)
+    try {
     df.write.options(segmentWriteOptions).mode("overwrite").parquet(stagingAbs)
     val written0 = listParquet(stagingAbs)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -499,6 +512,8 @@ final class TsTable private (val root: String, val store: LogStore) {
       }
     }
     throw new IllegalStateException("unreachable")
+
+    } finally heartbeat.stop()
   }
 
   /** Watermark-only commit for an empty streaming batch: the (app, batch)

@@ -166,4 +166,39 @@ class RobustnessSpec extends SparkFunSuite {
     assert(rep.updated == 1L)
     assert(t2.scan(spark).count() == 500)
   }
+
+  test("staging heartbeat keeps a live writer's tree fresh and cleans up on stop") {
+    val root = tmpDir("hb")
+    val staging = s"$root/.staging-test"
+    val hb = StagingHeartbeat.start(staging, intervalMs = 50L)
+    try {
+      val f = java.nio.file.Paths.get(staging, ".heartbeat")
+      // first touch lands within a couple of intervals
+      var waited = 0
+      while (!java.nio.file.Files.exists(f) && waited < 100) { Thread.sleep(20); waited += 1 }
+      assert(java.nio.file.Files.exists(f), "heartbeat file never appeared")
+      val t1 = java.nio.file.Files.getLastModifiedTime(f).toMillis
+      Thread.sleep(1200) // several intervals; mtime granularity can be 1s
+      val t2 = java.nio.file.Files.getLastModifiedTime(f).toMillis
+      assert(t2 > t1, s"heartbeat mtime did not advance ($t1 -> $t2)")
+      // the fresh tree survives an expire pass with a grace shorter than
+      // its age-since-creation (the exact window the advice flagged):
+      // newestMtime sees the recent touch, so the dir is NOT reclaimed
+      val t = TsTable.create(s"$root/tbl", TableMeta("t",
+        TableKind.Clustered(ClusterSpec(Seq("doc_id"), "zorder")), None, None))
+      t.append(TokenGen.generate(spark, 50, numFiles = 1))
+      // move the staging dir INSIDE the table root so expire walks it
+      val inRoot = java.nio.file.Paths.get(s"$root/tbl/.staging-live")
+      java.nio.file.Files.createDirectories(inRoot)
+      val hb2 = StagingHeartbeat.start(inRoot.toString, intervalMs = 50L)
+      try {
+        Thread.sleep(200)
+        val rep = Expire.expire(t, t.version, stagingGraceMs = 1000L)
+        assert(rep.stagingDirsDeleted == 0, "expire reclaimed a live writer's staging dir")
+      } finally hb2.stop()
+    } finally hb.stop()
+    // stop() removes the beacon file and the then-empty dir
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(staging)),
+      "stop() left heartbeat debris behind")
+  }
 }

@@ -116,6 +116,42 @@ class ShellSpec extends SparkFunSuite {
       !Shell.isValidAlias("a-b") && !Shell.isValidAlias(""))
   }
 
+  test("alias rewrite: table-reference positions only (columns, CTEs, args survive)") {
+    import Shell.rewriteSqlAlias
+    // a column that happens to share the alias name is NOT a table ref
+    assert(rewriteSqlAlias("SELECT seqs FROM x", "seqs", "tok") ==
+      "SELECT seqs FROM x")
+    assert(rewriteSqlAlias("SELECT f(seqs) FROM x WHERE seqs > 1", "seqs", "tok") ==
+      "SELECT f(seqs) FROM x WHERE seqs > 1")
+    // AS-aliases and ORDER/GROUP references survive
+    assert(rewriteSqlAlias("SELECT a AS seqs FROM x ORDER BY seqs", "seqs", "tok") ==
+      "SELECT a AS seqs FROM x ORDER BY seqs")
+    // a CTE shadowing the alias pins the name to the CTE everywhere
+    assert(rewriteSqlAlias("WITH seqs AS (SELECT 1 AS a) SELECT * FROM seqs", "seqs", "tok") ==
+      "WITH seqs AS (SELECT 1 AS a) SELECT * FROM seqs")
+    // from-list comma and JOIN are table positions; function-arg commas are not
+    assert(rewriteSqlAlias("SELECT * FROM x, seqs", "seqs", "tok") ==
+      "SELECT * FROM x, tok")
+    assert(rewriteSqlAlias("SELECT * FROM x JOIN seqs ON x.id = seqs.id", "seqs", "tok") ==
+      "SELECT * FROM x JOIN tok ON x.id = tok.id")
+    assert(rewriteSqlAlias("SELECT coalesce(a, seqs) FROM x, seqs", "seqs", "tok") ==
+      "SELECT coalesce(a, seqs) FROM x, tok")
+    // qualified-name heads rewrite; qualified TAILS never do
+    assert(rewriteSqlAlias("SELECT seqs.x, t.seqs FROM seqs", "seqs", "tok") ==
+      "SELECT tok.x, t.seqs FROM tok")
+    // comments between keyword and table name are transparent
+    assert(rewriteSqlAlias("SELECT * FROM /* c */ seqs", "seqs", "tok") ==
+      "SELECT * FROM /* c */ tok")
+    assert(rewriteSqlAlias("INSERT INTO seqs SELECT * FROM seqs", "seqs", "tok") ==
+      "INSERT INTO tok SELECT * FROM tok")
+    // a scalar subquery's inner FROM must not leak from-list state into the
+    // enclosing SELECT list; a subquery in the from list still rewrites
+    assert(rewriteSqlAlias("SELECT (SELECT 1 FROM t), seqs FROM x", "seqs", "tok") ==
+      "SELECT (SELECT 1 FROM t), seqs FROM x")
+    assert(rewriteSqlAlias("SELECT * FROM (SELECT 1 FROM seqs) a, seqs", "seqs", "tok") ==
+      "SELECT * FROM (SELECT 1 FROM tok) a, tok")
+  }
+
   test("shell: .alias rewrites queries, .unalias drops, invalid names rejected") {
     val root = tmpDir("shell-alias")
     val t = TsTable.create(root, TableMeta("tokens",
