@@ -408,7 +408,12 @@ final class TsTable private (val root: String, val store: LogStore) {
           throw new IllegalStateException(s"refusing to overwrite existing ${dst.getFileName}") }
         dst
       }
-    try append(spark.read.parquet(local.toString).coalesce(1))
+    // no coalesce: Spark splits the file by row groups across
+    // spark.sql.files.maxPartitionBytes, so a multi-GB foreign file is
+    // re-staged at cluster parallelism and append commits it as several
+    // segments (append supports multi-segment commits; a one-task funnel
+    // here serialized multi-GB ingests through a single core)
+    try append(spark.read.parquet(local.toString))
     finally if (!inRoot) Files.deleteIfExists(local)
     // ^ the copy is only a TRANSPORT: append() stages the rows into its
     // own commit-named data files, so the copied original is referenced
@@ -583,14 +588,22 @@ final class TsTable private (val root: String, val store: LogStore) {
     Some(LogAction.UpdateTableCoverage(spec.bucket.spec, covRel))
   }
 
-  /** Distinct bucket ids per staged file — ONE distributed job; the bucket
-    * domain is tiny so the collect is metadata-sized. Bucket id =
+  /** Per-file coverage bitmaps — ONE distributed job that never ships raw
+    * (file, bucket) rows to the driver: each partition folds its rows into
+    * per-file distinct-bucket sets and emits them as serialized partial
+    * bitmaps; partials merge by file via union (the Spark form of the
+    * reference's rayon partial-bitmap merge, coverage.rs:324-352), so the
+    * driver receives exactly one run-length bitmap per staged file. The
+    * old distinct+collect shipped every distinct (file, bucket) pair — at
+    * 1 s buckets a year-spanning append is ~3×10^7 driver rows; now the
+    * driver cost is O(files × runs), runs-compressed. Bucket id =
     * floorDiv(epochSeconds, len) with pre-epoch clamp to 0, matching
     * BucketMath / the reference's release-mode clamp (bucket.rs:66-75). */
   private def computeCoverage(spark: SparkSession, paths: Seq[String],
                               spec: TimeIndexSpec): Map[String, Bitmap] = {
+    import spark.implicits._
     val lenSec = spec.bucket.lengthSeconds
-    val rows = spark.read.parquet(paths: _*)
+    val partials = spark.read.parquet(paths: _*)
       // null timestamps carry NO coverage (reference flatten,
       // coverage.rs:179-246). The filter must run on the COLUMN: inside
       // the bucket expression greatest() SKIPS nulls, so a null ts would
@@ -605,16 +618,21 @@ final class TsTable private (val root: String, val store: LogStore) {
         // cast is value-preserving
         expr(s"greatest(unix_micros(CAST(`${spec.timestampColumn}` AS TIMESTAMP)), 0L) div ${1000000L * lenSec}L")
           .as("b"))
-      .distinct()
-      .collect()
-    rows.groupBy(_.getString(0)).map { case (f, rs) =>
-      val ids = rs.map { r =>
-        val b = r.getLong(1)
-        if (b > Int.MaxValue) throw BucketDomainOverflowException(b)
-        b.toInt
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val perFile = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.HashSet[Int]]
+        it.foreach { case (f, b) =>
+          if (b > Int.MaxValue) throw BucketDomainOverflowException(b)
+          perFile.getOrElseUpdate(f, scala.collection.mutable.HashSet.empty) += b.toInt
+        }
+        perFile.iterator.map { case (f, s) => (f, Bitmap(s).serialize()) }
       }
-      normalizeFileUri(f) -> Bitmap(ids.toSeq)
-    }
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        (f, it.foldLeft(Bitmap.empty)((acc, p) => acc.union(Bitmap.deserialize(p._2))).serialize())
+      }
+      .collect()
+    partials.map { case (f, bytes) => normalizeFileUri(f) -> Bitmap.deserialize(bytes) }.toMap
   }
 
   /** Entity identity via footer-stats fast path (min==max per column ⇒

@@ -167,6 +167,32 @@ class RobustnessSpec extends SparkFunSuite {
     assert(t2.scan(spark).count() == 500)
   }
 
+  test("coverage build is distributed: ~10^5 singleton-run buckets, partials merged per file") {
+    val root = tmpDir("wide-cov")
+    val t = TsTable.create(root, TableMeta("ev",
+      TableKind.TimeSeries(TimeIndexSpec("ts", Nil, TimeBucket.parse("1s"), None)), None, None))
+    val n = 120000L
+    // stride-7s rows: n distinct 1 s buckets, every run a singleton — the
+    // worst case for run-length compression, and exactly the fine-bucket ×
+    // wide-range shape whose (file, bucket) rows used to be collect()ed to
+    // the driver (~3×10^7 rows for a year at 1 s buckets). Now the driver
+    // receives one bitmap per staged file; the raw pairs stay distributed.
+    val df = spark.range(n).select(
+      timestamp_seconds(col("id") * 7 + 1000000L).as("ts"), col("id").as("v"))
+    // tiny split size so each staged file spans several read partitions —
+    // forces the partial-bitmap merge path (groupByKey union), not just
+    // the one-partial-per-file fast case
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, (64 * 1024).toString)
+      t.append(df.repartition(2))
+    } finally spark.conf.set(key, prev)
+    val cov = t.loadTableCoverage()
+    assert(cov.cardinality == n, s"expected $n covered buckets, got ${cov.cardinality}")
+    assert(cov.runList.size == n, "stride-7 buckets must stay singleton runs")
+  }
+
   test("staging heartbeat keeps a live writer's tree fresh and cleans up on stop") {
     val root = tmpDir("hb")
     val staging = s"$root/.staging-test"

@@ -260,6 +260,39 @@ class TsTableSpec extends SparkFunSuite {
       "rejected INT96 file was copied into data/")
   }
 
+  test("foreign multi-row-group parquet ingests at cluster parallelism (>1 segment)") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("foreign-par")
+    val t = TsTable.create(root, tokenMeta)
+    // a foreign file with many small row groups (64 KiB blocks)
+    val srcDir = tmpDir("foreign-src")
+    TokenGen.generate(spark, 2000).coalesce(1)
+      .write.option("parquet.block.size", "65536").mode("overwrite").parquet(srcDir)
+    val file = Files.list(Paths.get(srcDir)).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get().toString
+    assert(Files.size(Paths.get(file)) > 256 * 1024, "fixture too small to split")
+    // shrink the split size so the re-staging read fans out like a big
+    // file on a real cluster would
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, (128 * 1024).toString)
+      t.appendParquetFile(spark, file)
+    } finally spark.conf.set(key, prev)
+    assert(t.state.liveSegments.size > 1,
+      s"foreign ingest funneled into ${t.state.liveSegments.size} segment(s); " +
+        "expected the multi-row-group file to re-stage in parallel")
+    assert(t.scan(spark).count() == 2000)
+    // transport copy removed after the append (no orphan in data/)
+    val dataFiles = {
+      val s = Files.list(Paths.get(root, "data"))
+      try { import scala.jdk.CollectionConverters._; s.iterator().asScala.map(_.getFileName.toString).toSet }
+      finally s.close()
+    }
+    assert(dataFiles == t.state.liveSegments.map(_.path.stripPrefix("data/")).toSet,
+      "data/ holds files no commit references")
+  }
+
   test("prices table: schema is adopted then frozen (exact enforcement)") {
     import spark.implicits._
     val root = tmpDir("prices-schema")
