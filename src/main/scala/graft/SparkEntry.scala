@@ -205,6 +205,35 @@ object SparkEntry {
         timestamp_seconds(col("bucket_id").cast("long") * 60).cast("timestamp_ntz").as("bucket_start"))
     }),
 
+    // coverage analytics closed forms (ref §2.2 C5–C7, table/coverage.rs:
+    // 279-360) THROUGH the engine: coverage_ratio, max_gap and the newest
+    // fully-covered 3-bucket window over [min(ts), max(ts)] at 1 m buckets,
+    // all answered from the table's coverage bitmap — the oracle recomputes
+    // each from the raw events with gaps-and-islands SQL
+    "q16_coverage_stats" -> ((s, dir) => {
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-covstats").toString
+      val t = TsTable.create(root, TableMeta("events",
+        TableKind.TimeSeries(TimeIndexSpec("ts", Nil, TimeBucket.parse("1m"), None)), None, None))
+      t.append(tbl(s, dir, "events").repartition(4))
+      val mm = tbl(s, dir, "events")
+        .agg(min(unix_micros(col("ts").cast("timestamp"))),
+          max(unix_micros(col("ts").cast("timestamp")))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val expected = BucketMath.expectedBucketsMicros(lo, hi + 1, TimeBucket.parse("1m"))
+      val cov = t.loadTableCoverage()
+      val win = t.lastFullyCoveredWindow(hi, 3)
+      Seq((expected.cardinality, cov.intersect(expected).cardinality,
+        cov.maxGapLen(expected), win.map(_._1), win.map(_._2)))
+        .toDF("expected_buckets", "covered_buckets", "max_gap", "ws", "we")
+        .select(col("expected_buckets"), col("covered_buckets"),
+          round(col("covered_buckets").cast("double") / col("expected_buckets").cast("double"), 6)
+            .as("ratio_r"),
+          col("max_gap"),
+          timestamp_seconds(col("ws").cast("long") * 60).cast("timestamp_ntz").as("win_start"),
+          timestamp_seconds(col("we").cast("long") * 60).cast("timestamp_ntz").as("win_end"))
+    }),
+
     // ---- dedup family --------------------------------------------------
     "q20_dedup_exact" -> ((s, dir) =>
       Dedup.exact(tbl(s, dir, "documents")
@@ -495,6 +524,27 @@ object SparkEntry {
           |  exp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS m FROM bounds),
           |  got AS (SELECT DISTINCT date_trunc('minute', ts) AS m FROM events)
           |SELECT m AS bucket_start FROM exp EXCEPT SELECT m AS bucket_start FROM got""".stripMargin,
+
+      // q16: minute-bucket gaps-and-islands over the raw events; bucket
+      // ids are epochSeconds div 60 (all post-epoch). expected = the
+      // contiguous [min,max] bucket span; covered = distinct present
+      // buckets; max_gap = widest interior missing run; window = newest
+      // run of length >= 3, reported as its last 3 buckets
+      "q16_coverage_stats" ->
+        """WITH mins AS (SELECT DISTINCT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 60 AS b
+          |             FROM events WHERE ts IS NOT NULL),
+          |bounds AS (SELECT min(b) AS lob, max(b) AS hib FROM mins),
+          |isl AS (SELECT b, b - row_number() OVER (ORDER BY b) AS grp FROM mins),
+          |runs AS (SELECT min(b) AS s, max(b) AS e FROM isl GROUP BY grp),
+          |gaps AS (SELECT lead(s) OVER (ORDER BY s) - e - 1 AS gap FROM runs),
+          |win AS (SELECT max(e) AS we FROM runs WHERE e - s + 1 >= 3)
+          |SELECT (SELECT hib - lob + 1 FROM bounds) AS expected_buckets,
+          |       (SELECT count(*) FROM mins) AS covered_buckets,
+          |       round((SELECT count(*) FROM mins) * 1.0 /
+          |             (SELECT hib - lob + 1 FROM bounds), 6) AS ratio_r,
+          |       COALESCE((SELECT max(gap) FROM gaps), 0) AS max_gap,
+          |       (SELECT make_timestamp((we - 2) * 60 * 1000000) FROM win) AS win_start,
+          |       (SELECT make_timestamp(we * 60 * 1000000) FROM win) AS win_end""".stripMargin,
 
       // q21 emits {pairs : exact 5-gram jaccard >= 0.5} (LSH proposes,
       // exact verification decides) — plain quadratic SQL at oracle scale

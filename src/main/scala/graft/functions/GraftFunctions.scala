@@ -40,7 +40,10 @@ object GraftFunctions {
       { case Seq(a, b) => DotProduct(a, b) }),
     ("probe_blocks",
       "probe_blocks(vec, planes, probes) — multi-probe hyperplane-LSH block keys",
-      { case Seq(v, p, q) => ProbeBlocks(v, intLit(p, "planes"), intLit(q, "probes")) }))
+      { case Seq(v, p, q) => ProbeBlocks(v, intLit(p, "planes"), intLit(q, "probes")) }),
+    ("date_bin",
+      "date_bin(stride, ts, origin) — start of the stride-aligned bin (anchored at origin) containing ts",
+      { case Seq(s, t, o) => DateBin(s, t, o) }))
 
   private def entries = functions.map { case (name, usage, builder) =>
     val checked: Seq[Expression] => Expression = exprs =>

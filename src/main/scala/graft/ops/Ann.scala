@@ -130,42 +130,66 @@ object Ann {
     * (partitioned / bucketed by centroid_id), so query batches touch only
     * the nProbe lists they probe — write it with
     * `buildIvfIndex(v, nc).write.partitionBy("centroid_id").parquet(...)`
-    * and Spark's partition pruning turns each probe into a directory read. */
+    * and Spark's partition pruning turns each probe into a directory read.
+    *
+    * `assign` > 1 is REDUNDANT (spilled) assignment: every vector is
+    * stored in its `assign` nearest lists, the standard recall lever for
+    * corpora without clean cluster structure (the published ScaNN/SOAR and
+    * FAISS multi-assignment idea): a query that fails to probe a
+    * neighbor's first list still finds it through the second/third. Cost
+    * is `assign`× index storage and probe-read volume — a documented
+    * trade, NOT a new shuffle shape: assignment stays a codegen'd per-row
+    * projection (explode over the argmax list) and the probe join is
+    * unchanged. Duplicate (query, vector) candidates from replication are
+    * deduped before ranking. */
   def buildIvfIndex(vectors: DataFrame, numCentroids: Int = 16,
                     vecCol: String = "embedding", idCol: String = "vec_id",
-                    lloydIters: Int = 2): DataFrame =
+                    lloydIters: Int = 2, assign: Int = 1): DataFrame =
     buildIvfIndexWith(vectors,
-      centroids(vectors, numCentroids, vecCol, idCol, lloydIters), vecCol, idCol)
+      centroids(vectors, numCentroids, vecCol, idCol, lloydIters), vecCol, idCol, assign)
 
   /** Index build against a PRE-TRAINED quantizer — the shape to use when
     * the same centroids must serve several builds/query runs verbatim. */
   def buildIvfIndexWith(vectors: DataFrame, cents: DataFrame,
-                        vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
-    nearestLists(vectors, cents, idCol, vecCol, 1).withColumnRenamed("__v", "v")
+                        vecCol: String = "embedding", idCol: String = "vec_id",
+                        assign: Int = 1): DataFrame =
+    nearestLists(vectors, cents, idCol, vecCol, assign).withColumnRenamed("__v", "v")
 
   /** IVF top-k over a prebuilt index (columns: idCol, v, centroid_id) and
     * its centroid table: queries probe their `nProbe` nearest lists only —
     * the join key is centroid_id, so with a partitioned index only
-    * nProbe/numCentroids of the corpus is read or shuffled. */
+    * nProbe/numCentroids of the corpus is read or shuffled.
+    *
+    * `dedup` must be true for an index built with `assign` > 1: a vector
+    * stored in two probed lists would otherwise occupy two ranks. The
+    * dedup is a keyed (query, vector) aggregation — its exchange replaces
+    * nothing and feeds the per-query rank window directly. */
   def ivfTopKWithIndex(index: DataFrame, cents: DataFrame, queries: DataFrame, k: Int,
                        nProbe: Int = 4, vecCol: String = "embedding",
-                       idCol: String = "vec_id", qIdCol: String = "q_id"): DataFrame = {
+                       idCol: String = "vec_id", qIdCol: String = "q_id",
+                       dedup: Boolean = false): DataFrame = {
     val probes = nearestLists(queries, cents, qIdCol, vecCol, nProbe)
       .withColumnRenamed("__v", "q")
-    val scored = index.join(probes, Seq("centroid_id"))
+    val scored0 = index.join(probes, Seq("centroid_id"))
       .select(col(qIdCol), col(idCol), cosine(col("v"), col("q")).as("cos"))
+    // duplicate candidate rows are bit-identical (same pair, same kernel),
+    // so dropDuplicates is deterministic
+    val scored = if (dedup) scored0.dropDuplicates(qIdCol, idCol) else scored0
     val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** IVF top-k end to end (index built inline). Recall < 1 by design;
-    * measured against bruteForceTopK in tests. */
+    * measured against bruteForceTopK in tests — `assign` > 1 (redundant
+    * assignment) lifts recall on unstructured corpora at `assign`× index
+    * size. */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               numCentroids: Int = 16, nProbe: Int = 4,
               vecCol: String = "embedding", idCol: String = "vec_id",
-              qIdCol: String = "q_id", lloydIters: Int = 2): DataFrame = {
+              qIdCol: String = "q_id", lloydIters: Int = 2, assign: Int = 1): DataFrame = {
     val cents = centroids(vectors, numCentroids, vecCol, idCol, lloydIters)
-    val index = nearestLists(vectors, cents, idCol, vecCol, 1).withColumnRenamed("__v", "v")
-    ivfTopKWithIndex(index, cents, queries, k, nProbe, vecCol, idCol, qIdCol)
+    val index = nearestLists(vectors, cents, idCol, vecCol, assign).withColumnRenamed("__v", "v")
+    ivfTopKWithIndex(index, cents, queries, k, nProbe, vecCol, idCol, qIdCol,
+      dedup = assign > 1)
   }
 }

@@ -390,6 +390,26 @@ object StatsPruning {
           case None => Unknown
         }
 
+      // date_bin(stride, ts, origin) OP k — the name-level analog of the
+      // reference's date_bin pruning (time_predicate.rs:513-551): the
+      // value is origin-anchored stride-grid-aligned with
+      // value ≤ ts < value + stride; pure micros arithmetic, zone-free on
+      // both timestamp flavors (the NTZ literal's micros share the
+      // column's NTZ domain)
+      case graft.functions.DateBin(
+            Literal(s: Long, org.apache.spark.sql.types.DayTimeIntervalType(_, _)), inner,
+            Literal(o: Long, ot))
+          if s > 0 && tsColumnOf(inner).isDefined &&
+             (ot == TimestampType || ot == TimestampNTZType) &&
+             (k.dataType == TimestampType || k.dataType == TimestampNTZType) && k.value != null =>
+        try {
+          val kv = k.value.asInstanceOf[Long]
+          val lo = Math.addExact(o,
+            Math.multiplyExact(Math.floorDiv(Math.subtractExact(kv, o), s), s))
+          bucketCmp(tsColumnOf(inner).get, exact = true, aligned = lo == kv,
+            lo, Math.addExact(lo, s), 0L)
+        } catch { case _: ArithmeticException => Unknown }
+
       // custom binning: unix_*(ts) div S — Spark div truncates toward
       // zero, so bucket k spans [kS, kS+S) for k>0, (-S, S) for k=0,
       // (kS-S, kS] for k<0; floorDiv epochs compose exactly with ×unit

@@ -134,6 +134,31 @@ class PruneMatrixSpec extends SparkFunSuite {
     assert(q5.count() == 5 && filesRead(q5) == 1)
   }
 
+  test("date_bin comparisons prune (name-level parity with the reference's date_bin)") {
+    graft.functions.GraftFunctions.register(spark)
+    // epoch-anchored 5-minute bins: Eq on a bin start confines ts to
+    // [12:15, 12:20) — second file only
+    val q1 = scan.where(expr(
+      "date_bin(INTERVAL 5 MINUTES, ts, TIMESTAMP '1970-01-01 00:00:00') = TIMESTAMP '2024-03-01 12:15:00'"))
+    assert(q1.count() == 5 && filesRead(q1) == 1)
+    // Eq on a non-grid-aligned literal is provably empty — 0 files
+    val q2 = scan.where(expr(
+      "date_bin(INTERVAL 5 MINUTES, ts, TIMESTAMP '1970-01-01 00:00:00') = TIMESTAMP '2024-03-01 12:16:00'"))
+    assert(q2.count() == 0 && filesRead(q2) == 0)
+    // origin-anchored grid: origin 00:02 shifts the bins by 2 minutes
+    val q3 = scan.where(expr(
+      "date_bin(INTERVAL 5 MINUTES, ts, TIMESTAMP '2024-03-01 00:02:00') = TIMESTAMP '2024-03-01 12:12:00'"))
+    assert(q3.count() == 5 && filesRead(q3) == 1)
+    // range op through hour bins prunes to the hour-10 file
+    val q4 = scan.where(expr(
+      "date_bin(INTERVAL 1 HOUR, ts, TIMESTAMP '1970-01-01 00:00:00') < TIMESTAMP '2024-03-01 11:00:00'"))
+    assert(q4.count() == 60 && filesRead(q4) == 1)
+    // the rewrite is exact (two-way), so NOT prunes soundly too
+    val qNot = scan.where(!expr(
+      "date_bin(INTERVAL 5 MINUTES, ts, TIMESTAMP '1970-01-01 00:00:00') = TIMESTAMP '2024-03-01 12:15:00'"))
+    assert(qNot.count() == 115 && filesRead(qNot) == 2)
+  }
+
   test("integral-div epoch binning prunes with exact truncation semantics") {
     val b1215 = java.time.Instant.parse("2024-03-01T12:15:00Z").getEpochSecond * 1000000L / 300000000L
     val q1 = scan.where(expr(s"unix_micros(ts) div 300000000 = $b1215"))

@@ -120,6 +120,47 @@ class StreamingSpec extends SparkFunSuite {
     assert(t.scan(spark).count() == 50)
   }
 
+  test("crash between table commit and Spark checkpoint: restart does not duplicate") {
+    // THE exactly-once crash window: the foreachBatch append committed
+    // (segments + SetTxn watermark in one log commit), then the driver
+    // died BEFORE Spark wrote the batch to its checkpoint. On restart
+    // Spark replays batch 0 with the same data; the append's watermark
+    // check inside the OCC loop must skip it. Simulated by committing
+    // batch 0 directly against the table (exactly what the sink's
+    // foreachBatch does) while leaving the checkpoint directory EMPTY —
+    // the on-disk state a crash in that window leaves behind.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("stream-crash")
+    val t = TsTable.create(root, tokenMeta)
+    val ckpt = tmpDir("stream-crash-ckpt")
+    val app = StreamingIngest.appId(ckpt)
+
+    val rows = TokenGen.generate(spark, 80).as[Tok].collect().toSeq
+
+    // first attempt: table commit landed, checkpoint write did not
+    t.append(rows.toDF(), txn = Some((app, 0L)))
+    assert(t.scan(spark).count() == 80)
+    val vAfterCrash = t.version
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt, "commits")),
+      "fixture broken: checkpoint must look crash-fresh")
+
+    // restart: Spark believes batch 0 never ran and replays it
+    val mem = MemoryStream[Tok]
+    mem.addData(rows)
+    StreamingIngest.ingestAvailable(mem.toDF(), t, ckpt)
+    t.refresh()
+    assert(t.scan(spark).count() == 80, "replayed batch 0 duplicated rows")
+    assert(t.version == vAfterCrash, "replayed batch 0 produced a new commit")
+
+    // the stream is not wedged: the next batch lands normally
+    mem.addData(TokenGen.generate(spark, 20, idStart = 5000).as[Tok].collect().toSeq)
+    StreamingIngest.ingestAvailable(mem.toDF(), t, ckpt)
+    t.refresh()
+    assert(t.scan(spark).count() == 100)
+    assert(t.state.txns(app) == 1L)
+  }
+
   test("watermarked window aggregation: closed windows emit once, late data drops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
