@@ -17,8 +17,20 @@ import graft.table.TsTable
   * the identical job at 8 vs 32 cores on the same input yields the
   * scaling-efficiency evidence recorded in BENCH/BASELINE.md.
   *
+  * NOISE IMMUNITY: every timed section runs SPARK_GRAFT_BENCH_TRIALS
+  * (default 2) full trials — the whole maintenance sequence repeats on a
+  * fresh table root each trial, headline queries re-run — and the
+  * reported per-section figures are MINIMA, the same policy ScalingBench
+  * has always used. A single degraded-host window (CPU steal burst on
+  * this shared VM) can then poison at most one trial, not the round's
+  * official artifact: round 3's driver snapshot recorded 15.4 k seq/s in
+  * a burst while the same binary did 32.2 k in adjacent windows.
+  * `total_sec` stays comparable across rounds (sum of reported minima);
+  * `wall_sec` is the honest wall-clock of everything.
+  *
   * Env knobs: SPARK_GRAFT_BENCH_ROWS (token-table size, default 150k),
-  * SPARK_GRAFT_BENCH_FILES (initial small files, default 200).
+  * SPARK_GRAFT_BENCH_FILES (initial small files, default 200),
+  * SPARK_GRAFT_BENCH_TRIALS (default 2).
   */
 object Bench {
 
@@ -33,6 +45,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "150000").toLong
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "200").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -44,91 +57,96 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val wall0 = System.nanoTime()
+
+    // per-section minima across trials (insertion-ordered for the JSON)
     val q = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def record(name: String, sec: Double): Unit =
+      q(name) = math.min(q.getOrElse(name, Double.MaxValue), sec)
 
     // ---------- maintenance benchmark on the synthetic token table ------
-    val root = Files.createTempDirectory("graft-bench").toString
-    val t = TsTable.create(root, TableMeta("tokens",
-      TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
-
-    // materialize the synthetic input OUTSIDE the timed section (the
-    // generator's token arrays are interpreted-HOF-heavy; timing it inside
-    // append would charge data synthesis to the engine), then time the
-    // real append pipeline: segment write, footer stats, commit
+    // materialize the synthetic input ONCE, OUTSIDE the timed sections
+    // (the generator's token arrays are interpreted-HOF-heavy; timing it
+    // inside append would charge data synthesis to the engine). The staged
+    // parquet is read-only and shared by every trial.
     val stage = Files.createTempDirectory("graft-bench-in").toString
     TokenGen.generate(spark, rows, numFiles = nFiles).write.mode("overwrite").parquet(stage)
-    // re-split to the pathological file count (the read coalesces small
-    // files); the repartition shuffle stays inside the timed append, same
-    // as the generator's own repartition did before
-    val input = spark.read.parquet(stage).repartition(nFiles)
-    val (_, tIngest) = time { t.append(input) }
-    q("ingest") = tIngest
-
-    def latency(df: DataFrame): Double = time(df.count())._2
-    val probeDoc = f"doc-${rows / 3}%012d"
-    q("scan_point_before") = latency(t.scan(spark).where(col("doc_id") === probeDoc))
-    q("scan_ntok_before") = latency(t.scan(spark).where(col("n_tok").between(100, 160)))
-    q("scan_source_before") = latency(t.scan(spark).where(col("source") === "src15"))
-    q("full_scan_before") = latency(t.scan(spark)
-      .select(sum(expr("aggregate(tokens, 0L, (a, x) -> a + x)"))))
-
-    // the north-rule headline: compaction + Z-order clustering
-    val (_, tCompact) = time {
-      Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024)
-    }
-    q("compact_zorder") = tCompact
-    val throughput = rows / tCompact
-
-    q("scan_point_after") = latency(t.scan(spark).where(col("doc_id") === probeDoc))
-    q("scan_ntok_after") = latency(t.scan(spark).where(col("n_tok").between(100, 160)))
-    q("scan_source_after") = latency(t.scan(spark).where(col("source") === "src15"))
-    q("full_scan_after") = latency(t.scan(spark)
-      .select(sum(expr("aggregate(tokens, 0L, (a, x) -> a + x)"))))
-
-    // MERGE INTO: 1% updates + 0.1% inserts. The update set is STAGED to
-    // parquet outside the timed section — TokenGen's interpreted-HOF token
-    // synthesis would otherwise re-execute inside every job MERGE runs
-    // over the lazy frame (count, key collect, bloom probe, the cached
-    // two-pass write), charging data synthesis to the engine (same
-    // accounting fix the ingest section got in round 2)
+    // MERGE input: 1% updates + 0.1% inserts, staged for the same reason
     val updates = TokenGen.generate(spark, rows / 100, idStart = 0, numFiles = 4)
     val inserts = TokenGen.generate(spark, rows / 1000, idStart = rows * 10, numFiles = 1)
     val updStage = Files.createTempDirectory("graft-bench-upd").toString
     updates.unionByName(inserts).write.mode("overwrite").parquet(updStage)
-    val updIn = spark.read.parquet(updStage)
-    val (_, tMerge) = time { MergeInto.merge(spark, t, updIn) }
-    q("merge_upsert") = tMerge
 
-    // DELETE WHERE: a contiguous 1% id range (post-zorder, stats keep most
-    // files as candidates — the honest worst-ish case for a range delete)
-    val delLo = f"doc-${rows / 2}%012d"
-    val delHi = f"doc-${rows / 2 + rows / 100}%012d"
-    val (_, tDelete) = time {
-      graft.maintain.DeleteWhere.delete(spark, t,
-        col("doc_id") >= delLo && col("doc_id") < delHi)
+    val roots = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (trial <- 1 to trials) {
+      val root = Files.createTempDirectory(s"graft-bench-$trial").toString
+      roots += root
+      val t = TsTable.create(root, TableMeta("tokens",
+        TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
+
+      // re-split to the pathological file count (the read coalesces small
+      // files); the repartition shuffle stays inside the timed append,
+      // same as the generator's own repartition did before
+      val input = spark.read.parquet(stage).repartition(nFiles)
+      record("ingest", time(t.append(input))._2)
+
+      def latency(df: DataFrame): Double = time(df.count())._2
+      val probeDoc = f"doc-${rows / 3}%012d"
+      record("scan_point_before", latency(t.scan(spark).where(col("doc_id") === probeDoc)))
+      record("scan_ntok_before", latency(t.scan(spark).where(col("n_tok").between(100, 160))))
+      record("scan_source_before", latency(t.scan(spark).where(col("source") === "src15")))
+      record("full_scan_before", latency(t.scan(spark)
+        .select(sum(expr("aggregate(tokens, 0L, (a, x) -> a + x)")))))
+
+      // the north-rule headline: compaction + Z-order clustering
+      record("compact_zorder", time {
+        Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024)
+      }._2)
+
+      record("scan_point_after", latency(t.scan(spark).where(col("doc_id") === probeDoc)))
+      record("scan_ntok_after", latency(t.scan(spark).where(col("n_tok").between(100, 160))))
+      record("scan_source_after", latency(t.scan(spark).where(col("source") === "src15")))
+      record("full_scan_after", latency(t.scan(spark)
+        .select(sum(expr("aggregate(tokens, 0L, (a, x) -> a + x)")))))
+
+      val updIn = spark.read.parquet(updStage)
+      record("merge_upsert", time(MergeInto.merge(spark, t, updIn))._2)
+
+      // DELETE WHERE: a contiguous 1% id range (post-zorder, stats keep
+      // most files as candidates — the honest worst-ish case)
+      val delLo = f"doc-${rows / 2}%012d"
+      val delHi = f"doc-${rows / 2 + rows / 100}%012d"
+      record("delete_1pct", time {
+        graft.maintain.DeleteWhere.delete(spark, t,
+          col("doc_id") >= delLo && col("doc_id") < delHi)
+      }._2)
+
+      record("expire", time(Expire.expire(t, t.version))._2)
+      System.err.println(f"[bench] maintenance trial $trial/$trials done " +
+        f"(compact ${q("compact_zorder")}%.2f s best so far)")
     }
-    q("delete_1pct") = tDelete
-
-    val (_, tExpire) = time { Expire.expire(t, t.version) }
-    q("expire") = tExpire
+    val throughput = rows / q("compact_zorder")
 
     // ---------- headline queries over the shared testdata ---------------
     val headline = Seq("q01_agg", "q03_join", "q05_date_trunc", "q10_maintain_scan",
       "q21_minhash_pairs", "q22_simhash_pairs", "q24_embed_neardup", "q25_ann_topk",
       "q30_token_count", "q35_sample_split", "q36_seq_pack", "q37_vocab_topk",
       "q38_pipeline_e2e")
-    headline.foreach { name =>
-      val (_, sec) = time {
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+    for (trial <- 1 to trials) {
+      headline.foreach { name =>
+        val (_, sec) = time {
+          try SparkEntry.queries(name)(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+        }
+        record(name, sec)
       }
-      q(name) = sec
     }
 
+    val wallSec = (System.nanoTime() - wall0) / 1e9
     val qs = q.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val ts = java.time.Instant.now().toString
     val json =
-      s"""{"metric":"maintenance_throughput","value":${f"$throughput%.1f"},"unit":"seq/sec","ts":"$ts","total_sec":${f"${q.values.sum}%.1f"},"rows":$rows,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"maintenance_throughput","value":${f"$throughput%.1f"},"unit":"seq/sec","ts":"$ts","total_sec":${f"${q.values.sum}%.1f"},"wall_sec":${f"$wallSec%.1f"},"trials":$trials,"rows":$rows,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // machine-readable copies: sbt [info]-prefixes stdout lines, so a log
     // scraper can miss the line above — the file is the reliable channel;
@@ -144,9 +162,9 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
-    // reclaim the dataset-sized temp dirs (staged input + table root) so
+    // reclaim the dataset-sized temp dirs (staged inputs + table roots) so
     // repeated runs don't fill /tmp
-    Seq(stage, root, updStage).foreach { d =>
+    (Seq(stage, updStage) ++ roots).foreach { d =>
       try deleteRecursively(java.nio.file.Paths.get(d))
       catch { case _: Exception => () }
     }
