@@ -46,6 +46,7 @@ object Bench {
     val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "150000").toLong
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "200").toInt
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
+    require(trials >= 1, s"SPARK_GRAFT_BENCH_TRIALS must be >= 1, got $trials")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -77,10 +78,8 @@ object Bench {
     val updStage = Files.createTempDirectory("graft-bench-upd").toString
     updates.unionByName(inserts).write.mode("overwrite").parquet(updStage)
 
-    val roots = scala.collection.mutable.ArrayBuffer.empty[String]
     for (trial <- 1 to trials) {
       val root = Files.createTempDirectory(s"graft-bench-$trial").toString
-      roots += root
       val t = TsTable.create(root, TableMeta("tokens",
         TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
 
@@ -124,6 +123,10 @@ object Bench {
       record("expire", time(Expire.expire(t, t.version))._2)
       System.err.println(f"[bench] maintenance trial $trial/$trials done " +
         f"(compact ${q("compact_zorder")}%.2f s best so far)")
+      // the trial's table root is never read again — reclaim it NOW so
+      // peak /tmp usage stays one-table-sized regardless of trial count
+      try deleteRecursively(java.nio.file.Paths.get(root))
+      catch { case _: Exception => () }
     }
     val throughput = rows / q("compact_zorder")
 
@@ -162,9 +165,9 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
-    // reclaim the dataset-sized temp dirs (staged inputs + table roots) so
-    // repeated runs don't fill /tmp
-    (Seq(stage, updStage) ++ roots).foreach { d =>
+    // reclaim the dataset-sized staged inputs so repeated runs don't fill
+    // /tmp (trial table roots were deleted as each trial finished)
+    Seq(stage, updStage).foreach { d =>
       try deleteRecursively(java.nio.file.Paths.get(d))
       catch { case _: Exception => () }
     }

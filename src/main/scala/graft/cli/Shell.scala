@@ -309,60 +309,107 @@ object Shell {
       j
     }
 
-    // ---- pass 2: CTE names (ident AS ( …) — definition and usage are both
-    // excluded from rewriting) ---------------------------------------------
-    val cteNames = scala.collection.mutable.Set.empty[String]
-    for (j <- toks.indices if toks(j).kind == 'i' || toks(j).kind == 'b') {
-      val a = nextSig(j)
-      if (a < toks.length && toks(a).kind == 'i' && toks(a).text.equalsIgnoreCase("AS")) {
-        val p = nextSig(a)
-        if (p < toks.length && toks(p).kind == 'c' && toks(p).text == "(")
-          cteNames += toks(j).text
-      }
-    }
-
-    // ---- pass 3: rewrite table-reference positions ------------------------
+    // ---- the from-scope state machine, shared by both sweeps below --------
+    // PER PAREN LEVEL ('(' pushes, ')' pops — function args and subqueries
+    // are their own scopes) with three states: Off, Active (inside a
+    // relation list), Suspended (a JOIN condition: ON/USING interrupt the
+    // list, and a top-level comma resumes it — `FROM a JOIN b ON … , seqs`
+    // is still a relation position).
     val refKeywords = Set("FROM", "JOIN", "INTO", "TABLE", "UPDATE",
       "DESCRIBE", "DESC", "ANALYZE", "VIEW")
     val fromEnders = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "SELECT",
-      "UNION", "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY", "ON", "USING",
-      "SET", "VALUES", "WITH")
+      "UNION", "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY", "SET", "VALUES", "WITH")
+    final class FromScope {
+      private var state = 0 // 0 off, 1 active, 2 suspended (ON/USING)
+      private val stack = scala.collection.mutable.Stack.empty[Int]
+      def active: Boolean = state == 1
+      def step(t: Tok): Unit = t.kind match {
+        case 'i' =>
+          val up = t.text.toUpperCase
+          if (up == "FROM" || up == "JOIN") state = 1
+          else if (up == "ON" || up == "USING") { if (state != 0) state = 2 }
+          else if (fromEnders(up)) state = 0
+        case 'c' =>
+          if (t.text == "(") { stack.push(state); state = 0 }
+          else if (t.text == ")") state = (if (stack.nonEmpty) stack.pop() else 0)
+          else if (t.text == ",") { if (state == 2) state = 1 }
+        case _ => ()
+      }
+    }
+    def isRefPosition(scope: FromScope, prevSig: Option[Tok]): Boolean = {
+      val afterKeyword = prevSig.exists(p => p.kind == 'i' && refKeywords(p.text.toUpperCase))
+      val afterFromComma = scope.active && prevSig.exists(p => p.kind == 'c' && p.text == ",")
+      afterKeyword || afterFromComma
+    }
+
+    // ---- sweep 1: declared names + whether the alias is really a table ref
+    //  - CTE names (WITH a AS (…), b(cols) AS (…)) via a WITH-clause state
+    //    machine (handles the column-list form the `ident AS (` pattern
+    //    missed), stored lowercase — Spark resolves CTE names
+    //    case-insensitively;
+    //  - correlation aliases (`FROM events seqs`, `FROM x AS seqs`,
+    //    `(subquery) seqs`): an identifier in an active relation list whose
+    //    predecessor is a non-keyword identifier or ')';
+    //  - aliasUsedAsRef: the alias appears in at least one genuine
+    //    table-reference position — the gate for qualified-head rewriting,
+    //    so a struct column `seqs.field FROM t` is never touched.
+    val declared = scala.collection.mutable.Set.empty[String] // lowercase
+    var aliasUsedAsRef = false
+    locally {
+      val scope = new FromScope
+      var prevSig: Option[Tok] = None
+      var depth = 0
+      var withDepth = -1 // paren depth of an open WITH clause, -1 = none
+      var expectCte = false
+      for (j <- toks.indices) {
+        val t = toks(j)
+        if (significant(t)) {
+          val isName = t.kind == 'i' || t.kind == 'b'
+          if (isName && expectCte && !t.text.equalsIgnoreCase("RECURSIVE")) {
+            declared += t.text.toLowerCase; expectCte = false
+          } else if (isName && t.kind == 'i' && t.text.equalsIgnoreCase("WITH")) {
+            withDepth = depth; expectCte = true
+          } else if (isName && withDepth == depth &&
+                     Set("SELECT", "INSERT", "FROM", "UPDATE", "DELETE", "TABLE")(t.text.toUpperCase)) {
+            withDepth = -1
+          } else if (isName) {
+            if (isRefPosition(scope, prevSig)) { if (t.text == alias) aliasUsedAsRef = true }
+            else if (scope.active && prevSig.exists(p =>
+              (p.kind == 'i' && !refKeywords(p.text.toUpperCase)) ||
+                (p.kind == 'c' && p.text == ")")))
+              declared += t.text.toLowerCase // correlation alias shadows the name
+          }
+          if (t.kind == 'c') {
+            if (t.text == "(") depth += 1
+            else if (t.text == ")") depth -= 1
+            else if (t.text == "," && depth == withDepth) expectCte = true
+          }
+          scope.step(t)
+          prevSig = Some(t)
+        }
+      }
+    }
+    val shadowed = declared.contains(alias.toLowerCase)
+
+    // ---- sweep 2: rewrite ------------------------------------------------
     val out = new StringBuilder(sql.length + 16)
-    // `inFrom` is PER PAREN LEVEL: '(' pushes the outer state and starts
-    // fresh (function args and subqueries are their own scopes), ')' pops —
-    // so a subquery's inner FROM can never leak "from-list" state into the
-    // enclosing SELECT list, and vice versa
-    var inFrom = false
-    val fromStack = scala.collection.mutable.Stack.empty[Boolean]
+    val scope = new FromScope
     var prevSig: Option[Tok] = None
     for (j <- toks.indices) {
       val t = toks(j)
-      val isAliasTok = (t.kind == 'i' || t.kind == 'b') && t.text == alias &&
-        !cteNames.contains(t.text)
+      val isAliasTok = (t.kind == 'i' || t.kind == 'b') && t.text == alias && !shadowed
       val replace = isAliasTok && {
-        val afterKeyword = prevSig.exists(p => p.kind == 'i' && refKeywords(p.text.toUpperCase))
-        val afterFromComma = inFrom &&
-          prevSig.exists(p => p.kind == 'c' && p.text == ",")
         val k = nextSig(j)
-        val qualifiedHead = k < toks.length && toks(k).kind == 'c' && toks(k).text == "." &&
+        val qualifiedHead = aliasUsedAsRef &&
+          k < toks.length && toks(k).kind == 'c' && toks(k).text == "." &&
           !prevSig.exists(p => p.kind == 'c' && p.text == ".")
-        afterKeyword || afterFromComma || qualifiedHead
+        isRefPosition(scope, prevSig) || qualifiedHead
       }
       if (replace)
         out ++= (if (t.kind == 'b') "`" + actual.replace("`", "``") + "`" else actual)
       else out ++= t.raw
       if (significant(t)) {
-        t.kind match {
-          case 'i' =>
-            val up = t.text.toUpperCase
-            if (up == "FROM" || up == "JOIN") inFrom = true
-            else if (fromEnders(up)) inFrom = false
-          case 'c' =>
-            if (t.text == "(") { fromStack.push(inFrom); inFrom = false }
-            else if (t.text == ")")
-              inFrom = if (fromStack.nonEmpty) fromStack.pop() else false
-          case _ => ()
-        }
+        scope.step(t)
         prevSig = Some(t)
       }
     }

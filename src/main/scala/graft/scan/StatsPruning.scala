@@ -404,8 +404,9 @@ object StatsPruning {
              (k.dataType == TimestampType || k.dataType == TimestampNTZType) && k.value != null =>
         try {
           val kv = k.value.asInstanceOf[Long]
-          val lo = Math.addExact(o,
-            Math.multiplyExact(Math.floorDiv(Math.subtractExact(kv, o), s), s))
+          // the SAME kernel the runtime expression evaluates — pruning
+          // bounds must stay bit-identical to what date_bin() computes
+          val lo = graft.functions.TimeKernels.dateBin(s, kv, o)
           bucketCmp(tsColumnOf(inner).get, exact = true, aligned = lo == kv,
             lo, Math.addExact(lo, s), 0L)
         } catch { case _: ArithmeticException => Unknown }

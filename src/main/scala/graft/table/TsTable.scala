@@ -223,6 +223,11 @@ final class TsTable private (val root: String, val store: LogStore) {
     val (liveStats, emptyStats) = statsAll.partition(_._2.rowCount > 0)
     emptyStats.foreach(f => Files.deleteIfExists(Paths.get(stripScheme(f._1))))
     if (liveStats.isEmpty) {
+      // stop (join) the beacon BEFORE deleting its tree: a touch racing
+      // the recursive delete could recreate .heartbeat mid-walk and make
+      // the final dir delete throw (stop() is idempotent; the finally
+      // re-stop is a no-op)
+      heartbeat.stop()
       deleteRecursively(Paths.get(stripScheme(stagingAbs)))
       return txn match {
         case Some((app, batch)) => commitTxnOnly(app, batch)
@@ -254,6 +259,10 @@ final class TsTable private (val root: String, val store: LogStore) {
       Files.move(Paths.get(stripScheme(src)), Paths.get(stripScheme(dst)))
       src -> rel
     }
+    // stop (join) the beacon before deleting its tree — a touch racing the
+    // recursive delete could recreate .heartbeat mid-walk, fail the dir
+    // delete, and abort an append whose data files are already in data/
+    heartbeat.stop()
     deleteRecursively(Paths.get(stripScheme(stagingAbs)))
 
     val segs = moved.zip(fileStats).map { case ((src, rel), (_, fs)) =>
@@ -464,6 +473,8 @@ final class TsTable private (val root: String, val store: LogStore) {
       Files.move(Paths.get(stripScheme(src)), Paths.get(stripScheme(s"$root/$rel")))
       rel
     }
+    // same beacon-before-delete ordering as append (see there)
+    heartbeat.stop()
     deleteRecursively(Paths.get(stripScheme(stagingAbs)))
     // time-series tables: rewritten segments need coverage sidecars so the
     // append overlap-check precondition keeps holding after compaction
@@ -603,7 +614,7 @@ final class TsTable private (val root: String, val store: LogStore) {
                               spec: TimeIndexSpec): Map[String, Bitmap] = {
     import spark.implicits._
     val lenSec = spec.bucket.lengthSeconds
-    val partials = spark.read.parquet(paths: _*)
+    val job = spark.read.parquet(paths: _*)
       // null timestamps carry NO coverage (reference flatten,
       // coverage.rs:179-246). The filter must run on the COLUMN: inside
       // the bucket expression greatest() SKIPS nulls, so a null ts would
@@ -618,12 +629,19 @@ final class TsTable private (val root: String, val store: LogStore) {
         // cast is value-preserving
         expr(s"greatest(unix_micros(CAST(`${spec.timestampColumn}` AS TIMESTAMP)), 0L) div ${1000000L * lenSec}L")
           .as("b"))
+      // dedup FIRST through Spark's hash aggregate — map-side partial,
+      // Tungsten-managed, spillable. Folding raw rows straight into
+      // per-task sets would pin unbounded unspillable heap on exactly the
+      // fine-bucket wide-range shape this path exists for; after distinct
+      // each partition holds only unique (file, bucket) pairs, so a plain
+      // buffer per file suffices (no per-row set membership checks).
+      .distinct()
       .as[(String, Long)]
       .mapPartitions { it =>
-        val perFile = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.HashSet[Int]]
+        val perFile = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
         it.foreach { case (f, b) =>
           if (b > Int.MaxValue) throw BucketDomainOverflowException(b)
-          perFile.getOrElseUpdate(f, scala.collection.mutable.HashSet.empty) += b.toInt
+          perFile.getOrElseUpdate(f, scala.collection.mutable.ArrayBuffer.empty) += b.toInt
         }
         perFile.iterator.map { case (f, s) => (f, Bitmap(s).serialize()) }
       }
@@ -631,7 +649,16 @@ final class TsTable private (val root: String, val store: LogStore) {
       .mapGroups { (f, it) =>
         (f, it.foldLeft(Bitmap.empty)((acc, p) => acc.union(Bitmap.deserialize(p._2))).serialize())
       }
-      .collect()
+    // surface the typed overflow error the way the driver-side build did,
+    // not buried as the cause of a generic SparkException
+    val partials =
+      try job.collect()
+      catch {
+        case e: Exception =>
+          var c: Throwable = e
+          while (c != null && !c.isInstanceOf[BucketDomainOverflowException]) c = c.getCause
+          if (c != null) throw c else throw e
+      }
     partials.map { case (f, bytes) => normalizeFileUri(f) -> Bitmap.deserialize(bytes) }.toMap
   }
 

@@ -150,6 +150,22 @@ class ShellSpec extends SparkFunSuite {
       "SELECT (SELECT 1 FROM t), seqs FROM x")
     assert(rewriteSqlAlias("SELECT * FROM (SELECT 1 FROM seqs) a, seqs", "seqs", "tok") ==
       "SELECT * FROM (SELECT 1 FROM tok) a, tok")
+    // a correlation alias shadows the name everywhere (head included)
+    assert(rewriteSqlAlias("SELECT seqs.a FROM events seqs", "seqs", "tok") ==
+      "SELECT seqs.a FROM events seqs")
+    assert(rewriteSqlAlias("SELECT seqs.a FROM events AS seqs", "seqs", "tok") ==
+      "SELECT seqs.a FROM events AS seqs")
+    // a struct column's qualified head is not a table ref (no FROM seqs here)
+    assert(rewriteSqlAlias("SELECT seqs.field FROM t", "seqs", "tok") ==
+      "SELECT seqs.field FROM t")
+    // CTE column-list form and case-insensitive CTE names both shadow
+    assert(rewriteSqlAlias("WITH seqs(a) AS (SELECT 1) SELECT a FROM seqs", "seqs", "tok") ==
+      "WITH seqs(a) AS (SELECT 1) SELECT a FROM seqs")
+    assert(rewriteSqlAlias("WITH SEQS AS (SELECT 1 AS a) SELECT * FROM seqs", "seqs", "tok") ==
+      "WITH SEQS AS (SELECT 1 AS a) SELECT * FROM seqs")
+    // relation list resumes after a JOIN condition
+    assert(rewriteSqlAlias("SELECT * FROM a JOIN b ON a.id = b.id, seqs", "seqs", "tok") ==
+      "SELECT * FROM a JOIN b ON a.id = b.id, tok")
   }
 
   test("shell: .alias rewrites queries, .unalias drops, invalid names rejected") {
