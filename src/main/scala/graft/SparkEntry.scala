@@ -205,6 +205,29 @@ object SparkEntry {
         timestamp_seconds(col("bucket_id").cast("long") * 60).cast("timestamp_ntz").as("bucket_start"))
     }),
 
+    // STRUCTURED STREAMING ingest end-to-end, oracle-gated: the events
+    // table re-staged as four part files, streamed file-by-file
+    // (maxFilesPerTrigger=1 → four micro-batches), each batch landing as
+    // one exactly-once txn append (segments + SetTxn watermark in a single
+    // log commit), then scanned through the table format — the oracle is
+    // simply the raw events, so any duplicate/lost batch or row surfaces
+    // as a hash mismatch
+    "q18_stream_ingest" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-stream").toString
+      val t = TsTable.create(root, TableMeta("events",
+        TableKind.Clustered(ClusterSpec(Seq("user_id", "event_type", "event_id"), "zorder")),
+        None, None))
+      val src = Files.createTempDirectory("graft-stream-src").toString
+      tbl(s, dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      graft.streaming.StreamingIngest.ingestAvailable(stream, t,
+        Files.createTempDirectory("graft-stream-ckpt").toString)
+      t.refresh()
+      t.scan(s).select("event_id", "user_id", "event_type", "value")
+    }),
+
     // coverage analytics closed forms (ref §2.2 C5–C7, table/coverage.rs:
     // 279-360) THROUGH the engine: coverage_ratio, max_gap and the newest
     // fully-covered 3-bucket window over [min(ts), max(ts)] at 1 m buckets,
@@ -524,6 +547,9 @@ object SparkEntry {
           |  exp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS m FROM bounds),
           |  got AS (SELECT DISTINCT date_trunc('minute', ts) AS m FROM events)
           |SELECT m AS bucket_start FROM exp EXCEPT SELECT m AS bucket_start FROM got""".stripMargin,
+
+      "q18_stream_ingest" ->
+        "SELECT event_id, user_id, event_type, value FROM events",
 
       // q16: minute-bucket gaps-and-islands over the raw events; bucket
       // ids are epochSeconds div 60 (all post-epoch). expected = the
