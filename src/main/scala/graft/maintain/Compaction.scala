@@ -159,15 +159,56 @@ object Compaction {
     val paths = inputs.map(s => s"${table.root}/${s.path}")
     val totalBytes = math.max(inputs.flatMap(_.fileSize).sum, 1L)
     withSizedReadSplits(spark, totalBytes) { scoped =>
-      // NOTE: the range partitioner samples its child, so the bin is read
-      // twice per rewrite. Caching it was measured (500 k rows, local[8])
-      // and LOST badly — deserialized token rows are ~3× the parquet bytes
-      // and the cache write+memory pressure dwarfs a second columnar scan.
-      // MERGE differs: its child embeds an anti join, so it does cache.
       val df = scoped.read.parquet(paths: _*)
-      val sorted = clusterSorted(df, curve, outFiles, fit)
+      val sorted = curve match {
+        case ("zorder" | "hilbert") if outFiles > 1 =>
+          // range boundaries from an EXPLICIT sample over the cluster-key
+          // columns only — parquet column pruning skips the token payload
+          // (~95 % of the bin's bytes), unlike repartitionByRange, whose
+          // boundary-sampling job re-executes the FULL child and read the
+          // bin twice per rewrite (measured ~40 % of zorder rewrite wall;
+          // caching the rows instead was measured and LOST badly —
+          // deserialized token rows are ~3× the parquet bytes. MERGE
+          // differs: its child embeds an anti join, so it caches and
+          // keeps the stock range exchange).
+          val rows = math.max(inputs.map(_.rowCount).sum, 1L)
+          val targetSamples = math.min(outFiles.toLong * 1000L, 1000000L)
+          val fraction = math.min(1.0, targetSamples.toDouble / rows)
+          val sample = scoped.read.parquet(paths: _*)
+            .select(ClusterKey.tokenTableKey(curve, fit).as("k"),
+              pmod(xxhash64(col("doc_id")), lit(1024L)).as("s"))
+            .sample(withReplacement = false, fraction, seed = 42L)
+            .collect()
+            .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+              if (r.isNullAt(1)) 0L else r.getLong(1)))
+          val (bk, bs) = RangeBuckets.boundsFromSample(sample, outFiles)
+          val labels = RangeBuckets.labelsFor(outFiles)
+          clusterSortedByBounds(df, curve, outFiles, fit, bk, bs, labels)
+        case _ => clusterSorted(df, curve, outFiles, fit)
+      }
       table.swapSegments(sorted, inputs.map(_.segmentId), maxRetries)
     }
+  }
+
+  /** The zorder/hilbert layout against PRECOMPUTED range boundaries: the
+    * codegen'd [[RangeBucketLabel]] routes each row to its range's label,
+    * the hash `repartition(n, lbl)` delivers range r to shuffle partition
+    * r (labels invert HashPartitioning — see [[RangeBuckets]]), and the
+    * in-partition sort restores exact (key, salt) order. Identical layout
+    * semantics to `repartitionByRange(n, key, salt)` with ONE read of the
+    * bin instead of two. */
+  private[maintain] def clusterSortedByBounds(df: DataFrame, curve: String, outFiles: Int,
+                                              fit: ClusterKey.Fit, bk: Array[Long],
+                                              bs: Array[Long], labels: Array[Int]): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+    df.withColumn("__ckey", coalesce(ClusterKey.tokenTableKey(curve, fit), lit(Long.MinValue)))
+      .withColumn("__salt", coalesce(pmod(xxhash64(col("doc_id")), lit(1024L)), lit(0L)))
+      .withColumn("__lbl", ofExpr(RangeBucketLabel(
+        toExpr(col("__ckey")), toExpr(col("__salt")),
+        bk.toSeq, bs.toSeq, labels.toSeq)))
+      .repartition(outFiles, col("__lbl"))
+      .sortWithinPartitions(col("__ckey"), col("__salt"))
+      .drop("__ckey", "__salt", "__lbl")
   }
 
   /** Run `f` with parquet read splits sized so `totalBytes` of input makes

@@ -394,4 +394,34 @@ class MaintenanceSpec extends SparkFunSuite {
     assert(report.candidates == 0 && report.inserted == 2)
     assert(t.scan(spark).count() == 102)
   }
+
+  test("bounds-based range routing: labels invert hash partitioning; search is exact") {
+    import spark.implicits._
+    // every label must land in exactly the shuffle partition whose range
+    // index it encodes -- verified through a REAL hash repartition, the
+    // same exchange clusterSortedByBounds uses
+    val n = 37
+    val labels = RangeBuckets.labelsFor(n)
+    assert(labels.distinct.length == n)
+    val parts = labels.toSeq.toDF("lbl").repartition(n, col("lbl"))
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"), col("lbl"))
+      .as[(Int, Int)].collect()
+    assert(parts.map(_._1).distinct.length == n, "labels did not spread over all partitions")
+    parts.foreach { case (p2, l) => assert(labels(p2) == l,
+      s"label $l landed in partition $p2, expected partition ${labels.indexOf(l)}") }
+
+    // binary search against a naive count, duplicate boundary keys included
+    val bk = Array(10L, 10L, 20L)
+    val bs = Array(1L, 5L, 0L)
+    val lb = Array(3, 1, 4, 2)
+    def naive(k: Long, s: Long): Int =
+      lb(bk.indices.count(i => bk(i) < k || (bk(i) == k && bs(i) < s)))
+    for (k <- Seq(0L, 10L, 15L, 20L, 25L); s <- Seq(0L, 1L, 3L, 5L, 9L))
+      assert(RangeBuckets.bucketLabel(k, s, bk, bs, lb) == naive(k, s), s"($k,$s)")
+
+    // equi-depth boundaries from a sample
+    val sample = (1 to 100).map(i => (i.toLong, 0L)).toArray
+    val (qk, _) = RangeBuckets.boundsFromSample(sample, 4)
+    assert(qk.toSeq == Seq(26L, 51L, 76L)) // values at sorted indices 25/50/75
+  }
 }
