@@ -127,12 +127,17 @@ object SparkEntry {
     }),
 
     // full maintenance pass: pathological small files → bin-packed,
-    // Z-ordered compaction → scan with token integrity aggregate
+    // Z-ordered compaction → scan with token integrity checks. tok_md5 is
+    // the north rule's per-row invariant VERBATIM — exact token-ARRAY
+    // equality (order + values), not merely a sum that a sum-preserving
+    // corruption could slip past
     "q10_maintain_scan" -> ((s, dir) => {
       val t = buildTokenTable(s, dir)
       Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
       t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
-        expr(tokSum).as("tok_sum"))
+        expr(tokSum).as("tok_sum"),
+        expr("md5(cast(array_join(transform(tokens, x -> cast(x as string)), ',') as binary))")
+          .as("tok_md5"))
     }),
 
     // the same maintenance pass over the HILBERT layout: identical data,
@@ -503,7 +508,10 @@ object SparkEntry {
       "q10_maintain_scan" ->
         s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
            |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
-           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum,
+           |  md5(array_to_string(list_transform(
+           |        generate_series(0, CAST(64 + doc_id % 1985 AS INT) - 1),
+           |        i -> CAST(CAST((doc_id * 31 + i) % 50257 AS INT) AS VARCHAR)), ',')) AS tok_md5
            |FROM documents""".stripMargin,
 
       "q39_hilbert_scan" ->
