@@ -223,13 +223,27 @@ object SparkEntry {
         TableKind.Clustered(ClusterSpec(Seq("user_id", "event_type", "event_id"), "zorder")),
         None, None))
       val src = Files.createTempDirectory("graft-stream-src").toString
+      val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
       tbl(s, dir, "events").repartition(4).write.mode("overwrite").parquet(src)
       val schema = s.read.parquet(src).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
-      graft.streaming.StreamingIngest.ingestAvailable(stream, t,
-        Files.createTempDirectory("graft-stream-ckpt").toString)
+      graft.streaming.StreamingIngest.ingestAvailable(stream, t, ckpt)
       t.refresh()
+      // the staged copy and checkpoint are dead weight once the data is in
+      // the table (the scan below reads table segments only) — reclaim the
+      // dataset-sized dirs now instead of leaking them per invocation
+      Seq(src, ckpt).foreach { d =>
+        def del(p: java.nio.file.Path): Unit = {
+          if (Files.isDirectory(p)) {
+            val st = Files.list(p)
+            try { import scala.jdk.CollectionConverters._; st.iterator().asScala.foreach(del) }
+            finally st.close()
+          }
+          Files.deleteIfExists(p)
+        }
+        try del(java.nio.file.Paths.get(d)) catch { case _: Exception => () }
+      }
       t.scan(s).select("event_id", "user_id", "event_type", "value")
     }),
 

@@ -343,53 +343,84 @@ object Shell {
     }
 
     // ---- sweep 1: declared names + whether the alias is really a table ref
-    //  - CTE names (WITH a AS (…), b(cols) AS (…)) via a WITH-clause state
-    //    machine (handles the column-list form the `ident AS (` pattern
-    //    missed), stored lowercase — Spark resolves CTE names
-    //    case-insensitively;
+    //  - CTE names (WITH a AS (…), b(cols) AS (…)) via a WITH-clause STACK
+    //    (a nested WITH inside a CTE body must not clear the outer
+    //    clause's tracking), stored lowercase — Spark resolves CTE names
+    //    case-insensitively; a CTE shadows the whole statement;
     //  - correlation aliases (`FROM events seqs`, `FROM x AS seqs`,
     //    `(subquery) seqs`): an identifier in an active relation list whose
-    //    predecessor is a non-keyword identifier or ')';
+    //    predecessor is a non-keyword identifier or ')' — these shadow
+    //    ONLY their own paren scope (SQL correlation aliases are
+    //    scope-local: `FROM seqs WHERE x IN (SELECT 1 FROM events seqs)`
+    //    must still rewrite the outer reference);
     //  - aliasUsedAsRef: the alias appears in at least one genuine
     //    table-reference position — the gate for qualified-head rewriting,
     //    so a struct column `seqs.field FROM t` is never touched.
-    val declared = scala.collection.mutable.Set.empty[String] // lowercase
+    val cteNames = scala.collection.mutable.Set.empty[String] // lowercase
+    // (startTokIdx, endTokIdx inclusive) spans where a correlation alias
+    // equal to OUR alias shadows it
+    val corrSpans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var aliasUsedAsRef = false
     locally {
       val scope = new FromScope
       var prevSig: Option[Tok] = None
       var depth = 0
-      var withDepth = -1 // paren depth of an open WITH clause, -1 = none
+      val withStack = scala.collection.mutable.Stack.empty[Int] // open WITH clause depths
       var expectCte = false
+      // token indices of currently-open '(' (for correlation scope spans)
+      val openParens = scala.collection.mutable.Stack.empty[Int]
+      // corrSpans entries whose ')' has not closed yet: (spanIdx, parenCount)
+      val pending = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       for (j <- toks.indices) {
         val t = toks(j)
         if (significant(t)) {
           val isName = t.kind == 'i' || t.kind == 'b'
           if (isName && expectCte && !t.text.equalsIgnoreCase("RECURSIVE")) {
-            declared += t.text.toLowerCase; expectCte = false
+            cteNames += t.text.toLowerCase; expectCte = false
           } else if (isName && t.kind == 'i' && t.text.equalsIgnoreCase("WITH")) {
-            withDepth = depth; expectCte = true
-          } else if (isName && withDepth == depth &&
+            withStack.push(depth); expectCte = true
+          } else if (isName && withStack.nonEmpty && withStack.top == depth &&
                      Set("SELECT", "INSERT", "FROM", "UPDATE", "DELETE", "TABLE")(t.text.toUpperCase)) {
-            withDepth = -1
+            withStack.pop(); expectCte = false
           } else if (isName) {
             if (isRefPosition(scope, prevSig)) { if (t.text == alias) aliasUsedAsRef = true }
             else if (scope.active && prevSig.exists(p =>
               (p.kind == 'i' && !refKeywords(p.text.toUpperCase)) ||
-                (p.kind == 'c' && p.text == ")")))
-              declared += t.text.toLowerCase // correlation alias shadows the name
+                (p.kind == 'c' && p.text == ")")) &&
+              t.text.equalsIgnoreCase(alias)) {
+              // correlation alias: shadow from its enclosing '(' (or the
+              // statement start) until the matching ')' (or statement end)
+              corrSpans += ((if (openParens.nonEmpty) openParens.top else 0, toks.length - 1))
+              pending += ((corrSpans.length - 1, openParens.size))
+            }
           }
           if (t.kind == 'c') {
-            if (t.text == "(") depth += 1
-            else if (t.text == ")") depth -= 1
-            else if (t.text == "," && depth == withDepth) expectCte = true
+            if (t.text == "(") { depth += 1; openParens.push(j) }
+            else if (t.text == ")") {
+              depth -= 1
+              if (openParens.nonEmpty) openParens.pop()
+              // close the spans declared inside the paren that just ended
+              var i = pending.length - 1
+              while (i >= 0) {
+                if (pending(i)._2 == openParens.size + 1) {
+                  val si = pending(i)._1
+                  corrSpans(si) = (corrSpans(si)._1, j)
+                  pending.remove(i)
+                }
+                i -= 1
+              }
+            }
+            else if (t.text == "," && withStack.nonEmpty && withStack.top == depth)
+              expectCte = true
           }
           scope.step(t)
           prevSig = Some(t)
         }
       }
     }
-    val shadowed = declared.contains(alias.toLowerCase)
+    val cteShadowed = cteNames.contains(alias.toLowerCase)
+    def shadowedAt(j: Int): Boolean =
+      cteShadowed || corrSpans.exists { case (s, e) => j >= s && j <= e }
 
     // ---- sweep 2: rewrite ------------------------------------------------
     val out = new StringBuilder(sql.length + 16)
@@ -397,7 +428,7 @@ object Shell {
     var prevSig: Option[Tok] = None
     for (j <- toks.indices) {
       val t = toks(j)
-      val isAliasTok = (t.kind == 'i' || t.kind == 'b') && t.text == alias && !shadowed
+      val isAliasTok = (t.kind == 'i' || t.kind == 'b') && t.text == alias && !shadowedAt(j)
       val replace = isAliasTok && {
         val k = nextSig(j)
         val qualifiedHead = aliasUsedAsRef &&

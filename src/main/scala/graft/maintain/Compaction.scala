@@ -181,9 +181,16 @@ object Compaction {
             .collect()
             .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
               if (r.isNullAt(1)) 0L else r.getLong(1)))
-          val (bk, bs) = RangeBuckets.boundsFromSample(sample, outFiles)
-          val labels = RangeBuckets.labelsFor(outFiles)
-          clusterSortedByBounds(df, curve, outFiles, fit, bk, bs, labels)
+          if (sample.isEmpty) {
+            // a zero-row sample (manifest rowCounts inflating the fraction
+            // denominator, or a pathological Bernoulli draw) must degrade
+            // to the stock range exchange, not abort the rewrite
+            clusterSorted(df, curve, outFiles, fit)
+          } else {
+            val (bk, bs) = RangeBuckets.boundsFromSample(sample, outFiles)
+            val labels = RangeBuckets.labelsFor(outFiles)
+            clusterSortedByBounds(df, curve, outFiles, fit, bk, bs, labels)
+          }
         case _ => clusterSorted(df, curve, outFiles, fit)
       }
       table.swapSegments(sorted, inputs.map(_.segmentId), maxRetries)

@@ -166,6 +166,17 @@ class ShellSpec extends SparkFunSuite {
     // relation list resumes after a JOIN condition
     assert(rewriteSqlAlias("SELECT * FROM a JOIN b ON a.id = b.id, seqs", "seqs", "tok") ==
       "SELECT * FROM a JOIN b ON a.id = b.id, tok")
+    // correlation-alias shadowing is SCOPE-LOCAL: the inner subquery's
+    // alias must not suppress the outer table reference
+    assert(rewriteSqlAlias(
+      "SELECT * FROM seqs WHERE x IN (SELECT 1 FROM events seqs)", "seqs", "tok") ==
+      "SELECT * FROM tok WHERE x IN (SELECT 1 FROM events seqs)")
+    // a nested WITH inside a CTE body must not clear the outer clause's
+    // tracking — the sibling CTE after it still shadows
+    assert(rewriteSqlAlias(
+      "WITH a AS (WITH b AS (SELECT 1) SELECT * FROM b), seqs AS (SELECT 2) SELECT * FROM seqs",
+      "seqs", "tok") ==
+      "WITH a AS (WITH b AS (SELECT 1) SELECT * FROM b), seqs AS (SELECT 2) SELECT * FROM seqs")
   }
 
   test("shell: .alias rewrites queries, .unalias drops, invalid names rejected") {
