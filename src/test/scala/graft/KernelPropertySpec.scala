@@ -80,4 +80,49 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(HashKernels.simhashMd5(UTF8String.fromString(t)) == ref(t), s"text='$t'")
     }
   }
+
+  test("RangeBuckets.bucketLabel matches a naive scan on random bounds/keys") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val n = 1 + rnd.nextInt(40)
+      val bk = Array.fill(n - 1)(rnd.nextLong() % 1000L).sorted
+      val bs = Array.fill(n - 1)(rnd.nextLong() % 100L)
+      // enforce lexicographic boundary order (sort pairs)
+      val pairs = bk.zip(bs).sorted
+      val (pk, ps) = (pairs.map(_._1), pairs.map(_._2))
+      val labels = Array.range(0, n)
+      def naive(k: Long, sa: Long): Int =
+        labels(pk.indices.count(i => pk(i) < k || (pk(i) == k && ps(i) < sa)))
+      for (_ <- 1 to 50) {
+        val k = rnd.nextLong() % 1200L
+        val sa = rnd.nextLong() % 120L
+        assert(graft.maintain.RangeBuckets.bucketLabel(k, sa, pk, ps, labels) == naive(k, sa))
+      }
+    }
+  }
+
+  test("RangeBuckets.labelsFor is a bijection onto [0, n) for many n") {
+    for (n <- Seq(1, 2, 3, 7, 16, 63, 128, 997)) {
+      val l = graft.maintain.RangeBuckets.labelsFor(n)
+      assert(l.length == n && l.distinct.length == n)
+      assert(l.forall(_ >= 0))
+    }
+  }
+
+  test("dateBin floor semantics: bin start <= ts < bin start + stride, origin-anchored") {
+    import graft.functions.TimeKernels.dateBin
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 2000) {
+      val stride = 1L + rnd.nextInt(1000000000)
+      val origin = rnd.nextLong() % (1L << 40)
+      val ts = rnd.nextLong() % (1L << 44) // pre-origin values included
+      val b = dateBin(stride, ts, origin)
+      assert(b <= ts && ts < b + stride, s"bin $b not containing $ts (stride $stride)")
+      assert(java.lang.Math.floorMod(b - origin, stride) == 0L, "bin not on the origin grid")
+      // idempotent: binning a bin start is the identity
+      assert(dateBin(stride, b, origin) == b)
+    }
+    intercept[IllegalArgumentException](dateBin(0L, 1L, 0L))
+    intercept[IllegalArgumentException](dateBin(-5L, 1L, 0L))
+  }
 }
