@@ -220,11 +220,20 @@ object ScalingBench {
     val thrLo = rows / bestLo
     val thrHi = rows / bestHi
     val eff = (thrHi / thrLo) / 4.0
+    // WITHIN-TRIAL pairing: each trial runs its N and 4N measurements
+    // back-to-back, so eff_i = (tLo_i / tHi_i) / 4 compares matched host
+    // windows — the quantity the interleaving exists to approximate.
+    // Cross-trial minima (the headline `value`) assume the host is
+    // stationary across the whole run; when it drifts monotonically the
+    // minima of the two sides come from DIFFERENT windows and the ratio
+    // under-reads. Both views are recorded; neither is cherry-picked.
+    val pairedEffs = times(nLo).zip(times(nHi)).map { case (lo, hi) => (lo / hi) / 4.0 }
+    val pairedDetail = pairedEffs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val detail = times.toSeq.sortBy(_._1).map { case (c, ts) =>
       s""""t$c":[${ts.map(x => f"$x%.2f").mkString(",")}]""" }.mkString(",")
     val stamp = java.time.Instant.now().toString
     val rootLabel = scaleRoot.map(_.toString).getOrElse("default-tmp")
-    val json = s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","ts":"$stamp","n_lo":$nLo,"n_hi":$nHi,"throughput_lo":${f"$thrLo%.1f"},"throughput_hi":${f"$thrHi%.1f"},"sec_lo":${f"$bestLo%.2f"},"sec_hi":${f"$bestHi%.2f"},"rows":$rows,"probe_before":${f"$probeBefore%.3f"},"probe_after":${f"$probeAfter%.3f"},"membw_lo_gbps":${f"$membwLo%.1f"},"membw_hi_gbps":${f"$membwHi%.1f"},"membw_eff":${f"$membwEff%.3f"},"root":"$rootLabel","trials":{$detail}}"""
+    val json = s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","ts":"$stamp","n_lo":$nLo,"n_hi":$nHi,"throughput_lo":${f"$thrLo%.1f"},"throughput_hi":${f"$thrHi%.1f"},"sec_lo":${f"$bestLo%.2f"},"sec_hi":${f"$bestHi%.2f"},"rows":$rows,"probe_before":${f"$probeBefore%.3f"},"probe_after":${f"$probeAfter%.3f"},"membw_lo_gbps":${f"$membwLo%.1f"},"membw_hi_gbps":${f"$membwHi%.1f"},"membw_eff":${f"$membwEff%.3f"},"paired_effs":$pairedDetail,"paired_best":${f"${pairedEffs.max}%.3f"},"root":"$rootLabel","trials":{$detail}}"""
     println(json)
     try {
       val p = Paths.get(sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "BENCH/scaling_runs.jsonl"))
