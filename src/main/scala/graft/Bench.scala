@@ -18,19 +18,25 @@ import graft.table.TsTable
   * scaling-efficiency evidence recorded in BENCH/BASELINE.md.
   *
   * NOISE IMMUNITY: every timed section runs SPARK_GRAFT_BENCH_TRIALS
-  * (default 2) full trials — the whole maintenance sequence repeats on a
-  * fresh table root each trial, headline queries re-run — and the
-  * reported per-section figures are MINIMA, the same policy ScalingBench
-  * has always used. A single degraded-host window (CPU steal burst on
-  * this shared VM) can then poison at most one trial, not the round's
-  * official artifact: round 3's driver snapshot recorded 15.4 k seq/s in
-  * a burst while the same binary did 32.2 k in adjacent windows.
-  * `total_sec` stays comparable across rounds (sum of reported minima);
-  * `wall_sec` is the honest wall-clock of everything.
+  * (default 3) full trials, and the trials are INTERLEAVED — each pass
+  * runs the whole maintenance sequence AND the headline queries before
+  * the next pass begins, so consecutive samples of the same section are
+  * separated by the full suite (~10 s+), and a single degraded-host
+  * window (CPU steal burst on this shared VM) cannot cover all samples
+  * of any section: round 3's driver snapshot recorded 15.4 k seq/s in a
+  * burst while the same binary did 32.2 k in adjacent windows, and round
+  * 4's 2-trial artifact still landed ~25 % under three adjacent runs.
+  *
+  * The headline per-section figure remains the MINIMUM across trials
+  * (ScalingBench's long-standing policy — the minimum is the best
+  * estimate of the engine's cost on a machine with additive noise), but
+  * the JSON now ALSO carries `queries_median` (per-section medians) and
+  * `trials` so rounds can be compared like-for-like: min-vs-min or
+  * median-vs-median, never a 3-trial min against a 1-trial sample.
   *
   * Env knobs: SPARK_GRAFT_BENCH_ROWS (token-table size, default 150k),
   * SPARK_GRAFT_BENCH_FILES (initial small files, default 200),
-  * SPARK_GRAFT_BENCH_TRIALS (default 2).
+  * SPARK_GRAFT_BENCH_TRIALS (default 3).
   */
 object Bench {
 
@@ -40,12 +46,18 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "150000").toLong
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "200").toInt
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
     require(trials >= 1, s"SPARK_GRAFT_BENCH_TRIALS must be >= 1, got $trials")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,15 +72,15 @@ object Bench {
 
     val wall0 = System.nanoTime()
 
-    // per-section minima across trials (insertion-ordered for the JSON)
-    val q = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // all trial samples per section (insertion-ordered for the JSON)
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     def record(name: String, sec: Double): Unit =
-      q(name) = math.min(q.getOrElse(name, Double.MaxValue), sec)
+      samples(name) = samples.getOrElse(name, Nil) :+ sec
+    def best(name: String): Double = samples(name).min
 
-    // ---------- maintenance benchmark on the synthetic token table ------
-    // materialize the synthetic input ONCE, OUTSIDE the timed sections
-    // (the generator's token arrays are interpreted-HOF-heavy; timing it
-    // inside append would charge data synthesis to the engine). The staged
+    // ---------- staged inputs (built ONCE, outside every timed section) --
+    // The generator's token arrays are interpreted-HOF-heavy; timing it
+    // inside append would charge data synthesis to the engine. The staged
     // parquet is read-only and shared by every trial.
     val stage = Files.createTempDirectory("graft-bench-in").toString
     TokenGen.generate(spark, rows, numFiles = nFiles).write.mode("overwrite").parquet(stage)
@@ -78,7 +90,13 @@ object Bench {
     val updStage = Files.createTempDirectory("graft-bench-upd").toString
     updates.unionByName(inserts).write.mode("overwrite").parquet(updStage)
 
+    val headline = Seq("q01_agg", "q03_join", "q05_date_trunc", "q10_maintain_scan",
+      "q21_minhash_pairs", "q22_simhash_pairs", "q24_embed_neardup", "q25_ann_topk",
+      "q30_token_count", "q35_sample_split", "q36_seq_pack", "q37_vocab_topk",
+      "q38_pipeline_e2e")
+
     for (trial <- 1 to trials) {
+      // ---------- maintenance sequence on a fresh table root ------------
       val root = Files.createTempDirectory(s"graft-bench-$trial").toString
       val t = TsTable.create(root, TableMeta("tokens",
         TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
@@ -121,21 +139,14 @@ object Bench {
       }._2)
 
       record("expire", time(Expire.expire(t, t.version))._2)
-      System.err.println(f"[bench] maintenance trial $trial/$trials done " +
-        f"(compact ${q("compact_zorder")}%.2f s best so far)")
       // the trial's table root is never read again — reclaim it NOW so
       // peak /tmp usage stays one-table-sized regardless of trial count
       try deleteRecursively(java.nio.file.Paths.get(root))
       catch { case _: Exception => () }
-    }
-    val throughput = rows / q("compact_zorder")
 
-    // ---------- headline queries over the shared testdata ---------------
-    val headline = Seq("q01_agg", "q03_join", "q05_date_trunc", "q10_maintain_scan",
-      "q21_minhash_pairs", "q22_simhash_pairs", "q24_embed_neardup", "q25_ann_topk",
-      "q30_token_count", "q35_sample_split", "q36_seq_pack", "q37_vocab_topk",
-      "q38_pipeline_e2e")
-    for (trial <- 1 to trials) {
+      // ---------- headline queries over the shared testdata -------------
+      // inside the SAME trial pass, so this trial's maintenance samples and
+      // the next trial's are separated by the whole headline suite
       headline.foreach { name =>
         val (_, sec) = time {
           try SparkEntry.queries(name)(spark, sfDir).count()
@@ -143,13 +154,19 @@ object Bench {
         }
         record(name, sec)
       }
+      System.err.println(f"[bench] trial $trial/$trials done " +
+        f"(compact ${best("compact_zorder")}%.2f s best so far)")
     }
+    val throughput = rows / best("compact_zorder")
 
     val wallSec = (System.nanoTime() - wall0) / 1e9
-    val qs = q.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = samples.map { case (k, v) => "\"" + k + "\":" + f"${v.min}%.3f" }.mkString("{", ",", "}")
+    val qMed = samples.map { case (k, v) => "\"" + k + "\":" + f"${median(v)}%.3f" }.mkString("{", ",", "}")
     val ts = java.time.Instant.now().toString
+    val totalMin = samples.values.map(_.min).sum
+    val totalMed = samples.values.map(median).sum
     val json =
-      s"""{"metric":"maintenance_throughput","value":${f"$throughput%.1f"},"unit":"seq/sec","ts":"$ts","total_sec":${f"${q.values.sum}%.1f"},"wall_sec":${f"$wallSec%.1f"},"trials":$trials,"rows":$rows,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"maintenance_throughput","value":${f"$throughput%.1f"},"unit":"seq/sec","ts":"$ts","total_sec":${f"$totalMin%.1f"},"total_sec_median":${f"$totalMed%.1f"},"wall_sec":${f"$wallSec%.1f"},"trials":$trials,"rows":$rows,"cpus":$cpus,"queries":$qs,"queries_median":$qMed,"sf":"$sfDir"}"""
     println(json)
     // machine-readable copies: sbt [info]-prefixes stdout lines, so a log
     // scraper can miss the line above — the file is the reliable channel;

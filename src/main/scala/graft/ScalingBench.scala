@@ -103,16 +103,26 @@ object ScalingBench {
     * bring 4× memory controllers; a single box does not. Returns
     * (GB/s at nLo, GB/s at nHi, efficiency). */
   def memProbe(nLo: Int, nHi: Int): (Double, Double, Double) = {
-    val words = 4 * 1024 * 1024 // 32 MB src + 32 MB dst per thread
+    // 16 MB src + 16 MB dst per thread: past every private cache level and,
+    // at >= 2 threads, past the LLC, so the copy streams DRAM. The buffers
+    // are allocated ONCE per probe (thread-indexed shared pool) and reused
+    // by every rate() call — allocating fresh 32 MB pairs inside each call
+    // put ~2 GB of transient garbage per call on the heap at 32 threads,
+    // which could OOM the bench on default driver heaps before any engine
+    // work ran. Peak live footprint is now one pool: maxThreads * 32 MB.
+    val words = 2 * 1024 * 1024
+    val maxThreads = math.max(nLo, nHi)
+    val srcs = Array.fill(maxThreads)(new Array[Long](words))
+    val dsts = Array.fill(maxThreads)(new Array[Long](words))
+    srcs.foreach(java.util.Arrays.fill(_, 0x5a5a5a5aL))
     def rate(threads: Int, iters: Int): Double = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
       try {
         val t0 = System.nanoTime()
-        val futs = (1 to threads).map { _ =>
+        val futs = (0 until threads).map { ti =>
           pool.submit(new java.util.concurrent.Callable[Long] {
             override def call(): Long = {
-              val src = new Array[Long](words); val dst = new Array[Long](words)
-              java.util.Arrays.fill(src, 0x5a5a5a5aL)
+              val src = srcs(ti); val dst = dsts(ti)
               var k = 0
               while (k < iters) { System.arraycopy(src, 0, dst, 0, words); k += 1 }
               dst(words - 1)
@@ -124,9 +134,9 @@ object ScalingBench {
         threads.toDouble * iters * words * 8L * 2 / ((System.nanoTime() - t0) / 1e9)
       } finally pool.shutdown()
     }
-    rate(nHi, 4) // page-in + JIT warmup, discarded
-    val rLo = rate(nLo, 24)
-    val rHi = rate(nHi, 24)
+    rate(nHi, 8) // page-in + JIT warmup, discarded
+    val rLo = rate(nLo, 48)
+    val rHi = rate(nHi, 48)
     (rLo / 1e9, rHi / 1e9, (rHi / rLo) / (nHi.toDouble / nLo))
   }
 

@@ -26,6 +26,37 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Temp table roots created by the engine-path queries (q02/q10–q18/q39)
+    * must OUTLIVE the lazy DataFrame each query returns — the scan reads
+    * the root only when the caller materializes it — so they cannot be
+    * deleted inside the query body. Every root is registered here instead
+    * and reclaimed by one JVM shutdown hook, so repeated Verify/Bench
+    * invocations no longer accumulate dataset-sized dirs in /tmp. */
+  private object TempRoots {
+    private val roots = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val it = roots.iterator()
+      while (it.hasNext) {
+        try deleteTree(java.nio.file.Paths.get(it.next()))
+        catch { case _: Exception => () }
+      }
+    }, "graft-temproot-cleanup"))
+    def create(prefix: String): String = {
+      val p = Files.createTempDirectory(prefix).toString
+      roots.add(p)
+      p
+    }
+  }
+
+  private[graft] def deleteTree(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      try { import scala.jdk.CollectionConverters._; st.iterator().asScala.foreach(deleteTree) }
+      finally st.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q10_maintain_scan")(spark, "/root/testdata/sf0.001")
@@ -48,7 +79,7 @@ object SparkEntry {
 
   private def buildTokenTable(s: SparkSession, dir: String, curve: String = "zorder",
                               nFiles: Int = 32, filter: Option[String] = None): TsTable = {
-    val root = Files.createTempDirectory("graft-engine").toString
+    val root = TempRoots.create("graft-engine")
     val t = TsTable.create(root, TableMeta("tokens",
       TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), curve)), None, None))
     val df = tokenDf(s, dir)
@@ -117,7 +148,7 @@ object SparkEntry {
     // time-range scan THROUGH the table format: create → append (stats +
     // coverage + commit) → scanRange (file pruning + residual filter)
     "q02_range_scan" -> ((s, dir) => {
-      val root = Files.createTempDirectory("graft-ev").toString
+      val root = TempRoots.create("graft-ev")
       val t = TsTable.create(root, TableMeta("events",
         TableKind.TimeSeries(TimeIndexSpec("ts", Nil, TimeBucket.parse("1h"), None)), None, None))
       t.append(tbl(s, dir, "events").repartition(8))
@@ -196,7 +227,7 @@ object SparkEntry {
     // no events inside [min(ts), max(ts)], answered from the bitmap
     "q14_coverage_gaps" -> ((s, dir) => {
       import s.implicits._
-      val root = Files.createTempDirectory("graft-cov").toString
+      val root = TempRoots.create("graft-cov")
       val t = TsTable.create(root, TableMeta("events",
         TableKind.TimeSeries(TimeIndexSpec("ts", Nil, TimeBucket.parse("1m"), None)), None, None))
       t.append(tbl(s, dir, "events").repartition(4))
@@ -218,7 +249,7 @@ object SparkEntry {
     // simply the raw events, so any duplicate/lost batch or row surfaces
     // as a hash mismatch
     "q18_stream_ingest" -> ((s, dir) => {
-      val root = Files.createTempDirectory("graft-stream").toString
+      val root = TempRoots.create("graft-stream")
       val t = TsTable.create(root, TableMeta("events",
         TableKind.Clustered(ClusterSpec(Seq("user_id", "event_type", "event_id"), "zorder")),
         None, None))
@@ -234,15 +265,7 @@ object SparkEntry {
       // the table (the scan below reads table segments only) — reclaim the
       // dataset-sized dirs now instead of leaking them per invocation
       Seq(src, ckpt).foreach { d =>
-        def del(p: java.nio.file.Path): Unit = {
-          if (Files.isDirectory(p)) {
-            val st = Files.list(p)
-            try { import scala.jdk.CollectionConverters._; st.iterator().asScala.foreach(del) }
-            finally st.close()
-          }
-          Files.deleteIfExists(p)
-        }
-        try del(java.nio.file.Paths.get(d)) catch { case _: Exception => () }
+        try deleteTree(java.nio.file.Paths.get(d)) catch { case _: Exception => () }
       }
       t.scan(s).select("event_id", "user_id", "event_type", "value")
     }),
@@ -254,7 +277,7 @@ object SparkEntry {
     // each from the raw events with gaps-and-islands SQL
     "q16_coverage_stats" -> ((s, dir) => {
       import s.implicits._
-      val root = Files.createTempDirectory("graft-covstats").toString
+      val root = TempRoots.create("graft-covstats")
       val t = TsTable.create(root, TableMeta("events",
         TableKind.TimeSeries(TimeIndexSpec("ts", Nil, TimeBucket.parse("1m"), None)), None, None))
       t.append(tbl(s, dir, "events").repartition(4))

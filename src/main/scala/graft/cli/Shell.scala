@@ -247,8 +247,10 @@ object Shell {
     * without warning). A bare or backtick identifier equal to the alias is
     * replaced when it is
     *  - directly after FROM / JOIN / INTO / TABLE / UPDATE / DESCRIBE /
-    *    DESC / ANALYZE / VIEW (comments between keyword and name are
-    *    transparent), or
+    *    DESC / ANALYZE / VIEW / USING (comments between keyword and name
+    *    are transparent; USING covers `MERGE INTO t USING seqs` — a join's
+    *    `USING (cols)` is never affected because '(' follows, not an
+    *    identifier), or
     *  - after a top-level comma inside a FROM list (`FROM a, seqs`), or
     *  - the head of a qualified name (`seqs.x` — but never `x.seqs`),
     * and its name is not defined as a CTE in the same statement
@@ -315,8 +317,14 @@ object Shell {
     // relation list), Suspended (a JOIN condition: ON/USING interrupt the
     // list, and a top-level comma resumes it — `FROM a JOIN b ON … , seqs`
     // is still a relation position).
+    // USING is a ref keyword only in its MERGE position (`MERGE INTO t
+    // USING src`): isRefPosition is consulted solely for identifier tokens
+    // and a join's `USING (cols)` is followed by '(', so including it here
+    // cannot misfire on join column lists. Its membership also (correctly)
+    // stops `USING seqs` from being parsed as a correlation-alias
+    // declaration in sweep 1 below.
     val refKeywords = Set("FROM", "JOIN", "INTO", "TABLE", "UPDATE",
-      "DESCRIBE", "DESC", "ANALYZE", "VIEW")
+      "DESCRIBE", "DESC", "ANALYZE", "VIEW", "USING")
     val fromEnders = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "SELECT",
       "UNION", "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY", "SET", "VALUES", "WITH")
     final class FromScope {

@@ -53,7 +53,12 @@ private[graft] object StagingHeartbeat {
   def start(stagingAbs: String, intervalMs: Long = 60000L): StagingHeartbeat = {
     val dir = Paths.get(
       if (stagingAbs.startsWith("file:")) new java.net.URI(stagingAbs).getPath else stagingAbs)
-    Files.createDirectories(dir)
+    // Do NOT pre-create the dir: before the committer creates it there is
+    // nothing for Expire to reclaim, and pre-creating it (plus the first
+    // .heartbeat touch) would force df.write mode("overwrite") to clear a
+    // non-empty tree — a touch racing that list-then-remove can fail the
+    // job with "unable to clear output directory". The touch loop guards
+    // on isDirectory, so beating starts once the committer makes the dir.
     val h = new StagingHeartbeat(dir, intervalMs)
     h.thread.setDaemon(true)
     h.thread.start()

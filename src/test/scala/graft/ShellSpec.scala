@@ -166,6 +166,13 @@ class ShellSpec extends SparkFunSuite {
     // relation list resumes after a JOIN condition
     assert(rewriteSqlAlias("SELECT * FROM a JOIN b ON a.id = b.id, seqs", "seqs", "tok") ==
       "SELECT * FROM a JOIN b ON a.id = b.id, tok")
+    // MERGE INTO t USING <alias> is a table-ref position…
+    assert(rewriteSqlAlias("MERGE INTO dst USING seqs ON dst.id = seqs.id " +
+      "WHEN MATCHED THEN UPDATE SET *", "seqs", "tok") ==
+      "MERGE INTO dst USING tok ON dst.id = tok.id WHEN MATCHED THEN UPDATE SET *")
+    // …while a join's USING (cols) column list is never rewritten
+    assert(rewriteSqlAlias("SELECT * FROM a JOIN b USING (seqs), seqs", "seqs", "tok") ==
+      "SELECT * FROM a JOIN b USING (seqs), tok")
     // correlation-alias shadowing is SCOPE-LOCAL: the inner subquery's
     // alias must not suppress the outer table reference
     assert(rewriteSqlAlias(
