@@ -469,6 +469,21 @@ object SparkEntry {
         col("wav.sample_rate").as("rate"),
         col("wav.n_samples").as("n_samples"),
         round(col("wav.mean_abs"), 4).as("ma"))
+    }),
+
+    // PNG encode + decode round trip through the JDK's javax.imageio —
+    // same pixel formulas and dims as q43's P6 path, different container.
+    // PNG is lossless, so the decoded channel means must reproduce the
+    // identical closed form: any defect in either codec direction (or in
+    // the BufferedImage channel order) breaks the hash
+    "q45_png_decode" -> ((s, dir) => {
+      val imgs = graft.ops.PortableMedia.synthesizePngs(tbl(s, dir, "documents"), "doc_id")
+      graft.ops.PortableMedia.decodeImagesIO(imgs).select(
+        col("media_id"),
+        col("img.width").as("width"), col("img.height").as("height"),
+        round(col("img.mean_r"), 4).as("mr"),
+        round(col("img.mean_g"), 4).as("mg"),
+        round(col("img.mean_b"), 4).as("mb"))
     })
   )
 
@@ -857,7 +872,22 @@ object SparkEntry {
           |        LATERAL (SELECT unnest(generate_series(0, n-1)) AS i) s)
           |SELECT CAST(id AS VARCHAR) AS media_id, 16000 AS rate, any_value(n) AS n_samples,
           |  round(avg(abs((id*7 + i*13) % 251 - 125)), 4) AS ma
-          |FROM smp GROUP BY id""".stripMargin
+          |FROM smp GROUP BY id""".stripMargin,
+
+      // identical closed form to q43: the PNG container is lossless, so
+      // the javax.imageio round trip must land on the same channel means
+      "q45_png_decode" ->
+        """WITH g AS (SELECT doc_id AS id, CAST(8 + doc_id % 9 AS INT) AS w,
+          |                  CAST(8 + (doc_id*3) % 9 AS INT) AS h FROM documents),
+          |px AS (
+          |  SELECT id, w, h, xs.x AS x, ys.y AS y
+          |  FROM g, LATERAL (SELECT unnest(generate_series(0, w-1)) AS x) xs,
+          |          LATERAL (SELECT unnest(generate_series(0, h-1)) AS y) ys)
+          |SELECT CAST(id AS VARCHAR) AS media_id, any_value(w) AS width, any_value(h) AS height,
+          |  round(avg((id*31 + x + y) % 256), 4) AS mr,
+          |  round(avg((id*37 + x) % 256), 4) AS mg,
+          |  round(avg((id*41 + y) % 256), 4) AS mb
+          |FROM px GROUP BY id""".stripMargin
     )
   }
 }

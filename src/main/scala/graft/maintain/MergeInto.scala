@@ -31,10 +31,42 @@ object MergeInto {
   final case class Report(candidates: Int, filesOut: Int, updated: Long, inserted: Long,
                           survivors: Long, version: Long)
 
-  /** Max distinct update keys we will collect to the driver for the bloom
-    * pruning pass. Above this the update set touches most files anyway and
-    * the bloom pass would only add metadata IO. */
-  val BloomKeyCap: Long = 200000L
+  /** Max distinct update keys probed against parquet footer BLOOMS on the
+    * driver pool. This is a path-selection threshold, not a pruning cap:
+    * above it, refinement switches to the exact key-column semi-join
+    * (below), which never collects keys to the driver.
+    *
+    * Why switch so early — the bloom math: segment blooms are
+    * adaptive-sized at ~1 % FPP, so a file containing NONE of the K update
+    * keys escapes candidacy only if ALL K probes miss: 0.99^K ≈ 0.36 at
+    * K=100, 0.077 at K=256, ~0 beyond. Footer blooms prune point-lookups
+    * and small batches brilliantly and large batches not at all — no bloom
+    * sized for 1 % FPP can testify about 10^5 keys. The old implementation
+    * capped K at 200 000 (collect-cost bound) and above that SKIPPED
+    * refinement entirely; between ~10^3 and the cap it burned footer IO on
+    * probes that pruned nothing. The exact pass keeps pruning working at
+    * any K. */
+  val BloomKeyCap: Long = 256L
+
+  /** Exact distributed candidate refinement for update sets too large for
+    * footer blooms: semi-join the candidates' key column (single-column
+    * projected scan, input_file_name-tagged) against the update keys and
+    * return the segment ids of files that actually contain ≥ 1 key.
+    * Update keys never collect to the driver; the only collect is the
+    * distinct hit FILE list, bounded by the candidate count. Sound by
+    * construction (zero false negatives — a file omitted here provably
+    * holds no update key) and, unlike blooms, zero false positives at any
+    * key-set size. */
+  private[graft] def refineCandidatesExact(spark: SparkSession, updKeys: DataFrame,
+      key: String, files: Seq[(String, String)]): Set[String] = {
+    val byPath = files.map { case (p, id) => graft.meta.PathNorm.canonical(p) -> id }.toMap
+    spark.read.parquet(files.map(_._1): _*)
+      .select(col(key), input_file_name().as("__file"))
+      .join(updKeys, Seq(key), "left_semi")
+      .select("__file").distinct().collect()
+      .iterator.flatMap(r => byPath.get(graft.meta.PathNorm.canonical(r.getString(0))))
+      .toSet
+  }
 
   def merge(spark: SparkSession, table: TsTable, updates: DataFrame,
             key: String = "doc_id", targetFileSize: Long = 512L * 1024 * 1024): Report = {
@@ -66,19 +98,30 @@ object MergeInto {
         col(key) >= col("kmin") && col(key) <= col("kmax"), "inner")
       .select("segment_id").distinct().as[String].collect().toSet
 
-    // --- 1b. bloom refinement: range stats are void after space-curve
+    // --- 1b. refinement: range stats are void after space-curve
     // clustering (interleaved keys make every file span the keyspace), so
-    // test the update keys against each candidate's parquet column bloom
-    // (footer metadata only, KeyBloom). Skipped — soundly — for huge
-    // update sets or tables without a bloom key.
+    // range-hit candidates are re-tested for ACTUAL key presence:
+    //  - small update sets (≤ BloomKeyCap): probe each candidate's parquet
+    //    column bloom — footer metadata only, one driver-pool pass, no job;
+    //  - large update sets: an exact DISTRIBUTED semi-join of the
+    //    candidates' KEY COLUMN against the update keys, grouped to the
+    //    distinct source files (input_file_name). Keys never collect to
+    //    the driver (only hit file-ids do, bounded by the candidate
+    //    count), there are no false positives at any K (unlike blooms at
+    //    1 % FPP — see BloomKeyCap), and the cost is a single-column
+    //    projected scan of the candidates: a few % of the bytes the
+    //    rewrite would spend on each file the pass excludes. Parquet
+    //    column pruning keeps the scan to the key column; Catalyst plans
+    //    the semi-join shuffle/broadcast by size.
     val rangeHits = live.filter(s => hitIds.contains(s.segmentId))
     val bloomHits: Set[String] = table.bloomKeyColumn match {
-      case Some(bloomCol) if bloomCol == key && rangeHits.nonEmpty &&
-          updCount > 0 && updCount <= BloomKeyCap =>
-        val keys: Array[Any] = upd.select(col(key)).collect().map(_.get(0))
+      case Some(bloomCol) if bloomCol == key && rangeHits.nonEmpty && updCount > 0 =>
         val files = rangeHits.map(s => (s"${table.root}/${s.path}", s.segmentId))
-        KeyBloom.filterMayContain(spark.sparkContext.hadoopConfiguration,
-          files, bloomCol, keys).toSet
+        if (updCount <= BloomKeyCap) {
+          val keys: Array[Any] = upd.select(col(key)).collect().map(_.get(0))
+          KeyBloom.filterMayContain(spark.sparkContext.hadoopConfiguration,
+            files, bloomCol, keys).toSet
+        } else refineCandidatesExact(spark, upd.select(col(key)), key, files)
       case _ => hitIds
     }
 

@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 /** REAL multimodal decode for dependency-free formats.
   *
   * `Multimodal.FakeCodec` stays the declared seam for library-bound
-  * formats (JPEG/MP4 need codecs this container does not ship); this
-  * object removes the stub for the formats a JVM can parse bare:
-  * binary PPM (P6) images and PCM WAV audio. Synthesis writes REAL
+  * formats (MP4/video need codecs no bare JVM ships); this object
+  * removes the stub for the formats a JVM can parse with zero new
+  * dependencies: binary PPM (P6) images and PCM WAV audio via hand
+  * parsers, and PNG/JPEG/BMP/GIF via the JDK's built-in `javax.imageio`
+  * (see decodeImage below). Synthesis writes REAL
   * format bytes with pixels/samples that are deterministic modular
   * arithmetic of the id, and decode is a REAL byte-level parser
   * (whitespace/comment-tolerant P6 header scan, RIFF chunk walk) — so the
@@ -163,8 +165,95 @@ object PortableMedia {
     WavStats(rate, channels, n, if (n == 0) 0.0 else s.toDouble / n)
   }
 
+  // ------------------------------------------- JDK ImageIO (PNG / JPEG)
+
+  // ImageIO defaults to spooling streams through a disk cache dir — wrong
+  // for executor threads (temp-file churn + a global cache-dir lock).
+  // In-memory cache keeps the codec pure CPU work.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Pixel formula shared with ppmBytes, so every encoder feeds the same
+    * closed-form oracle: R=(id·31+x+y)%256, G=(id·37+x)%256, B=(id·41+y)%256. */
+  private def synthImage(id: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x + y) % 256).toInt
+        val g = ((id * 37 + x) % 256).toInt
+        val b = ((id * 41 + y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** REAL PNG bytes via the JDK's built-in encoder — zero new deps.
+    * Lossless, so decoded channel stats equal the PPM closed form. */
+  def pngBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(synthImage(id, w, h), "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL JPEG bytes (JDK encoder). Lossy — decoded stats only approximate
+    * the closed form, so JPEG is spec-tested with tolerance, not
+    * oracle-gated. */
+  def jpegBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(synthImage(id, w, h), "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode for every ImageIO-registered container (PNG, JPEG, BMP,
+    * GIF, WBMP — the JDK's built-ins). Same stats contract as decodePpm;
+    * null on undecodable bytes. Row-buffered getRGB keeps it one pass. */
+  def decodeImage(bytes: Array[Byte]): ImageStats = {
+    if (bytes == null) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) return null
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    ImageStats(w, h, sr / n, sg / n, sb / n)
+  }
+
+  private val synthPngUdf = udf { id: Long =>
+    pngBytes(id, (8 + id % 9).toInt, (8 + (id * 3) % 9).toInt)
+  }
+
+  /** Real PNG blobs from a numeric id column — same dims/pixels as
+    * synthesizeImages, different container. */
+  def synthesizePngs(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("string").as("media_id"),
+      synthPngUdf(col(idCol).cast("long")).as("blob"))
+
   private val decodeImageUdf = udf(decodePpm _)
+  private val decodeImageIOUdf = udf(decodeImage _)
   private val decodeWavUdf = udf(decodeWav _)
+
+  /** Decoded per-image statistics through the JDK ImageIO codec
+    * (PNG/JPEG/BMP/GIF): (media_id, width, height, mean RGB). */
+  def decodeImagesIO(df: DataFrame): DataFrame =
+    df.withColumn("img", decodeImageIOUdf(col("blob")))
 
   /** Decoded per-image statistics: (media_id, width, height, mean RGB). */
   def decodeImages(df: DataFrame): DataFrame =

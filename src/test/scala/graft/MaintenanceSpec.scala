@@ -385,6 +385,81 @@ class MaintenanceSpec extends SparkFunSuite {
     assert(kept == Seq("tag"), "unreadable footer must keep the candidate, not abort the merge")
   }
 
+  test("exact candidate refinement at 10^6 update keys: keys stay distributed, subset exact") {
+    import spark.implicits._
+    val root = tmpDir("merge-exact-1m")
+    val t = TsTable.create(root, tokenMeta("zorder"))
+    t.append(TokenGen.generate(spark, 4000, numFiles = 16))
+    Compaction.run(spark, t, targetFileSize = 96L * 1024)
+    val live = t.state.liveSegments
+    assert(live.size >= 4, s"need a multi-file clustered table, got ${live.size}")
+
+    // 3 present keys + 999 997 absent ones — one million distinct update
+    // keys, far beyond any bloom's testimony and the old 200 k collect cap.
+    // The refinement path never collects these to the driver: the keys ride
+    // a left-semi join against the candidates' key column and only the hit
+    // FILE ids (bounded by the candidate count) come back.
+    val present = Seq(7, 1234, 3999).map(i => f"doc-$i%012d")
+    val keysDf = spark.range(1000000 - present.size)
+      .select(format_string("doc-%012d", col("id") + 10000000L).as("doc_id"))
+      .unionByName(present.toDF("doc_id"))
+    assert(keysDf.count() == 1000000L)
+
+    val files = live.map(s => (s"$root/${s.path}", s.segmentId))
+    val got = MergeInto.refineCandidatesExact(spark, keysDf, "doc_id", files)
+
+    // ground truth per file: which files actually hold one of the 3 keys
+    val expected = files.filter { case (path, _) =>
+      spark.read.parquet(path).where(col("doc_id").isin(present: _*)).limit(1).count() > 0
+    }.map(_._2).toSet
+    assert(got == expected, s"exact refinement diverged: got $got expected $expected")
+    assert(got.size < live.size,
+      s"refinement pruned nothing: ${got.size} of ${live.size} files — zorder fixture degenerate?")
+  }
+
+  test("merge above the bloom threshold: exact refinement prunes, result correct") {
+    import spark.implicits._
+    val root = tmpDir("merge-exact-e2e")
+    val t = TsTable.create(root, tokenMeta("zorder"))
+    // evens only, so the 2 000 odd keys below are absent-but-in-range:
+    // range stats cannot exclude them and a 1 % -FPP bloom at K=2003 marks
+    // every file — only the exact pass can separate true candidates
+    val evens = (0 until 8000 by 2).map(i => f"doc-$i%012d")
+    t.append(TokenGen.generateForIds(spark, evens).repartition(16))
+    Compaction.run(spark, t, targetFileSize = 96L * 1024)
+    val live = t.state.liveSegments
+    assert(live.size >= 4, s"need a multi-file clustered table, got ${live.size}")
+
+    val updIds = Seq(14, 2468, 7998).map(i => f"doc-$i%012d")
+    val newIds = (1 until 4000 by 2).map(i => f"doc-$i%012d") // 2 000 odds
+    assert(updIds.size + newIds.size > MergeInto.BloomKeyCap)
+    val expectedCands = live.count { s =>
+      spark.read.parquet(s"$root/${s.path}")
+        .where(col("doc_id").isin(updIds: _*)).limit(1).count() > 0
+    }
+
+    val before = tokenChecksum(t.scan(spark))
+    val report = MergeInto.merge(spark, t,
+      TokenGen.generateForIds(spark, updIds ++ newIds, salt = "v2"))
+    assert(report.updated == 3 && report.inserted == 2000, s"wrong report: $report")
+    assert(report.candidates == expectedCands,
+      s"exact refinement expected $expectedCands candidates, rewrote ${report.candidates}")
+    assert(report.candidates < live.size,
+      s"no pruning at K>cap: ${report.candidates} of ${live.size}")
+
+    val after = t.scan(spark).collect().map(r => r.getString(0) -> r).toMap
+    assert(after.size == 6000)
+    val expectUpd = TokenGen.generateForIds(spark, updIds ++ newIds, salt = "v2").collect()
+      .map(r => r.getString(0) -> r).toMap
+    (updIds ++ newIds).foreach { id =>
+      assert(after(id).getSeq[Int](1) == expectUpd(id).getSeq[Int](1), s"merge row wrong: $id")
+    }
+    val afterSums = tokenChecksum(t.scan(spark)).map(r => r.getString(0) -> r.getInt(3)).toMap
+    before.filterNot(r => updIds.contains(r.getString(0))).foreach { r =>
+      assert(afterSums(r.getString(0)) == r.getInt(3), s"bystander perturbed: ${r.getString(0)}")
+    }
+  }
+
   test("merge into: no matching files -> pure insert, zero candidates") {
     val root = tmpDir("merge-ins")
     val t = TsTable.create(root, tokenMeta("zorder"))

@@ -519,6 +519,39 @@ class OpsSpec extends SparkFunSuite {
     assert(wd.sample_rate == 16000 && wd.n_samples == n && math.abs(wd.mean_abs - expMa) < 1e-9)
   }
 
+  test("imageio codec: PNG round-trips the closed form exactly; JPEG within lossy tolerance") {
+    import graft.ops.PortableMedia._
+    for (id <- Seq(0L, 7L, 123456L)) {
+      val w = (8 + id % 9).toInt; val h = (8 + (id * 3) % 9).toInt
+      def mean(f: (Int, Int) => Long): Double =
+        (for (y <- 0 until h; x <- 0 until w) yield f(x, y)).sum.toDouble / (w * h)
+      val expR = mean((x, y) => (id * 31 + x + y) % 256)
+      val expG = mean((x, _) => (id * 37 + x) % 256)
+      val expB = mean((_, y) => (id * 41 + y) % 256)
+
+      // PNG is lossless: decoded stats must equal the closed form exactly
+      val png = decodeImage(pngBytes(id, w, h))
+      assert(png.width == w && png.height == h, s"png dims wrong for id=$id")
+      assert(math.abs(png.mean_r - expR) < 1e-9 && math.abs(png.mean_g - expG) < 1e-9 &&
+        math.abs(png.mean_b - expB) < 1e-9, s"png stats diverge for id=$id: $png")
+      // …and must agree bit-for-bit with the P6 parser on the same pixels
+      assert(png == decodePpm(ppmBytes(id, w, h)), "PNG and P6 decoders disagree")
+
+      // JPEG is lossy: dims exact, channel means near the closed form.
+      // The synthetic pixels are high-frequency gradients — the hardest
+      // case for DCT quantization — so the band is wide but bounded.
+      val jpg = decodeImage(jpegBytes(id, w, h))
+      assert(jpg.width == w && jpg.height == h, s"jpeg dims wrong for id=$id")
+      assert(math.abs(jpg.mean_r - expR) < 32 && math.abs(jpg.mean_g - expG) < 32 &&
+        math.abs(jpg.mean_b - expB) < 32, s"jpeg stats too far for id=$id: $jpg vs ($expR,$expG,$expB)")
+    }
+    // undecodable bytes answer null, never throw
+    assert(decodeImage(null) == null)
+    assert(decodeImage(Array[Byte](1, 2, 3)) == null)
+    assert(decodeImage("P6\n2 2\n255\nxxxxxxxxxxxx".getBytes("US-ASCII")) == null,
+      "ImageIO has no PPM reader — must answer null, not throw")
+  }
+
   test("multimodal: blob header round-trips; frames and features deterministic") {
     val d = Seq(7L, 42L, 255L).toDF("doc_id")
     val blobs = Multimodal.synthesizeBlobs(d, "doc_id")

@@ -199,7 +199,14 @@ class RobustnessSpec extends SparkFunSuite {
     val hb = StagingHeartbeat.start(staging, intervalMs = 50L)
     try {
       val f = java.nio.file.Paths.get(staging, ".heartbeat")
-      // first touch lands within a couple of intervals
+      // the beacon must NOT create the dir or touch before the committer
+      // makes the dir: a pre-created non-empty tree would force df.write
+      // mode(overwrite) to clear it, racing the touch
+      Thread.sleep(200)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(staging)),
+        "beacon created the staging dir before the committer")
+      // once the committer creates the dir, touches begin within intervals
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging))
       var waited = 0
       while (!java.nio.file.Files.exists(f) && waited < 100) { Thread.sleep(20); waited += 1 }
       assert(java.nio.file.Files.exists(f), "heartbeat file never appeared")
