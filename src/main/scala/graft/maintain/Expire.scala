@@ -29,7 +29,10 @@ object Expire {
 
   final case class Report(watermark: Long, dataFilesDeleted: Int, bytesDeleted: Long,
                           sidecarsDeleted: Int, commitsDropped: Int,
-                          stagingDirsDeleted: Int = 0)
+                          stagingDirsDeleted: Int = 0,
+                          unreferencedFilesDeleted: Int = 0,
+                          orphanCommitsDropped: Int = 0,
+                          orphanSidecarsDeleted: Int = 0)
 
   /** `stagingGraceMs`: `.staging-*` directories (a writer's pre-commit
     * scratch) older than this are reclaimed as crashed-writer debris. The
@@ -99,6 +102,90 @@ object Expire {
       v += 1
     }
 
+    val cutoff = System.currentTimeMillis() - stagingGraceMs
+
+    // 3b) orphan commit files ABOVE CURRENT: a writer killed between the
+    //    CREATE_NEW of its commit file and the CURRENT rename leaves a
+    //    commit no reader replays — and, worse, every later commit of that
+    //    version passes the CURRENT check only to hit CREATE_NEW on the
+    //    orphan forever: the table is wedged (the recovery gap LogStore
+    //    documents). Age-guarded reclamation closes it: a genuinely racing
+    //    writer finishes the rename in milliseconds, so an orphan older
+    //    than the grace belongs to a dead writer — drop it and the commit
+    //    path unwedges; its Add'd data files become unreferenced and fall
+    //    to the sweep below. An IN-grace orphan is left alone and its adds
+    //    are treated as referenced (the writer may still be mid-rename).
+    var orphanCommits = 0
+    val inGraceOrphanAdds = scala.collection.mutable.Set.empty[String]
+    var ov = current + 1
+    while (Files.exists(store.commitPath(ov))) {
+      val p = store.commitPath(ov)
+      val mtime = try Files.getLastModifiedTime(p).toMillis catch { case _: Exception => Long.MaxValue }
+      if (mtime < cutoff) {
+        if (Files.deleteIfExists(p)) orphanCommits += 1
+      } else {
+        try store.readCommit(ov).actions.foreach {
+          case graft.log.LogAction.AddSegment(s) =>
+            inGraceOrphanAdds += s.path; s.coveragePath.foreach(inGraceOrphanAdds += _)
+          case _ => ()
+        } catch { case _: Exception => () } // unreadable in-grace orphan: sweep age guard still protects its files
+      }
+      ov += 1
+    }
+
+    // 3c) unreferenced-file sweep (vacuum completeness): a writer killed
+    //    AFTER moving its staged parquet into data/ but BEFORE its commit
+    //    landed leaves files the commit-derived orphan set in (2) can never
+    //    see. Sweep data/ and _coverage/segments/ against the full
+    //    referenced set — everything live at ANY retained version: the
+    //    watermark state plus every AddSegment in commits (watermark,
+    //    CURRENT], plus in-grace orphan adds from (3b) — and delete
+    //    unreferenced entries older than the grace. The age guard protects
+    //    a live writer that has just moved its output and is about to
+    //    commit; debris older than the grace has no owner. After this pass
+    //    data/ contains EXACTLY the retained-state files plus in-grace
+    //    writer output.
+    val referenced = scala.collection.mutable.Set.empty[String]
+    wmState.segments.values.foreach { s =>
+      referenced += s.path; s.coveragePath.foreach(referenced += _)
+    }
+    v = keepFromVersion + 1
+    while (v <= current) {
+      if (Files.exists(store.commitPath(v))) {
+        store.readCommit(v).actions.foreach {
+          case graft.log.LogAction.AddSegment(s) =>
+            referenced += s.path; s.coveragePath.foreach(referenced += _)
+          case _ => ()
+        }
+      }
+      v += 1
+    }
+    referenced ++= inGraceOrphanAdds
+
+    var unreferenced = 0; var orphanSidecars = 0
+    def sweep(relDir: String, count: Boolean): Unit = {
+      val dir = Paths.get(strip(s"${table.root}/$relDir"))
+      if (!Files.isDirectory(dir)) return
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .filterNot(p => referenced(s"$relDir/${p.getFileName}"))
+          .filter { p =>
+            (try Files.getLastModifiedTime(p).toMillis catch { case _: Exception => Long.MaxValue }) < cutoff
+          }
+          .foreach { p =>
+            val sz = try Files.size(p) catch { case _: Exception => 0L }
+            if (Files.deleteIfExists(p)) {
+              if (count) { unreferenced += 1; bytes += sz } else orphanSidecars += 1
+            }
+          }
+      } finally s.close()
+    }
+    sweep("data", count = true)
+    sweep("_coverage/segments", count = false)
+
     // 4) crashed-writer debris: a writer that died between staging its
     //    parquet output and moving it into data/ leaves a `.staging-*`
     //    dir no commit will ever reference. Age-guarded on the NEWEST
@@ -108,7 +195,6 @@ object Expire {
     //    alone is set at creation and would misjudge a multi-hour write).
     var stagingDeleted = 0
     val rootPath = Paths.get(strip(table.root))
-    val cutoff = System.currentTimeMillis() - stagingGraceMs
     if (Files.isDirectory(rootPath)) {
       val s = Files.list(rootPath)
       try {
@@ -119,7 +205,8 @@ object Expire {
           .foreach { p => deleteTree(p); stagingDeleted += 1 }
       } finally s.close()
     }
-    Report(keepFromVersion, files, bytes, sidecars, dropped, stagingDeleted)
+    Report(keepFromVersion, files, bytes, sidecars, dropped, stagingDeleted,
+      unreferenced, orphanCommits, orphanSidecars)
   }
 
   private def newestMtime(p: java.nio.file.Path): Long = {

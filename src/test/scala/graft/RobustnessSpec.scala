@@ -193,6 +193,135 @@ class RobustnessSpec extends SparkFunSuite {
     assert(cov.runList.size == n, "stride-7 buckets must stay singleton runs")
   }
 
+  test("vacuum completeness: random ops + injected crashes -> data/ is exactly the live set; commit path unwedged") {
+    import java.nio.file.{Files => F, Paths => P}
+    import java.nio.file.attribute.FileTime
+
+    val grace = 10L * 60 * 1000 // far beyond the test's runtime
+    def backdate(p: java.nio.file.Path): Unit =
+      F.setLastModifiedTime(p, FileTime.fromMillis(System.currentTimeMillis() - 3 * grace))
+
+    for (seed <- Seq(7, 20260817)) {
+      val rnd = new scala.util.Random(seed)
+      val root = tmpDir(s"vacuum-$seed")
+      val t = TsTable.create(root, tokenMeta())
+      var nextId = 0L
+      def append(n: Int): Unit = {
+        t.append(TokenGen.generate(spark, n, idStart = nextId, lenSpread = 8, numFiles = 1))
+        nextId += n
+      }
+      append(40)
+
+      // debris that must SURVIVE every expire because it is in-grace (a
+      // writer could still own it); names relative to the table root
+      val freshData = scala.collection.mutable.Set.empty[String]
+      val freshStaging = scala.collection.mutable.Set.empty[String]
+      val freshSidecars = scala.collection.mutable.Set.empty[String]
+
+      for (round <- 1 to 50) {
+        // a real op every few rounds keeps the live set moving underneath
+        if (round % 10 == 0) rnd.nextInt(4) match {
+          case 0 => append(20)
+          case 1 => Compaction.run(spark, t, targetFileSize = 4L * 1024 * 1024)
+          case 2 =>
+            val at = math.max(0L, rnd.nextLong(math.max(1L, nextId - 5)))
+            MergeInto.merge(spark, t,
+              TokenGen.generate(spark, 5, idStart = at, lenSpread = 8, numFiles = 1))
+          case 3 =>
+            DeleteWhere.delete(spark, t, col("n_tok") === lit(64 + rnd.nextInt(8)))
+        }
+
+        // inject one crash artifact; dead writers are backdated past the
+        // grace, live ones left fresh (and must survive the vacuum)
+        val dead = rnd.nextBoolean()
+        rnd.nextInt(3) match {
+          case 0 => // killed between df.write and the data/ move
+            val d = P.get(root, s".staging-crash$round")
+            F.createDirectories(d)
+            F.write(d.resolve("part-00000.parquet"), Array.fill[Byte](64)(1))
+            if (dead) { backdate(d.resolve("part-00000.parquet")); backdate(d) }
+            else freshStaging += d.getFileName.toString
+          case 1 => // killed between the data/ move and the commit
+            val f = P.get(root, "data", f"crash$round%05d-orphan.parquet")
+            F.write(f, Array.fill[Byte](128)(2))
+            val cov = P.get(root, "_coverage", "segments", s"segcov-crash$round.cov")
+            F.write(cov, Array.fill[Byte](16)(3))
+            if (dead) { backdate(f); backdate(cov) }
+            else { freshData += f.getFileName.toString; freshSidecars += cov.getFileName.toString }
+          case 2 => // killed between commit-file CREATE_NEW and the CURRENT rename
+            // (always dead: a live writer finishes the rename in ms, and an
+            // in-grace orphan commit legitimately blocks new commits)
+            t.refresh()
+            val v = t.version + 1
+            val f = P.get(root, "data", f"crash$round%05d-committed.parquet")
+            F.write(f, Array.fill[Byte](128)(4))
+            val seg = SegmentMeta(s"crash-$round", s"data/${f.getFileName}", "parquet",
+              1L, Some(128L), Map.empty, None)
+            val cp = P.get(root, "_timeseries_log", f"$v%010d.json")
+            F.writeString(cp, Json.write(
+              Commit(v, v - 1, System.currentTimeMillis(), Seq(LogAction.AddSegment(seg))).toJson))
+            backdate(cp); backdate(f)
+        }
+
+        t.refresh()
+        Expire.expire(t, t.version, stagingGraceMs = grace)
+
+        // ---- the invariant -------------------------------------------
+        t.refresh()
+        val live = t.state.liveSegments.map(_.path.stripPrefix("data/")).toSet
+        def listNames(rel: String): Set[String] = {
+          val d = P.get(root, rel)
+          if (!F.isDirectory(d)) Set.empty
+          else {
+            val s = F.list(d)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala.filter(F.isRegularFile(_)).map(_.getFileName.toString).toSet
+            } finally s.close()
+          }
+        }
+        assert(listNames("data") == live ++ freshData,
+          s"seed=$seed round=$round: data/ diverged\n  extra=${listNames("data") -- live -- freshData}\n  missing=${(live ++ freshData) -- listNames("data")}")
+        val stagings = {
+          val s = F.list(P.get(root))
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith(".staging-")).toSet
+          } finally s.close()
+        }
+        assert(stagings == freshStaging,
+          s"seed=$seed round=$round: staging debris diverged: $stagings vs $freshStaging")
+        val liveCov = t.state.liveSegments.flatMap(_.coveragePath)
+          .map(_.stripPrefix("_coverage/segments/")).toSet
+        assert(listNames("_coverage/segments") == liveCov ++ freshSidecars,
+          s"seed=$seed round=$round: sidecar debris diverged")
+
+        // a previously-live writer dies eventually: age one fresh artifact
+        if (rnd.nextBoolean()) {
+          freshData.headOption.foreach { n => backdate(P.get(root, "data", n)); freshData -= n }
+          freshStaging.headOption.foreach { n =>
+            val d = P.get(root, n)
+            if (F.isDirectory(d)) {
+              val s = F.list(d)
+              try { import scala.jdk.CollectionConverters._; s.iterator().asScala.foreach(backdate) }
+              finally s.close()
+            }
+            backdate(d); freshStaging -= n
+          }
+          freshSidecars.headOption.foreach { n =>
+            backdate(P.get(root, "_coverage", "segments", n)); freshSidecars -= n }
+        }
+      }
+
+      // the commit path must be UNWEDGED despite the injected orphan
+      // commits above CURRENT (the documented LogStore recovery gap the
+      // vacuum now closes) — and the surviving rows must be exactly the
+      // manifest's claim
+      append(10)
+      assert(t.scan(spark).count() == t.state.liveSegments.map(_.rowCount).sum)
+    }
+  }
+
   test("staging heartbeat keeps a live writer's tree fresh and cleans up on stop") {
     val root = tmpDir("hb")
     val staging = s"$root/.staging-test"

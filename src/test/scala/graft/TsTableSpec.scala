@@ -275,10 +275,28 @@ class TsTableSpec extends SparkFunSuite {
     // file on a real cluster would
     val key = "spark.sql.files.maxPartitionBytes"
     val prev = spark.conf.get(key)
+    // listener evidence that the staging WRITE ran multi-task (not merely
+    // that several part files appeared): record per-stage task counts for
+    // every stage that runs during the ingest
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stageTasks.put(sc.stageInfo.stageId, sc.stageInfo.numTasks)
+    }
+    spark.sparkContext.addSparkListener(listener)
     try {
       spark.conf.set(key, (128 * 1024).toString)
       t.appendParquetFile(spark, file)
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    import scala.jdk.CollectionConverters._
+    val maxTasks = stageTasks.values.asScala.foldLeft(0)(math.max)
+    assert(maxTasks > 1,
+      s"staging job never ran a multi-task stage (max $maxTasks): the foreign file " +
+        "was funneled through one core")
     assert(t.state.liveSegments.size > 1,
       s"foreign ingest funneled into ${t.state.liveSegments.size} segment(s); " +
         "expected the multi-row-group file to re-stage in parallel")
