@@ -360,6 +360,73 @@ class OpsSpec extends SparkFunSuite {
     assert(idx.count() == 2 * corpus.count(), "assign=2 index must hold each vector twice")
   }
 
+  test("IVF-PQ: codes cut index bytes >4x; ADC + exact re-rank keeps recall >= 0.9 at assign=2") {
+    // the clusterable fixture from the IVF recall test: 16 separated
+    // clusters in 16 dims — the workload the index family exists for
+    val n = 2000
+    val rows = (0 until n).map { i =>
+      val c = i % 16
+      val v = (0 until 16).map { d =>
+        val noise = (((i.toLong * 31 + d * 7) % 101) - 50) / 250.0
+        (if (d == c) 4.0 else 0.0) + noise
+      }
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val qs = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val corpus = emb.where(col("vec_id") % 100 =!= 0)
+
+    val cents = Ann.centroids(corpus, 16, lloydIters = 4)
+    val index = Ann.buildIvfIndexWith(corpus, cents, assign = 2)
+    // residual encoding (train + encode on v − coarse centroid) is what
+    // preserves WITHIN-list discrimination at 4 bits/subspace
+    val resid = Ann.withResiduals(index, cents)
+    val model = Ann.trainPq(resid, m = 8, ksub = 16, vecCol = "resid")
+    val pqIndex = Ann.encodePq(resid, model)
+
+    // recall vs exact brute force, PQ codes + exact re-rank, redundant assignment
+    val exact = Ann.bruteForceTopK(corpus, qs, 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.ivfPqTopK(pqIndex, cents, model, corpus, qs, 10,
+      nProbe = 2, dedup = true)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF-PQ recall too low: $recall")
+    // replication must never surface duplicate ranks
+    val ranked = Ann.ivfPqTopK(pqIndex, cents, model, corpus, qs, 10, nProbe = 2, dedup = true)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    assert(ranked.length == ranked.toSet.size, "duplicate candidates leaked through dedup")
+
+    // the storage claim, measured on parquet bytes — on the REAL
+    // embeddings table (the synthetic fixture's arithmetic noise is so
+    // dictionary-compressible that its full vectors occupy almost nothing;
+    // entropy-rich floats are the honest case): the PQ index must be
+    // under 1/4 of the full-vector index
+    def dirBytes(p: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .filter(_.toString.endsWith(".parquet"))
+          .map(java.nio.file.Files.size(_)).sum
+      } finally s.close()
+    }
+    val realEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val rCents = Ann.centroids(realEmb, 8, lloydIters = 2)
+    val rIndex = Ann.buildIvfIndexWith(realEmb, rCents, assign = 2)
+    val rResid = Ann.withResiduals(rIndex, rCents)
+    val rModel = Ann.trainPq(rResid, m = 8, ksub = 16, vecCol = "resid")
+    val rPq = Ann.encodePq(rResid, rModel)
+    val fullDir = tmpDir("ivf-full"); val pqDir = tmpDir("ivf-pq")
+    rIndex.coalesce(1).write.mode("overwrite").parquet(fullDir)
+    rPq.coalesce(1).write.mode("overwrite").parquet(pqDir)
+    val (fb, pb) = (dirBytes(fullDir), dirBytes(pqDir))
+    assert(pb.toDouble / fb < 0.25,
+      f"PQ index not small enough: $pb bytes vs $fb (${pb.toDouble / fb}%.3f)")
+  }
+
   test("stored IVF index: probes read only their centroid partitions; results match in-memory") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
