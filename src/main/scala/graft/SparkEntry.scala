@@ -484,6 +484,44 @@ object SparkEntry {
         round(col("img.mean_r"), 4).as("mr"),
         round(col("img.mean_g"), 4).as("mg"),
         round(col("img.mean_b"), 4).as("mb"))
+    }),
+
+    // near-dup PAIRS → dedup CLUSTERS: distributed connected components
+    // (large-star/small-star) over the q21 exact-verified pair graph;
+    // every doc gets its component's min doc_id as cluster_id plus the
+    // cluster size (singletons cluster to themselves, size 1)
+    "q46_dedup_clusters" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairsVerified(docs, "text", "doc_id",
+        shingleSize = 5, threshold = 0.5)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val labeled = docs.select(col("doc_id"))
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+      val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    }),
+
+    // per-source quota ("at most 10 docs per domain, largest first") —
+    // the row_number + rank-filter shape Spark rewrites to a map-side
+    // WindowGroupLimit (asserted in PlanAuditSpec)
+    "q47_source_quota" -> ((s, dir) =>
+      graft.ops.Sampling.perGroupQuota(tbl(s, dir, "documents"), "source", 10,
+        col("n_chars").desc, col("doc_id"))
+        .select(col("source"), col("doc_id"), col("rk"))),
+
+    // token-budget corpus selection: biggest docs first until half the
+    // corpus tokens; the cumulative sum is the two-pass distributed
+    // prefix sum (no single-task global window). The budget itself is one
+    // scalar pre-aggregate — planning metadata, not a data collect.
+    "q48_token_budget" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      val budget = docs.agg(sum("n_tok")).head.getLong(0) / 2
+      graft.ops.Sampling.takeUntilBudget(docs, "n_tok", budget,
+        Seq(col("n_tok").desc, col("doc_id")))
+        .select(col("doc_id"), col("n_tok"), col("cum"))
     })
   )
 
@@ -887,7 +925,56 @@ object SparkEntry {
           |  round(avg((id*31 + x + y) % 256), 4) AS mr,
           |  round(avg((id*37 + x) % 256), 4) AS mg,
           |  round(avg((id*41 + y) % 256), 4) AS mb
-          |FROM px GROUP BY id""".stripMargin
+          |FROM px GROUP BY id""".stripMargin,
+
+      // q46: q21's quadratic pair recomputation + a recursive-CTE
+      // transitive closure → per-doc component minimum = cluster_id
+      "q46_dedup_clusters" ->
+        """WITH RECURSIVE sh AS (
+          |  SELECT doc_id AS id,
+          |    list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)),
+          |                  i -> substring(text, i, 5))) AS s
+          |  FROM documents),
+          |p AS (
+          |  SELECT a.id AS id_a, b.id AS id_b,
+          |    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS sa, len(b.s) AS sb
+          |  FROM sh a JOIN sh b ON a.id < b.id),
+          |pj AS (SELECT id_a, id_b FROM p WHERE inter * 1.0 / (sa + sb - inter) >= 0.5),
+          |e AS (SELECT id_a AS u, id_b AS v FROM pj UNION SELECT id_b, id_a FROM pj),
+          |reach(u, v) AS (
+          |  SELECT u, v FROM e
+          |  UNION
+          |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u),
+          |cl AS (
+          |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+          |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+          |  GROUP BY d.doc_id)
+          |SELECT doc_id, cluster_id,
+          |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          |FROM cl""".stripMargin,
+
+      "q47_source_quota" ->
+        """WITH r AS (
+          |  SELECT source, doc_id,
+          |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+          |  FROM documents)
+          |SELECT source, doc_id, rk FROM r WHERE rk <= 10""".stripMargin,
+
+      // q48: the distributed prefix-sum selection must equal the plain
+      // window cumulative sum over the same total order
+      "q48_token_budget" ->
+        """WITH w AS (
+          |  SELECT doc_id,
+          |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, n_tok,
+          |    sum(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+          |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM w)
+          |SELECT doc_id, n_tok, CAST(cum AS BIGINT) AS cum
+          |FROM c WHERE cum <= (SELECT CAST(sum(n_tok) // 2 AS BIGINT) FROM w)""".stripMargin
     )
   }
 }

@@ -350,6 +350,71 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
   }
 
+  /** Distributed connected components over a near-duplicate pair graph —
+    * the step that turns q21–q24-style PAIRS into dedup CLUSTERS (pick one
+    * canonical doc per component, drop the rest). Alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): each round is two keyed
+    * groupBy-min + join passes over the edge set, and the edge set
+    * contracts toward star graphs rooted at each component's minimum id.
+    * Converges in O(log² n) rounds REGARDLESS of component diameter —
+    * naive min-label propagation needs O(diameter) rounds and a
+    * 10⁶-doc boilerplate chain would run 10⁶ rounds; this runs ~20.
+    *
+    * Scale shape: every shuffle is keyed on a node id (partial aggregation
+    * applies; a mega-star hub key is AQE-skew-splittable), the edge set
+    * only ever shrinks-or-stays, and each round ends in an eager
+    * localCheckpoint so the iterative plan never grows (lineage is
+    * truncated; old round blocks are GC'd by the ContextCleaner).
+    * Driver state: one (count, isEmpty) pair per round — no data collect.
+    *
+    * Returns one row per node that appears in `pairs`: (id, cluster) with
+    * cluster = min id of the node's component. Isolated docs never appear
+    * in a pair input — left-join and coalesce to self on the caller side.
+    * Ids may be any orderable type; (a,b) orientation is irrelevant. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var edgeCount = edges.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: per node u over its FULL neighborhood (symmetric view),
+      // link every larger neighbor v to m = min(Γ(u) ∪ {u})
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mL = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(mL, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star: orient high→low, link every smaller neighbor (and u
+      // itself) to the minimum
+      val or = ls.select(greatest(col("u"), col("v")).as("u"),
+                         least(col("u"), col("v")).as("v"))
+      val mS = or.groupBy("u").agg(min("v").as("m"))
+      val ss = or.join(mS, "u").select(col("v").as("u"), col("m").as("v"))
+        .union(mS.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val ssCount = ss.count()
+      // fixpoint: identical edge SETS (both sides are distinct, so equal
+      // count + empty one-sided except ⇒ set equality)
+      converged = ssCount == edgeCount && ss.except(edges).isEmpty
+      edges = ss
+      edgeCount = ssCount
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    // at the fixpoint every edge points node → component-min root
+    edges.select(col("u").as("id"), col("v").as("cluster"))
+      .union(edges.select(col("v").as("id"), col("v").as("cluster")))
+      .distinct()
+  }
+
   /** SQL reference form of the multi-probe block keys (parity oracle for
     * the ProbeBlocks kernel): same hyperplane weights, bit order and
     * least-confident-bit probes over a `v` array<double> column; probe

@@ -517,6 +517,86 @@ class OpsSpec extends SparkFunSuite {
     assert(r.getInt(0) >= 0 && r.getInt(1) < 100 && r.getInt(2) >= 0 && r.getInt(3) < 100)
   }
 
+  test("connected components: chains, cliques and random graphs match union-find") {
+    import spark.implicits._
+    def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Dedup.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+    // local union-find reference
+    def ref(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(n => n -> find(n)).toMap
+    }
+    // a 60-node CHAIN: the diameter case where min-label propagation would
+    // need 60 rounds; large-star/small-star must converge in O(log²)
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    assert(cc(chain) == ref(chain))
+    assert(cc(chain).values.toSet == Set(0L))
+    // disjoint cliques keep separate minima
+    val cliques = (for (base <- Seq(100L, 200L); i <- 0 until 4; j <- (i + 1) until 4)
+      yield (base + i, base + j))
+    assert(cc(cliques) == ref(cliques))
+    // seeded random graphs (sparse and denser), reversed orientations,
+    // duplicates and self-loops tolerated
+    for (seed <- Seq(7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (0 until 300).map(_ => (rnd.nextLong(200).abs, rnd.nextLong(200).abs))
+      val clean = edges.filter(e => e._1 != e._2)
+      assert(cc(edges) == ref(clean), s"seed $seed diverged from union-find")
+    }
+    // empty input → empty output
+    assert(cc(Nil).isEmpty)
+  }
+
+  test("per-group quota: exactly n survivors per group in order, rank dense") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (s"src${i % 7}", i.toLong, (i * 37) % 1000))
+      .toDF("source", "doc_id", "sz")
+    val q = Sampling.perGroupQuota(df, "source", 5, col("sz").desc, col("doc_id"))
+    val got = q.select($"source", $"doc_id", $"rk").as[(String, Long, Long)].collect()
+    assert(got.length == 7 * 5)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to 5L)) }
+    // survivors are the true top-5 per group under the order
+    val want = df.as[(String, Long, Int)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5).map(r => (r._1, r._2)) }.toSet
+    assert(got.map(r => (r._1, r._2)).toSet == want)
+  }
+
+  test("token-budget selection equals the window cumulative-sum form") {
+    import spark.implicits._
+    val rows = (0 until 1200).map(i => (i.toLong, 64L + (i * 31) % 1985))
+    val df = rows.toDF("doc_id", "n_tok").repartition(11)
+    val total = rows.map(_._2).sum
+    for (budget <- Seq(0L, total / 10, total / 2, total, total + 1000)) {
+      val got = Sampling.takeUntilBudget(df, "n_tok", budget,
+          Seq(col("n_tok").desc, col("doc_id")), partitions = 16)
+        .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+      // reference: plain in-memory prefix sum over the same total order
+      var cum = 0L
+      val want = rows.sortBy(r => (-r._2, r._1)).flatMap { case (id, n) =>
+        cum += n; if (cum <= budget) Some(id -> cum) else None
+      }.toMap
+      assert(got == want, s"budget $budget: ${got.size} vs ${want.size} rows")
+    }
+    // null weights contribute 0 but rows remain eligible
+    val withNull = Seq((1L, java.lang.Long.valueOf(10L)), (2L, null.asInstanceOf[java.lang.Long]),
+      (3L, java.lang.Long.valueOf(5L))).toDF("doc_id", "n_tok")
+    val sel = Sampling.takeUntilBudget(withNull, "n_tok", 15L, Seq(col("doc_id")))
+      .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+    assert(sel == Map(1L -> 10L, 2L -> 10L, 3L -> 15L))
+  }
+
   test("text ops: token counts, quality, langid, fingerprint invariance") {
     val d = Seq(
       (1L, "The quick brown fox, with the lazy dog!"),

@@ -105,6 +105,31 @@ class PlanAuditSpec extends SparkFunSuite {
       s"vocab count lacks partial aggregation:\n$pV")
   }
 
+  test("per-group quota runs as a map-side WindowGroupLimit, not a full sort") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = executed(graft.ops.Sampling.perGroupQuota(
+      docs, "source", 10, col("n_chars").desc, col("doc_id")))
+    // InferWindowGroupLimit must rewrite the rank filter into bounded
+    // per-group top-N heaps on BOTH sides of the exchange — without it a
+    // 10⁹-row hot domain ships and sorts all its rows for 10 survivors
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not rewritten to WindowGroupLimit:\n$plan")
+    assert(plan.indexOf("WindowGroupLimit") != plan.lastIndexOf("WindowGroupLimit"),
+      s"missing map-side (partial) WindowGroupLimit before the exchange:\n$plan")
+  }
+
+  test("budget selection prunes partitions past the budget: pass 2 reads only the prefix") {
+    import spark.implicits._
+    val df = (0 until 4000).map(i => (i.toLong, 100L)).toDF("doc_id", "n_tok")
+    // budget = 2.5% of total: with 16 range partitions only the first
+    // should produce rows, and skipped partitions exit without scanning
+    val sel = graft.ops.Sampling.takeUntilBudget(df, "n_tok", 10000L,
+      Seq(col("doc_id")), partitions = 16)
+    assert(sel.count() == 100)
+    val nonEmpty = sel.groupBy(spark_partition_id()).count().count()
+    assert(nonEmpty == 1, s"budget prefix should live in one range partition, got $nonEmpty")
+  }
+
   test("token aggregation over the table scan stays inside codegen") {
     val q = table.scan(spark)
       .select(sum(expr("aggregate(tokens, 0L, (a, x) -> a + x)")).as("s"))
