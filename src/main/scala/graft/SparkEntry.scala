@@ -522,7 +522,24 @@ object SparkEntry {
       graft.ops.Sampling.takeUntilBudget(docs, "n_tok", budget,
         Seq(col("n_tok").desc, col("doc_id")))
         .select(col("doc_id"), col("n_tok"), col("cum"))
-    })
+    }),
+
+    // benchmark decontamination: corpus docs sharing >= 3 distinct word
+    // 3-grams with the held-out "benchmark" subset (doc_id % 50 == 0);
+    // the benchmark gram set is broadcast — zero shuffle until the
+    // per-doc hit count
+    "q49_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 50 === 0)
+      val corpus = docs.where(col("doc_id") % 50 =!= 0)
+      TextOps.contaminationHits(corpus, "text", "doc_id", bench, "text", n = 3)
+        .where(col("hits") >= 3)
+    }),
+
+    // Gopher-style repetition filters: duplicate-word fraction and the
+    // top word's share, per doc
+    "q50_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(tbl(s, dir, "documents"), "text", "doc_id"))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables; column names match
@@ -974,7 +991,34 @@ object SparkEntry {
           |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           |  FROM w)
           |SELECT doc_id, n_tok, CAST(cum AS BIGINT) AS cum
-          |FROM c WHERE cum <= (SELECT CAST(sum(n_tok) // 2 AS BIGINT) FROM w)""".stripMargin
+          |FROM c WHERE cum <= (SELECT CAST(sum(n_tok) // 2 AS BIGINT) FROM w)""".stripMargin,
+
+      // q49: word 3-grams per doc (same slice/join convention as q34),
+      // benchmark = doc_id % 50 = 0, count distinct overlapping grams
+      "q49_decontaminate" ->
+        """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+          |           FROM documents),
+          |g AS (SELECT doc_id,
+          |        list_distinct(list_transform(generate_series(1, greatest(len(ws)-2, 1)),
+          |                      i -> array_to_string(ws[i:i+2], ' '))) AS gs
+          |      FROM w),
+          |b AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0),
+          |c AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 50 <> 0)
+          |SELECT c.doc_id, count(*) AS hits FROM c JOIN b USING (gram)
+          |GROUP BY c.doc_id HAVING count(*) >= 3""".stripMargin,
+
+      "q50_repetition" ->
+        """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+          |           FROM documents),
+          |c AS (SELECT doc_id, w, count(*) AS cnt FROM w GROUP BY 1, 2),
+          |t AS (SELECT doc_id, w AS top_word, cnt AS top_cnt,
+          |        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, w) AS rk FROM c),
+          |s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words, count(*) AS n_distinct
+          |      FROM c GROUP BY 1)
+          |SELECT s.doc_id, s.n_words, s.n_distinct,
+          |  round(1.0 - s.n_distinct * 1.0 / s.n_words, 4) AS dup_frac,
+          |  t.top_word, round(t.top_cnt * 1.0 / s.n_words, 4) AS top_frac
+          |FROM s JOIN t USING (doc_id) WHERE t.rk = 1""".stripMargin
     )
   }
 }

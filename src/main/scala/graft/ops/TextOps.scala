@@ -150,6 +150,58 @@ object TextOps {
     df.select(explode(col(tokensCol)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(k)
+
+  /** Distinct lowercase word n-grams (space-joined) — the benchmark-
+    * decontamination matching unit (GPT-3-style n-gram overlap checks).
+    * Same tokenization as [[rollingFingerprints]]: split(lower(trim)). */
+  def wordNgrams(text: Column, n: Int): Column =
+    expr(
+      s"""array_distinct(transform(
+         |  sequence(1, greatest(size(split(lower(trim($text)), '\\\\s+')) - ${n - 1}, 1)),
+         |  i -> concat_ws(' ', slice(split(lower(trim($text)), '\\\\s+'), i, $n))))""".stripMargin)
+
+  /** Benchmark decontamination: per corpus doc, how many of its distinct
+    * word n-grams appear in ANY benchmark doc — filter `hits >= k` at the
+    * call site to drop contaminated training docs.
+    *
+    * Scale shape: the benchmark n-gram set is distinct-aggregated and
+    * BROADCAST (eval sets are small — 10⁵–10⁷ grams — next to a 100 TB
+    * corpus, so the corpus side streams map-side with zero shuffle until
+    * the per-doc count); set `broadcastBenchmark = false` to fall back to
+    * a keyed shuffle join when the benchmark itself is corpus-sized. */
+  def contaminationHits(corpus: DataFrame, textCol: String, idCol: String,
+                        benchmark: DataFrame, benchTextCol: String,
+                        n: Int = 8,
+                        broadcastBenchmark: Boolean = true): DataFrame = {
+    val benchGrams =
+      benchmark.select(explode(wordNgrams(col(benchTextCol), n)).as("gram")).distinct()
+    val bg = if (broadcastBenchmark) broadcast(benchGrams) else benchGrams
+    // corpus grams are distinct PER DOC (wordNgrams dedups), so the
+    // post-join count is "distinct overlapping grams", not occurrences
+    corpus.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+      .join(bg, "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+  }
+
+  /** Gopher-style repetition metrics per doc: duplicate-word fraction and
+    * the most-repeated word's share of the doc. Explode + keyed
+    * aggregations + a [[Sampling.perGroupQuota]] top-1 (map-side
+    * WindowGroupLimit) — per-doc state never exceeds the doc's vocabulary,
+    * and no doc serializes through one task. */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(expr(s"split(lower(trim($textCol)), '\\\\s+')")).as("w"))
+    val counts = words.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
+    val top = Sampling.perGroupQuota(counts, idCol, 1, col("cnt").desc, col("w"))
+      .select(col(idCol), col("w").as("top_word"), col("cnt").as("top_cnt"))
+    val stats = counts.groupBy(col(idCol)).agg(
+      sum("cnt").as("n_words"), count(lit(1)).as("n_distinct"))
+    stats.join(top, idCol)
+      .select(col(idCol), col("n_words"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4).as("dup_frac"),
+        col("top_word"),
+        round(col("top_cnt").cast("double") / col("n_words"), 4).as("top_frac"))
+  }
 }
 
 /** Tiny embedded stopword tables (top function words; public knowledge). */

@@ -573,6 +573,39 @@ class OpsSpec extends SparkFunSuite {
     assert(got.map(r => (r._1, r._2)).toSet == want)
   }
 
+  test("decontamination: distinct-gram overlap counts, exact on a fixture") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the 3-grams "alpha beta gamma", "beta gamma delta" (2 hits)
+      (1L, "alpha beta gamma delta zeta"),
+      // repeated gram counts ONCE (distinct per doc): 1 hit
+      (2L, "alpha beta gamma x alpha beta gamma"),
+      (3L, "totally unrelated words here")).toDF("doc_id", "text")
+    val hits = TextOps.contaminationHits(corpus, "text", "doc_id", bench, "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 2L, 2L -> 1L))
+    // case-insensitive (lowercased tokenization)
+    val up = TextOps.contaminationHits(
+      Seq((9L, "ALPHA BETA GAMMA")).toDF("doc_id", "text"), "text", "doc_id",
+      bench, "text", n = 3).as[(Long, Long)].collect().toMap
+    assert(up == Map(9L -> 1L))
+  }
+
+  test("repetition stats: duplicate-word fraction and top-word share, exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"),        // 5 words, 2 distinct, top 'a' x3
+      (2L, "x y z"),            // no repetition
+      (3L, "t t")).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(df, "text", "doc_id")
+      .as[(Long, Long, Long, Double, String, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 5L, 2L, 0.6, "a", 0.6)))
+    assert(got(2L) == ((2L, 3L, 3L, 0.0, "x", 0.3333)))
+    assert(got(3L) == ((3L, 2L, 1L, 0.5, "t", 1.0)))
+  }
+
   test("token-budget selection equals the window cumulative-sum form") {
     import spark.implicits._
     val rows = (0 until 1200).map(i => (i.toLong, 64L + (i * 31) % 1985))

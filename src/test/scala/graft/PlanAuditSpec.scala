@@ -130,6 +130,19 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(nonEmpty == 1, s"budget prefix should live in one range partition, got $nonEmpty")
   }
 
+  test("decontamination broadcasts the benchmark gram set — corpus side never shuffles pre-count") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = executed(graft.ops.TextOps.contaminationHits(
+      docs.where(col("doc_id") % 50 =!= 0), "text", "doc_id",
+      docs.where(col("doc_id") % 50 === 0), "text", n = 4))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set not broadcast:\n$plan")
+    // the only exchanges allowed: broadcast of the bench side + the final
+    // per-doc count aggregation — the exploded corpus must not sort-merge
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus grams shuffled into a sort-merge join:\n$plan")
+  }
+
   test("token aggregation over the table scan stays inside codegen") {
     val q = table.scan(spark)
       .select(sum(expr("aggregate(tokens, 0L, (a, x) -> a + x)")).as("s"))
