@@ -361,23 +361,40 @@ object Dedup {
     * naive min-label propagation needs O(diameter) rounds and a
     * 10⁶-doc boilerplate chain would run 10⁶ rounds; this runs ~20.
     *
-    * Scale shape: every shuffle is keyed on a node id (partial aggregation
-    * applies; a mega-star hub key is AQE-skew-splittable), the edge set
-    * only ever shrinks-or-stays, and each round ends in an eager
-    * localCheckpoint so the iterative plan never grows (lineage is
-    * truncated; old round blocks are GC'd by the ContextCleaner).
-    * Driver state: one (count, isEmpty) pair per round — no data collect.
+    * Scale shape: a zero-shuffle partition-local union-find pass first
+    * collapses every within-partition component to a star on its minimum
+    * member (near-dup pair graphs are mostly small dense clusters, so the
+    * bulk of the contraction happens here, map-side — and it subsumes the
+    * global distinct(): one star edge per non-root node). The iterative
+    * rounds then run on the contracted graph: every shuffle is keyed on a
+    * node id (partial aggregation applies; a mega-star hub key is
+    * AQE-skew-splittable), the edge set only ever shrinks-or-stays, and
+    * each round ends in an eager localCheckpoint so the iterative plan
+    * never grows (lineage is truncated; old round blocks are GC'd by the
+    * ContextCleaner). Convergence is detected by a (count, bit_xor of
+    * xxhash64(u,v)) set checksum per round — both sides are distinct
+    * sets, so equal checksums mean set equality up to a 2⁻⁶⁴ collision —
+    * and confirmed deterministically with a single except() only when the
+    * checksum fires, so the expensive set-difference job runs exactly
+    * once per call instead of once per round.
+    * Driver state: one (count, checksum) pair per round — no data collect.
     *
     * Returns one row per node that appears in `pairs`: (id, cluster) with
     * cluster = min id of the node's component. Isolated docs never appear
     * in a pair input — left-join and coalesce to self on the caller side.
-    * Ids may be any orderable type; (a,b) orientation is irrelevant. */
+    * Ids may be any orderable ATOMIC type (the local pass compares via
+    * Comparable, matching Catalyst's ordering for atomic types);
+    * (a,b) orientation is irrelevant. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
-    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
-    var edgeCount = edges.count()
+    val raw = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v"))
+    var edges = localContract(raw).localCheckpoint(true)
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var (edgeCount, edgeSum) = checksum(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -398,12 +415,18 @@ object Dedup {
         .union(mS.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")).distinct()
         .localCheckpoint(true)
-      val ssCount = ss.count()
+      val (ssCount, ssSum) = checksum(ss)
       // fixpoint: identical edge SETS (both sides are distinct, so equal
-      // count + empty one-sided except ⇒ set equality)
-      converged = ssCount == edgeCount && ss.except(edges).isEmpty
+      // count + equal xor-of-hash checksum ⇒ set equality w.h.p.;
+      // except() confirms deterministically and runs only on the one
+      // round where the checksum matches)
+      converged = ssCount == edgeCount && ssSum == edgeSum &&
+        ss.except(edges).isEmpty
+      if (sys.env.contains("GRAFT_CC_TRACE"))
+        System.err.println(s"CC round=$iter edges=$ssCount t=${System.nanoTime() / 1000000000}")
       edges = ss
       edgeCount = ssCount
+      edgeSum = ssSum
       iter += 1
     }
     if (!converged)
@@ -413,6 +436,103 @@ object Dedup {
     edges.select(col("u").as("id"), col("v").as("cluster"))
       .union(edges.select(col("v").as("id"), col("v").as("cluster")))
       .distinct()
+  }
+
+  /** Partition-local union-find contraction for [[connectedComponents]]:
+    * collapses every component that is fully visible within one partition
+    * to a star rooted at its minimum member, emitting one (member, min)
+    * edge per non-root node. Runs map-side with zero shuffles; output is
+    * duplicate-free per partition (≤ one edge per node), so it replaces
+    * the global distinct() over the raw pair list. Connectivity is
+    * preserved: any within-partition path survives via the local root,
+    * and cross-partition edges still meet on shared node ids.
+    *
+    * Two caps keep the pass bounded on adversarial (supercritical) graphs:
+    * MaxNodes bounds executor memory to O(cap) regardless of partition
+    * size (a streamed 128 MB edge partition can hold far more distinct
+    * nodes than comfortably fit a hash map), and MaxComp bounds the local
+    * component size so a giant component never contracts to a
+    * partition-sized mega-hub whose degree would skew every subsequent
+    * groupBy/join shuffle. Edges refused by either cap pass through raw —
+    * connectivity is preserved, the iterative rounds absorb them. */
+  private val MaxNodes = 4 << 20
+  private val MaxComp = 1 << 16
+  private def localContract(edges: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(edges.schema)
+    edges.mapPartitions { it =>
+      // int-indexed union-find: one boxed hash lookup per edge endpoint,
+      // all parent-chasing in primitive arrays (no boxing in the hot loop)
+      val idx = new java.util.HashMap[Any, Integer]()
+      val nodes = new java.util.ArrayList[Any]()
+      var parent = new Array[Int](1 << 14)
+      var rank = new Array[Byte](1 << 14)
+      var csize = new Array[Int](1 << 14)
+      def intern(x: Any): Int = {
+        val e = idx.get(x)
+        if (e != null) e.intValue()
+        else if (nodes.size() >= MaxNodes) -1
+        else {
+          val i = nodes.size()
+          idx.put(x, Integer.valueOf(i)); nodes.add(x)
+          if (i >= parent.length) {
+            parent = java.util.Arrays.copyOf(parent, parent.length << 1)
+            rank = java.util.Arrays.copyOf(rank, rank.length << 1)
+            csize = java.util.Arrays.copyOf(csize, csize.length << 1)
+          }
+          parent(i) = i; rank(i) = 0; csize(i) = 1; i
+        }
+      }
+      def find(x: Int): Int = {
+        var root = x
+        while (parent(root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
+      }
+      // pass 1 (streaming): union under the caps, raw edges out on refusal
+      val passedThrough = it.flatMap { r =>
+        val u = r.get(0); val v = r.get(1)
+        if (u == null || v == null) None
+        else {
+          val iu = intern(u); val iv = intern(v)
+          if (iu < 0 || iv < 0) Some(r) // node cap: keep the raw edge
+          else {
+            val ru = find(iu); val rv = find(iv)
+            if (ru == rv) None
+            else if (csize(ru) + csize(rv) > MaxComp) Some(r) // hub cap
+            else {
+              val root = if (rank(ru) < rank(rv)) { parent(ru) = rv; rv }
+                else if (rank(ru) > rank(rv)) { parent(rv) = ru; ru }
+                else { parent(rv) = ru; rank(ru) = (rank(ru) + 1).toByte; ru }
+              csize(root) = csize(ru) + csize(rv)
+              None
+            }
+          }
+        }
+      }
+      // pass 2 (after the input drains — Iterator.++ evaluates its right
+      // side lazily): one star edge per non-root node
+      def cmp(a: Any, b: Any): Int =
+        a.asInstanceOf[Comparable[Any]].compareTo(b)
+      def stars: Iterator[org.apache.spark.sql.Row] = {
+        val n = nodes.size()
+        val minOf = new Array[Int](n) // per root: index of min member
+        java.util.Arrays.fill(minOf, 0, n, -1)
+        var i = 0
+        while (i < n) {
+          val r = find(i)
+          if (minOf(r) < 0 || cmp(nodes.get(i), nodes.get(minOf(r))) < 0)
+            minOf(r) = i
+          i += 1
+        }
+        (0 until n).iterator.flatMap { j =>
+          val m = minOf(find(j))
+          if (j == m) None
+          else Some(org.apache.spark.sql.Row(nodes.get(j), nodes.get(m)))
+        }
+      }
+      passedThrough ++ stars
+    }(enc)
   }
 
   /** SQL reference form of the multi-probe block keys (parity oracle for

@@ -557,6 +557,30 @@ class OpsSpec extends SparkFunSuite {
     assert(cc(Nil).isEmpty)
   }
 
+  test("connected components: string ids across many partitions (q46 shape)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 400)
+      .map(_ => (f"doc-${rnd.nextInt(150)}%03d", f"doc-${rnd.nextInt(150)}%03d"))
+      .filter(e => e._1 != e._2)
+    // repartition(8) forces cross-partition components through the
+    // local-contraction pass AND the iterative rounds
+    val got = Dedup.connectedComponents(
+      edges.toDF("id_a", "id_b").repartition(8), "id_a", "id_b")
+      .as[(String, String)].collect().toMap
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(Ordering[String].max(ra, rb)) = Ordering[String].min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(got == nodes.map(n => n -> find(n)).toMap)
+  }
+
   test("per-group quota: exactly n survivors per group in order, rank dense") {
     import spark.implicits._
     val df = (0 until 500).map(i => (s"src${i % 7}", i.toLong, (i * 37) % 1000))
