@@ -539,7 +539,23 @@ object SparkEntry {
     // Gopher-style repetition filters: duplicate-word fraction and the
     // top word's share, per doc
     "q50_repetition" -> ((s, dir) =>
-      TextOps.repetitionStats(tbl(s, dir, "documents"), "text", "doc_id"))
+      TextOps.repetitionStats(tbl(s, dir, "documents"), "text", "doc_id")),
+
+    // incremental dedup: a 20% "arriving batch" (portable md5 split, the
+    // q35 convention) dedups against a PERSISTED band index of the other
+    // 80% — corpus signatures are never recomputed, corpus texts join
+    // only for candidate ids. Candidate generation is identical to q21
+    // (same signatures, same banding), so band recall carries over.
+    "q51_incremental_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val isBatch = graft.ops.Sampling.md5Bucket(col("doc_id"), 5) === 0
+      val corpus = docs.where(!isBatch)
+      val batch = docs.where(isBatch)
+      val index = Dedup.minhashIndex(corpus, "text", "doc_id")
+      Dedup.dedupAgainstIndex(batch, "text", "doc_id", index,
+          corpus, "text", "doc_id", threshold = 0.5)
+        .select(col("id_new"), col("id_match"), round(col("jaccard"), 4).as("j"))
+    })
   )
 
   /** DuckDB oracle SQL per query (same parquet tables; column names match
@@ -1018,7 +1034,31 @@ object SparkEntry {
           |SELECT s.doc_id, s.n_words, s.n_distinct,
           |  round(1.0 - s.n_distinct * 1.0 / s.n_words, 4) AS dup_frac,
           |  t.top_word, round(t.top_cnt * 1.0 / s.n_words, 4) AS top_frac
-          |FROM s JOIN t USING (doc_id) WHERE t.rk = 1""".stripMargin
+          |FROM s JOIN t USING (doc_id) WHERE t.rk = 1""".stripMargin,
+
+      // q51: same quadratic exact-jaccard as q21, restricted to pairs
+      // with a batch member; the batch is the portable md5 bucket-0
+      // slice (hex→int recipe identical to q35's oracle)
+      "q51_incremental_dedup" ->
+        """WITH h AS (SELECT doc_id, text,
+          |    CAST(list_sum(list_transform(range(0, 8), i ->
+          |      CAST(strpos('0123456789abcdef',
+          |             substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT) + 1, 1)) - 1 AS BIGINT)
+          |        << CAST(4 * (7 - i) AS INT))) % 5 AS INT) AS bucket FROM documents),
+          |sh AS (SELECT doc_id AS id, bucket = 0 AS is_batch,
+          |    list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)),
+          |                  i -> substring(text, i, 5))) AS s FROM h),
+          |b AS (SELECT * FROM sh WHERE is_batch),
+          |c AS (SELECT * FROM sh WHERE NOT is_batch),
+          |p AS (
+          |  SELECT b.id AS id_new, c.id AS id_match,
+          |    len(list_intersect(b.s, c.s)) AS inter, len(b.s) AS sa, len(c.s) AS sb
+          |  FROM b CROSS JOIN c
+          |  UNION ALL
+          |  SELECT x.id, y.id, len(list_intersect(x.s, y.s)), len(x.s), len(y.s)
+          |  FROM b x JOIN b y ON x.id < y.id)
+          |SELECT id_new, id_match, round(inter * 1.0 / (sa + sb - inter), 4) AS j
+          |FROM p WHERE inter * 1.0 / (sa + sb - inter) >= 0.5""".stripMargin
     )
   }
 }

@@ -118,9 +118,7 @@ object Dedup {
       minhashSignature(textCol, numHashes, shingleSize).as("sig"),
       ofExpr(graft.functions.ShingleHashes(toExpr(col(textCol)), shingleSize)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sh.select(col("id"),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r), b))")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
+    val banded = bandKeyRows(sh, bands, r)
     val a = banded.select(col("band"), col("h"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("h"), col("id").as("id_b"))
     // distinct candidate pairs first; the (larger) shingle sets join on
@@ -142,6 +140,90 @@ object Dedup {
         (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
     try verified.localCheckpoint(true)
+    finally sh.unpersist(false)
+  }
+
+  /** Band-key explosion shared by the LSH pair finder and the persisted
+    * index: (id, band, h) per banded signature slice. The expression must
+    * be byte-identical on both sides of an index join — keep every
+    * banding consumer on this helper. */
+  private def bandKeyRows(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+    sigs.select(col("id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r), b))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
+
+  /** Persistable MinHash-LSH band index for INCREMENTAL dedup: one
+    * (id, band, h) row per band per doc. Build it once over the corpus
+    * and persist it (graft-table append or parquet); each arriving batch
+    * then dedups against the index via [[dedupAgainstIndex]] without
+    * recomputing a single corpus signature — at 100 TB the recurring
+    * cost is O(batch) + candidate-pointed corpus reads, not O(corpus).
+    * Index size: bands × corpus rows of (id, int, long). */
+  def minhashIndex(df: DataFrame, textCol: String, idCol: String,
+                   numHashes: Int = 64, bands: Int = 16,
+                   shingleSize: Int = 5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    bandKeyRows(
+      df.select(col(idCol).as("id"),
+        minhashSignature(textCol, numHashes, shingleSize).as("sig")),
+      bands, numHashes / bands)
+  }
+
+  /** Incremental near-dup detection: which docs in `batch` duplicate the
+    * indexed corpus, or each other. Candidates come from two keyed joins
+    * — the batch's band keys against the persisted `index` (built by
+    * [[minhashIndex]] with the SAME numHashes/bands/shingleSize), and the
+    * batch against itself — never a cross product. Every candidate is
+    * then verified with the EXACT shingle-set Jaccard, so the output is
+    * {(new, match) : jaccard ≥ threshold} up to band recall, exactly the
+    * q21 semantics restricted to pairs with a batch member: corpus texts
+    * are joined ONLY for candidate ids (a keyed join that at real scale
+    * is a pointed, stats-pruned scan of the corpus table, not a pass
+    * over it). Returns (id_new, id_match, jaccard); within-batch pairs
+    * are oriented id_new < id_match. */
+  def dedupAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
+                        index: DataFrame,
+                        corpus: DataFrame, corpusTextCol: String, corpusIdCol: String,
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleSize: Int = 5,
+                        threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sh = batch.select(col(idCol).as("id"),
+        minhashSignature(textCol, numHashes, shingleSize).as("sig"),
+        ofExpr(graft.functions.ShingleHashes(toExpr(col(textCol)), shingleSize)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandKeyRows(sh, bands, r)
+    val candBC = banded.select(col("band"), col("h"), col("id").as("id_new"))
+      .join(index.select(col("band"), col("h"), col("id").as("id_match")), Seq("band", "h"))
+      .where(col("id_new") =!= col("id_match")) // re-ingested ids: never self-pair
+      .select("id_new", "id_match").distinct()
+    val candBB = banded.select(col("band"), col("h"), col("id").as("id_new"))
+      .join(banded.select(col("band"), col("h"), col("id").as("id_match")), Seq("band", "h"))
+      .where(col("id_new") < col("id_match"))
+      .select("id_new", "id_match").distinct()
+    val newSets = sh.select(col("id").as("id_new"), col("sh").as("sh_a"), size(col("sh")).as("sz_a"))
+    val batchSets = sh.select(col("id").as("id_match"), col("sh").as("sh_b"), size(col("sh")).as("sz_b"))
+    // corpus shingle sets exist only for candidate ids
+    val corpusSets = corpus
+      .join(candBC.select("id_match").distinct(),
+        corpus(corpusIdCol) === col("id_match"))
+      .select(col("id_match"),
+        ofExpr(graft.functions.ShingleHashes(toExpr(col(corpusTextCol)), shingleSize)).as("sh_b"))
+      .withColumn("sz_b", size(col("sh_b")))
+    def verify(cand: DataFrame, matchSets: DataFrame): DataFrame = {
+      val interCol =
+        ofExpr(graft.functions.IntersectCount(toExpr(col("sh_a")), toExpr(col("sh_b"))))
+      cand.join(newSets, "id_new").join(matchSets, "id_match")
+        .select(col("id_new"), col("id_match"),
+          interCol.as("inter"), col("sz_a"), col("sz_b"))
+        .select(col("id_new"), col("id_match"),
+          (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+    }
+    val out = verify(candBC, corpusSets).union(verify(candBB, batchSets))
+    try out.localCheckpoint(true)
     finally sh.unpersist(false)
   }
 

@@ -557,6 +557,31 @@ class OpsSpec extends SparkFunSuite {
     assert(cc(Nil).isEmpty)
   }
 
+  test("incremental dedup: batch vs persisted band index, exact jaccard out") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm windowsill every afternoon"
+    val nearDup = base.replace("warm", "cold")
+    val unrelated = "completely different content about spark catalyst optimizer rules and parquet row group statistics pruning"
+    val corpus = docs((1L, base), (3L, unrelated), (5L, base))
+    val batch = docs((2L, nearDup), (4L, base),
+      (6L, "some totally novel text about nothing in particular with many words"))
+    // the index survives a write/read round trip — the incremental
+    // workflow's whole point is never recomputing corpus signatures
+    val idxPath = tmpDir("mh-index") + "/idx"
+    Dedup.minhashIndex(corpus, "text", "doc_id").write.parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+    val out = Dedup.dedupAgainstIndex(batch, "text", "doc_id", index,
+        corpus, "text", "doc_id", threshold = 0.5)
+      .select("id_new", "id_match", "jaccard").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(out.get((4L, 1L)).contains(1.0), s"batch->corpus exact dup: $out")
+    assert(out.get((4L, 5L)).contains(1.0))
+    assert(out.contains((2L, 1L)) && out((2L, 1L)) >= 0.5 && out((2L, 1L)) < 1.0)
+    assert(out.contains((2L, 4L)), "within-batch near-dup pair must appear")
+    assert(!out.keys.exists(p => Seq(p._1, p._2).exists(i => i == 3L || i == 6L)),
+      "unrelated docs must not pair")
+  }
+
   test("connected components: string ids across many partitions (q46 shape)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
