@@ -555,6 +555,24 @@ object SparkEntry {
       Dedup.dedupAgainstIndex(batch, "text", "doc_id", index,
           corpus, "text", "doc_id", threshold = 0.5)
         .select(col("id_new"), col("id_match"), round(col("jaccard"), 4).as("j"))
+    }),
+
+    // PII scrub: a deterministic md5-slice of docs gets synthesized
+    // email/IP/phone strings appended (both engines build the identical
+    // augmented text), then the staged regex scrub redacts them —
+    // patterns live in the RE2 ∩ Java-regex subset so DuckDB reproduces
+    // the scrub byte-for-byte
+    "q52_pii_scrub" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val withPii = docs.select(col("doc_id"),
+        when(graft.ops.Sampling.md5Bucket(col("doc_id"), 4) === 0,
+          concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example.com from 10.0."),
+            pmod(col("doc_id"), lit(256L)).cast("string"),
+            lit(".7 or call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("text"))
+      TextOps.scrubPii(withPii, "text", "doc_id")
     })
   )
 
@@ -1058,7 +1076,31 @@ object SparkEntry {
           |  SELECT x.id, y.id, len(list_intersect(x.s, y.s)), len(x.s), len(y.s)
           |  FROM b x JOIN b y ON x.id < y.id)
           |SELECT id_new, id_match, round(inter * 1.0 / (sa + sb - inter), 4) AS j
-          |FROM p WHERE inter * 1.0 / (sa + sb - inter) >= 0.5""".stripMargin
+          |FROM p WHERE inter * 1.0 / (sa + sb - inter) >= 0.5""".stripMargin,
+
+      // q52: identical augmentation (md5 bucket-0 slice) + identical
+      // staged scrub, RE2 side; counts are per-stage like the Spark op
+      "q52_pii_scrub" ->
+        """WITH h AS (SELECT doc_id, text,
+          |    CAST(list_sum(list_transform(range(0, 8), i ->
+          |      CAST(strpos('0123456789abcdef',
+          |             substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT) + 1, 1)) - 1 AS BIGINT)
+          |        << CAST(4 * (7 - i) AS INT))) % 4 AS INT) AS bucket FROM documents),
+          |a AS (SELECT doc_id,
+          |    CASE WHEN bucket = 0 THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+          |      || '@mail.example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+          |      || '.7 or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          |    ELSE text END AS t0 FROM h),
+          |s1 AS (SELECT doc_id, t0,
+          |    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1 FROM a),
+          |s2 AS (SELECT *, regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t2 FROM s1),
+          |s3 AS (SELECT *, regexp_replace(t2, '\b\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS t3 FROM s2)
+          |SELECT doc_id,
+          |  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          |  len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+          |  len(regexp_extract_all(t2, '\b\d{3}[-. ]\d{4}\b')) AS n_phones,
+          |  t3 AS scrubbed
+          |FROM s3""".stripMargin
     )
   }
 }

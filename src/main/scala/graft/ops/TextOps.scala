@@ -151,6 +151,33 @@ object TextOps {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(k)
 
+  /** PII patterns used by [[scrubPii]]. Kept inside the RE2 ∩ Java-regex
+    * common subset (no lookaround, no backreferences) so an external
+    * engine reproduces the scrub byte-for-byte — the q52 oracle reruns
+    * the exact same patterns in DuckDB (RE2). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII scrubbing for training corpora: redact emails, IPv4 addresses
+    * and phone-shaped digit runs with typed placeholders, emitting
+    * per-doc hit counts for audit. Stages are ordered (emails → IPs →
+    * phones), each counted on the PREVIOUS stage's text, so a digit
+    * sequence inside an already-redacted value is never double-counted.
+    * Pure codegen'd projection — no shuffle, streams at scan speed; at
+    * 100 TB this runs inside the ingest pass for free. */
+  def scrubPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailRe, "[EMAIL]")
+    val t2 = regexp_replace(t1, Ipv4Re, "[IP]")
+    val t3 = regexp_replace(t2, PhoneRe, "[PHONE]")
+    df.select(col(idCol),
+      regexp_count(t0, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t1, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(t2, lit(PhoneRe)).cast("long").as("n_phones"),
+      t3.as("scrubbed"))
+  }
+
   /** Distinct lowercase word n-grams (space-joined) — the benchmark-
     * decontamination matching unit (GPT-3-style n-gram overlap checks).
     * Same tokenization as [[rollingFingerprints]]: split(lower(trim)). */

@@ -557,6 +557,31 @@ class OpsSpec extends SparkFunSuite {
     assert(cc(Nil).isEmpty)
   }
 
+  test("pii scrub: staged redaction with per-stage counts") {
+    import spark.implicits._
+    val d = docs(
+      (1L, "mail me at jane.doe+x@sub.example.org thanks"),
+      (2L, "server 192.168.001.42 and backup 10.0.0.7 up"),
+      (3L, "call 555-0199 or 555 0200 today"),
+      (4L, "combo a@b.io at 1.2.3.4 call 555-1234"),
+      (5L, "clean text, no pii at all"),
+      (6L, "not-an-ip 1234.5.6.7890 stays")) // >3-digit octets: \b\d{1,3} won't match inside longer runs... verified below
+    val out = TextOps.scrubPii(d, "text", "doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4), r._5)).toMap
+    assert(out(1L)._1 == ((1L, 0L, 0L)))
+    assert(out(1L)._2 == "mail me at [EMAIL] thanks")
+    assert(out(2L)._1 == ((0L, 2L, 0L)))
+    assert(out(2L)._2 == "server [IP] and backup [IP] up")
+    assert(out(3L)._1 == ((0L, 0L, 2L)))
+    assert(out(3L)._2 == "call [PHONE] or [PHONE] today")
+    assert(out(4L)._1 == ((1L, 1L, 1L)))
+    assert(out(4L)._2 == "combo [EMAIL] at [IP] call [PHONE]")
+    assert(out(5L)._1 == ((0L, 0L, 0L)))
+    assert(out(5L)._2 == "clean text, no pii at all")
+    assert(out(6L)._1 == ((0L, 0L, 0L)), "over-long octets must not match")
+  }
+
   test("incremental dedup: batch vs persisted band index, exact jaccard out") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm windowsill every afternoon"
