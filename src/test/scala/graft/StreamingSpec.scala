@@ -255,6 +255,58 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("composition: per-batch incremental dedup against the growing persisted index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm windowsill every afternoon"
+    val alt = "spark catalyst rewrites logical plans with rule batches until a fixed point is reached each run"
+    val corpusP = tmpDir("inc-corpus") + "/p"
+    val idxP = tmpDir("inc-idx") + "/p"
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    empty.write.parquet(corpusP)
+    graft.ops.Dedup.minhashIndex(empty, "text", "doc_id").write.parquet(idxP)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batch = b.toDF().localCheckpoint(true)
+        val corpus = spark.read.parquet(corpusP)
+        val index = spark.read.parquet(idxP)
+        val dups = graft.ops.Dedup.dedupAgainstIndex(batch, "text", "doc_id",
+          index, corpus, "text", "doc_id", threshold = 0.5)
+        val batchIds = batch.select(col("doc_id").as("id_match"))
+        // corpus dups: drop the arriving doc; within-batch dups: keep the
+        // smaller id (greedy min-keep), drop the larger
+        val dropIds = dups.join(batchIds, Seq("id_match"), "left_anti")
+          .select(col("id_new").as("doc_id"))
+          .union(dups.join(batchIds, Seq("id_match"), "left_semi")
+            .select(col("id_match").as("doc_id")))
+          .distinct()
+        // survivors must be materialized BEFORE the writes: their plan
+        // reads the same corpus/index dirs the writes append to
+        val survivors = batch.join(dropIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        survivors.write.mode("append").parquet(corpusP)
+        graft.ops.Dedup.minhashIndex(survivors, "text", "doc_id")
+          .write.mode("append").parquet(idxP)
+        ()
+      }.start()
+    try {
+      mem.addData(Seq((1L, base), (2L, alt)))
+      q.processAllAvailable()
+      // batch 2: 3 = exact dup of corpus doc 1; 4 = near-dup of 1 (and of
+      // 3); 5 = genuinely new
+      mem.addData(Seq((3L, base), (4L, base.replace("warm", "cold")),
+        (5L, "fresh content about parquet bloom filters and row group statistics")))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(corpusP).select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 5L), s"corpus after streaming dedup: $ids")
+      // the index grew with the survivors only
+      val idxIds = spark.read.parquet(idxP).select("id").as[Long].collect().toSet
+      assert(idxIds == Set(1L, 2L, 5L), s"index ids: $idxIds")
+    } finally q.stop()
+  }
+
   test("legacy 'stream:file:/…' watermark migrates forward before the query starts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
