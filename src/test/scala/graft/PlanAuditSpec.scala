@@ -60,6 +60,22 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!pNd.contains("CartesianProduct"), "embedding LSH degenerated to all-pairs")
   }
 
+  test("incremental dedup: keyed index joins only; pii scrub is a pure projection") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isBatch = graft.ops.Sampling.md5Bucket(col("doc_id"), 5) === 0
+    val corpus = docs.where(!isBatch)
+    val idx = graft.ops.Dedup.minhashIndex(corpus, "text", "doc_id")
+    val p = executed(graft.ops.Dedup.dedupAgainstIndex(docs.where(isBatch), "text", "doc_id",
+      idx, corpus, "text", "doc_id", threshold = 0.5))
+    assert(!p.contains("CartesianProduct"), "incremental dedup degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "incremental dedup lost its keyed joins")
+    // scrubPii: one codegen'd projection, zero exchange
+    val scrub = graft.ops.TextOps.scrubPii(docs, "text", "doc_id")
+    val ps = executed(scrub)
+    assert(!ps.contains("Exchange"), s"pii scrub must not shuffle:\n$ps")
+    assert(ps.contains("*("), s"pii scrub not codegen'd:\n$ps")
+  }
+
   test("IVF centroid assignment is a pure projection: no exchange, no window") {
     // round-2 finding: assignment exploded corpus x centroids and ranked
     // with Window.partitionBy(id) — an n x NC shuffle per Lloyd iteration.
