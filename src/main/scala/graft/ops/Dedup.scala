@@ -126,21 +126,32 @@ object Dedup {
     val cand = a.join(b, Seq("band", "h")).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val sets = sh.select(col("id"), col("sh"), size(col("sh")).as("sz"))
-    // |A∩B| via the codegen'd IntersectCount kernel (one JVM loop per
-    // candidate pair; array_intersect would interpret with boxed longs)
-    val interCol = {
-      import org.apache.spark.sql.graft.Bridge.{ofExpr => oe, toExpr => te}
-      oe(graft.functions.IntersectCount(te(col("sh_a")), te(col("sh_b"))))
-    }
-    val verified = cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
-      .select(col("id_a"), col("id_b"), interCol.as("inter"), col("sz_a"), col("sz_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    val verified = verifiedJaccard(cand,
+      sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")),
+      sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")),
+      "id_a", "id_b", threshold)
     try verified.localCheckpoint(true)
     finally sh.unpersist(false)
+  }
+
+  /** Exact shingle-set Jaccard verification shared by the one-shot
+    * ([[minhashLshPairsVerified]]) and incremental ([[dedupAgainstIndex]])
+    * pipelines — ONE implementation so the "q21 semantics carry over"
+    * guarantee can never drift. |A∩B| runs through the codegen'd
+    * IntersectCount kernel (one JVM loop per candidate pair;
+    * array_intersect would interpret with boxed longs). Expects
+    * `setsA` = (idACol, sh_a, sz_a) and `setsB` = (idBCol, sh_b, sz_b). */
+  private def verifiedJaccard(cand: DataFrame, setsA: DataFrame, setsB: DataFrame,
+                              idACol: String, idBCol: String,
+                              threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+    val interCol =
+      ofExpr(graft.functions.IntersectCount(toExpr(col("sh_a")), toExpr(col("sh_b"))))
+    cand.join(setsA, idACol).join(setsB, idBCol)
+      .select(col(idACol), col(idBCol), interCol.as("inter"), col("sz_a"), col("sz_b"))
+      .select(col(idACol), col(idBCol),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** Band-key explosion shared by the LSH pair finder and the persisted
@@ -195,10 +206,14 @@ object Dedup {
         ofExpr(graft.functions.ShingleHashes(toExpr(col(textCol)), shingleSize)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandKeyRows(sh, bands, r)
+    // materialized once: candBC feeds BOTH the corpus-text candidate join
+    // and the verification — without the checkpoint the banded×index join
+    // (the op's dominant cost) would execute twice
     val candBC = banded.select(col("band"), col("h"), col("id").as("id_new"))
       .join(index.select(col("band"), col("h"), col("id").as("id_match")), Seq("band", "h"))
       .where(col("id_new") =!= col("id_match")) // re-ingested ids: never self-pair
       .select("id_new", "id_match").distinct()
+      .localCheckpoint(true)
     val candBB = banded.select(col("band"), col("h"), col("id").as("id_new"))
       .join(banded.select(col("band"), col("h"), col("id").as("id_match")), Seq("band", "h"))
       .where(col("id_new") < col("id_match"))
@@ -212,16 +227,8 @@ object Dedup {
       .select(col("id_match"),
         ofExpr(graft.functions.ShingleHashes(toExpr(col(corpusTextCol)), shingleSize)).as("sh_b"))
       .withColumn("sz_b", size(col("sh_b")))
-    def verify(cand: DataFrame, matchSets: DataFrame): DataFrame = {
-      val interCol =
-        ofExpr(graft.functions.IntersectCount(toExpr(col("sh_a")), toExpr(col("sh_b"))))
-      cand.join(newSets, "id_new").join(matchSets, "id_match")
-        .select(col("id_new"), col("id_match"),
-          interCol.as("inter"), col("sz_a"), col("sz_b"))
-        .select(col("id_new"), col("id_match"),
-          (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
-        .where(col("jaccard") >= threshold)
-    }
+    def verify(cand: DataFrame, matchSets: DataFrame): DataFrame =
+      verifiedJaccard(cand, newSets, matchSets, "id_new", "id_match", threshold)
     val out = verify(candBC, corpusSets).union(verify(candBB, batchSets))
     try out.localCheckpoint(true)
     finally sh.unpersist(false)
@@ -462,11 +469,13 @@ object Dedup {
     * Driver state: one (count, checksum) pair per round — no data collect.
     *
     * Returns one row per node that appears in `pairs`: (id, cluster) with
-    * cluster = min id of the node's component. Isolated docs never appear
-    * in a pair input — left-join and coalesce to self on the caller side.
-    * Ids may be any orderable ATOMIC type (the local pass compares via
-    * Comparable, matching Catalyst's ordering for atomic types);
-    * (a,b) orientation is irrelevant. */
+    * cluster = min id of the node's component (Catalyst's ordering — the
+    * iterative rounds decide the final labels; the local pass only picks
+    * deterministic per-partition roots). Isolated docs never appear in a
+    * pair input — left-join and coalesce to self on the caller side. Ids
+    * may be any orderable type: atomic ids (incl. binary) get the
+    * map-side contraction, anything else falls back to a global
+    * distinct(); (a,b) orientation is irrelevant. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
     val raw = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
@@ -522,28 +531,157 @@ object Dedup {
 
   /** Partition-local union-find contraction for [[connectedComponents]]:
     * collapses every component that is fully visible within one partition
-    * to a star rooted at its minimum member, emitting one (member, min)
-    * edge per non-root node. Runs map-side with zero shuffles; output is
-    * duplicate-free per partition (≤ one edge per node), so it replaces
-    * the global distinct() over the raw pair list. Connectivity is
-    * preserved: any within-partition path survives via the local root,
-    * and cross-partition edges still meet on shared node ids.
+    * to a star on one of its members, emitting one (member, root) edge
+    * per non-root node. Runs map-side with zero shuffles, and its output
+    * is duplicate-free per partition, replacing the global distinct()
+    * over the raw pair list with per-partition dedup (residual
+    * cross-partition duplicates and cap-refused pass-through edges are
+    * absorbed by round 1's distinct()). Connectivity is preserved: any
+    * within-partition path survives via the local root, and
+    * cross-partition edges still meet on shared node ids. The root
+    * choice only needs to be deterministic — the iterative rounds
+    * compute the true component minimum regardless.
     *
-    * Two caps keep the pass bounded on adversarial (supercritical) graphs:
-    * MaxNodes bounds executor memory to O(cap) regardless of partition
-    * size (a streamed 128 MB edge partition can hold far more distinct
-    * nodes than comfortably fit a hash map), and MaxComp bounds the local
-    * component size so a giant component never contracts to a
-    * partition-sized mega-hub whose degree would skew every subsequent
-    * groupBy/join shuffle. Edges refused by either cap pass through raw —
-    * connectivity is preserved, the iterative rounds absorb them. */
-  private val MaxNodes = 4 << 20
+    * Two caps keep the pass bounded on adversarial (supercritical)
+    * graphs. The node cap bounds executor memory per task (a streamed
+    * 128 MB edge partition can hold far more distinct nodes than
+    * comfortably fit a map): Long ids intern into an open-addressing
+    * primitive table (~24 B/node at load 0.5 → ~100 MB at the 4 M cap);
+    * other atomic ids intern boxed (~100+ B/node → the cap drops to 1 M
+    * for a similar bound). MaxComp bounds the local component size so a
+    * giant component never contracts to a partition-sized mega-hub whose
+    * degree would skew every subsequent groupBy/join shuffle. Edges
+    * refused by either cap pass through raw. Non-atomic id types (no
+    * stable map/ordering semantics worth hand-rolling) skip contraction
+    * entirely and get the pre-contraction global distinct(). */
+  private val MaxNodesLong = 4 << 20
+  private val MaxNodesBoxed = 1 << 20
   private val MaxComp = 1 << 16
   private def localContract(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    edges.schema.head.dataType match {
+      case LongType => contractLong(edges)
+      case BinaryType =>
+        // byte[] has identity equals/hashCode — ByteBuffer wraps give
+        // content semantics plus a deterministic (signed-lex) ordering
+        contractBoxed(edges,
+          x => java.nio.ByteBuffer.wrap(x.asInstanceOf[Array[Byte]]),
+          b => b.asInstanceOf[java.nio.ByteBuffer].array())
+      case StringType | IntegerType | ShortType | ByteType | BooleanType |
+           DoubleType | FloatType | DateType | TimestampType |
+           TimestampNTZType | _: DecimalType =>
+        contractBoxed(edges, identity, identity)
+      case _ => edges.distinct()
+    }
+  }
+
+  /** Fast path for Long ids: open-addressing long→index table, all
+    * union-find state in primitive arrays — no boxing anywhere. */
+  private def contractLong(edges: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(edges.schema)
+    edges.mapPartitions { it =>
+      var cap = 1 << 16 // power of two, load ≤ 0.5
+      var keys = new Array[Long](cap)
+      var slot = new Array[Int](cap) // -1 = empty, else node index
+      java.util.Arrays.fill(slot, -1)
+      var nval = new Array[Long](1 << 14) // node index -> id
+      var parent = new Array[Int](1 << 14)
+      var rank = new Array[Byte](1 << 14)
+      var csize = new Array[Int](1 << 14)
+      var n = 0
+      def pos(x: Long, c: Int): Int = {
+        val h = x * -7046029254386353131L // Stafford mix constant
+        ((h ^ (h >>> 32)).toInt & (c - 1))
+      }
+      def grow(): Unit = {
+        val nc = cap << 1
+        val nk = new Array[Long](nc); val ns = new Array[Int](nc)
+        java.util.Arrays.fill(ns, -1)
+        var i = 0
+        while (i < cap) {
+          if (slot(i) >= 0) {
+            var j = pos(keys(i), nc)
+            while (ns(j) >= 0) j = (j + 1) & (nc - 1)
+            nk(j) = keys(i); ns(j) = slot(i)
+          }
+          i += 1
+        }
+        cap = nc; keys = nk; slot = ns
+      }
+      def intern(x: Long): Int = {
+        var i = pos(x, cap)
+        while (slot(i) >= 0) {
+          if (keys(i) == x) return slot(i)
+          i = (i + 1) & (cap - 1)
+        }
+        if (n >= MaxNodesLong) return -1
+        if (2 * (n + 1) > cap) { grow(); i = pos(x, cap)
+          while (slot(i) >= 0) i = (i + 1) & (cap - 1) }
+        keys(i) = x; slot(i) = n
+        if (n >= parent.length) {
+          nval = java.util.Arrays.copyOf(nval, nval.length << 1)
+          parent = java.util.Arrays.copyOf(parent, parent.length << 1)
+          rank = java.util.Arrays.copyOf(rank, rank.length << 1)
+          csize = java.util.Arrays.copyOf(csize, csize.length << 1)
+        }
+        nval(n) = x; parent(n) = n; rank(n) = 0; csize(n) = 1
+        n += 1; n - 1
+      }
+      def find(x: Int): Int = {
+        var root = x
+        while (parent(root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
+      }
+      val passedThrough = it.flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else {
+          val iu = intern(r.getLong(0)); val iv = intern(r.getLong(1))
+          if (iu < 0 || iv < 0) Some(r) // node cap: keep the raw edge
+          else {
+            val ru = find(iu); val rv = find(iv)
+            if (ru == rv) None
+            else if (csize(ru) + csize(rv) > MaxComp) Some(r) // hub cap
+            else {
+              val root = if (rank(ru) < rank(rv)) { parent(ru) = rv; rv }
+                else if (rank(ru) > rank(rv)) { parent(rv) = ru; ru }
+                else { parent(rv) = ru; rank(ru) = (rank(ru) + 1).toByte; ru }
+              csize(root) = csize(ru) + csize(rv)
+              None
+            }
+          }
+        }
+      }
+      // stars emitted after the input drains (Iterator.++ is lazy on the
+      // right): root = local min id per component, one edge per non-root
+      def stars: Iterator[org.apache.spark.sql.Row] = {
+        val minOf = new Array[Int](n)
+        java.util.Arrays.fill(minOf, 0, n, -1)
+        var i = 0
+        while (i < n) {
+          val r = find(i)
+          if (minOf(r) < 0 || nval(i) < nval(minOf(r))) minOf(r) = i
+          i += 1
+        }
+        (0 until n).iterator.flatMap { j =>
+          val m = minOf(find(j))
+          if (j == m) None
+          else Some(org.apache.spark.sql.Row(nval(j), nval(m)))
+        }
+      }
+      passedThrough ++ stars
+    }(enc)
+  }
+
+  /** Boxed path for the other atomic id types; `wrap`/`unwrap` adapt ids
+    * whose runtime class lacks content equality (byte[] → ByteBuffer). */
+  private def contractBoxed(edges: DataFrame, wrap: Any => Any,
+                            unwrap: Any => Any): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(edges.schema)
     edges.mapPartitions { it =>
       // int-indexed union-find: one boxed hash lookup per edge endpoint,
-      // all parent-chasing in primitive arrays (no boxing in the hot loop)
+      // all parent-chasing in primitive arrays
       val idx = new java.util.HashMap[Any, Integer]()
       val nodes = new java.util.ArrayList[Any]()
       var parent = new Array[Int](1 << 14)
@@ -552,7 +690,7 @@ object Dedup {
       def intern(x: Any): Int = {
         val e = idx.get(x)
         if (e != null) e.intValue()
-        else if (nodes.size() >= MaxNodes) -1
+        else if (nodes.size() >= MaxNodesBoxed) -1
         else {
           val i = nodes.size()
           idx.put(x, Integer.valueOf(i)); nodes.add(x)
@@ -571,12 +709,11 @@ object Dedup {
         while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
         root
       }
-      // pass 1 (streaming): union under the caps, raw edges out on refusal
       val passedThrough = it.flatMap { r =>
         val u = r.get(0); val v = r.get(1)
         if (u == null || v == null) None
         else {
-          val iu = intern(u); val iv = intern(v)
+          val iu = intern(wrap(u)); val iv = intern(wrap(v))
           if (iu < 0 || iv < 0) Some(r) // node cap: keep the raw edge
           else {
             val ru = find(iu); val rv = find(iv)
@@ -592,13 +729,13 @@ object Dedup {
           }
         }
       }
-      // pass 2 (after the input drains — Iterator.++ evaluates its right
-      // side lazily): one star edge per non-root node
+      // deterministic local root: min under the wrapped type's Comparable
+      // (every atomic external type and ByteBuffer implement it)
       def cmp(a: Any, b: Any): Int =
         a.asInstanceOf[Comparable[Any]].compareTo(b)
       def stars: Iterator[org.apache.spark.sql.Row] = {
         val n = nodes.size()
-        val minOf = new Array[Int](n) // per root: index of min member
+        val minOf = new Array[Int](n)
         java.util.Arrays.fill(minOf, 0, n, -1)
         var i = 0
         while (i < n) {
@@ -610,7 +747,7 @@ object Dedup {
         (0 until n).iterator.flatMap { j =>
           val m = minOf(find(j))
           if (j == m) None
-          else Some(org.apache.spark.sql.Row(nodes.get(j), nodes.get(m)))
+          else Some(org.apache.spark.sql.Row(unwrap(nodes.get(j)), unwrap(nodes.get(m))))
         }
       }
       passedThrough ++ stars

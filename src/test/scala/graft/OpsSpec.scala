@@ -582,6 +582,21 @@ class OpsSpec extends SparkFunSuite {
     assert(out(6L)._1 == ((0L, 0L, 0L)), "over-long octets must not match")
   }
 
+  test("connected components: binary ids use content equality, min by unsigned lex") {
+    import spark.implicits._
+    val edges = Seq(
+      (Array[Byte](1, 2), Array[Byte](3, 4)),
+      (Array[Byte](3, 4), Array[Byte](5, 6)), // same content, fresh arrays
+      (Array[Byte](9, 9), Array[Byte](8, 8))).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(edges, "id_a", "id_b").collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toMap
+    val expected = Map(
+      Seq[Byte](1, 2) -> Seq[Byte](1, 2), Seq[Byte](3, 4) -> Seq[Byte](1, 2),
+      Seq[Byte](5, 6) -> Seq[Byte](1, 2),
+      Seq[Byte](8, 8) -> Seq[Byte](8, 8), Seq[Byte](9, 9) -> Seq[Byte](8, 8))
+    assert(out == expected, s"binary-id clusters: $out")
+  }
+
   test("incremental dedup: batch vs persisted band index, exact jaccard out") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm windowsill every afternoon"
