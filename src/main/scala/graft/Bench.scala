@@ -138,6 +138,21 @@ object Bench {
           col("doc_id") >= delLo && col("doc_id") < delHi)
       }._2)
 
+      // merge-on-read DELETE of a DIFFERENT 1% range: writes position
+      // bitmaps instead of rewriting files — the headline claim is this
+      // line staying ~an order of magnitude under delete_1pct, with
+      // full_scan_after_dv quantifying the read-through cost of the DV
+      // conjunct (runs after delete_1pct so every earlier section stays
+      // comparable with pre-DV rounds)
+      val dvLo = f"doc-${rows / 4}%012d"
+      val dvHi = f"doc-${rows / 4 + rows / 100}%012d"
+      record("delete_1pct_dv", time {
+        graft.maintain.DeleteWhere.deleteMor(spark, t,
+          col("doc_id") >= dvLo && col("doc_id") < dvHi)
+      }._2)
+      record("full_scan_after_dv", latency(t.scan(spark)
+        .select(sum(expr("aggregate(tokens, 0L, (a, x) -> a + x)")))))
+
       record("expire", time(Expire.expire(t, t.version))._2)
       // the trial's table root is never read again — reclaim it NOW so
       // peak /tmp usage stays one-table-sized regardless of trial count

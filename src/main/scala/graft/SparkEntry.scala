@@ -206,6 +206,20 @@ object SparkEntry {
         expr(tokSum).as("tok_sum"))
     }),
 
+    // merge-on-read DELETE (deletion vectors): same build as q15, but
+    // TWO successive MOR deletes attach + union position bitmaps instead
+    // of rewriting files, and the scan must read THROUGH the DVs (no
+    // materializing compaction runs) — survivors and token sums match the
+    // same closed-form oracle shape
+    "q53_dv_delete_scan" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir)
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      graft.maintain.DeleteWhere.deleteMor(s, t, col("n_tok").between(200, 400))
+      graft.maintain.DeleteWhere.deleteMor(s, t, col("n_tok") < 100) // non-empty at every sf
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
+        expr(tokSum).as("tok_sum"))
+    }),
+
     // snapshot expiration after compaction: orphans deleted, checkpointed
     // manifest replays, data intact
     "q12_expire_scan" -> ((s, dir) => {
@@ -667,6 +681,14 @@ object SparkEntry {
            |  ${tokSumOracle("doc_id", 31)} AS tok_sum
            |FROM documents
            |WHERE NOT (64 + doc_id % 1985 BETWEEN 200 AND 400)""".stripMargin,
+
+      "q53_dv_delete_scan" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents
+           |WHERE NOT (64 + doc_id % 1985 BETWEEN 200 AND 400)
+           |  AND NOT (64 + doc_id % 1985 < 100)""".stripMargin,
 
       "q11_merge_scan" ->
         s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,

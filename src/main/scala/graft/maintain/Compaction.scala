@@ -50,7 +50,10 @@ object Compaction {
   def plan(segments: Seq[SegmentMeta], targetFileSize: Long,
            smallFileThreshold: Double = 0.9, groupFactor: Int = 64): Seq[Bin] = {
     val small = segments
-      .filter(s => s.fileSize.exists(_ < (targetFileSize * smallFileThreshold).toLong))
+      // a deletion-vector'd file is always a candidate, whatever its
+      // size: compaction is the pass that materializes the DV away
+      .filter(s => s.dvCardinality > 0 ||
+        s.fileSize.exists(_ < (targetFileSize * smallFileThreshold).toLong))
       .sortBy(_.segmentId)
     val cap = targetFileSize * groupFactor
     val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[SegmentMeta]]
@@ -67,7 +70,10 @@ object Compaction {
       // bins onto the completed ids and silently skip ALL remaining work.
       // Same members ⇒ same id (mid-job resume skips correctly); any
       // other membership ⇒ a fresh id that executes.
-      case b if b.size >= 2 => Bin(binId(b.toSeq), b.toSeq)
+      // singleton bins are no-ops UNLESS the lone member carries a
+      // deletion vector — then the rewrite is the DV materialization
+      // pass, and skipping it would leave the scan-time filter forever
+      case b if b.size >= 2 || b.exists(_.dvCardinality > 0) => Bin(binId(b.toSeq), b.toSeq)
     }.toSeq
   }
 
@@ -128,7 +134,7 @@ object Compaction {
         val b0 = System.currentTimeMillis()
         val liveIds = table.state.segments.keySet
         val inputs = bin.segments.filter(s => liveIds.contains(s.segmentId))
-        if (inputs.size >= 2) {
+        if (inputs.size >= 2 || inputs.exists(_.dvCardinality > 0)) {
           val outFiles = math.max(1, math.ceil(bin.bytes.toDouble / targetFileSize).toInt)
           val fit = ClusterKey.fit(table.state.liveSegments)
           val added = rewriteBin(spark, table, inputs, outFiles, curveName, fit, maxRetries)
@@ -159,7 +165,13 @@ object Compaction {
     val paths = inputs.map(s => s"${table.root}/${s.path}")
     val totalBytes = math.max(inputs.flatMap(_.fileSize).sum, 1L)
     withSizedReadSplits(spark, totalBytes) { scoped =>
-      val df = scoped.read.parquet(paths: _*)
+      // merge-on-read deletes materialize here: inputs are read
+      // live-rows-only, outputs are fresh segments with no DV. (The
+      // boundary SAMPLE below stays physical — deleted rows skew the
+      // approximate range bounds marginally, never correctness.)
+      val raw = scoped.read.parquet(paths: _*)
+      val df = graft.table.DeletionVectors.liveRowFilter(table.root, inputs)
+        .map(raw.where).getOrElse(raw)
       val sorted = curve match {
         case ("zorder" | "hilbert") if outFiles > 1 =>
           // range boundaries from an EXPLICIT sample over the cluster-key

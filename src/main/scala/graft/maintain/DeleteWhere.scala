@@ -1,18 +1,31 @@
 package graft.maintain
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
 import org.apache.spark.sql.functions._
+import graft.coverage.Bitmap
+import graft.meta.{PathNorm, SegmentMeta}
 import graft.scan.StatsPruning
-import graft.table.TsTable
+import graft.table.{BucketDomainOverflowException, DeletionVectors, TsTable}
 
-/** DELETE WHERE — copy-on-write predicate delete, the training-data
-  * governance operator (redact contaminated documents, strip a source,
-  * drop a time range). Not in the reference (its log is append-only);
-  * north-rule addition alongside compaction/MERGE/expire.
+/** DELETE WHERE — predicate delete, the training-data governance operator
+  * (redact contaminated documents, strip a source, drop a time range). Not
+  * in the reference (its log is append-only); north-rule addition
+  * alongside compaction/MERGE/expire. Two execution modes:
   *
-  * Plan shape at scale:
+  *  - [[delete]] — copy-on-write: grazed files are rewritten without the
+  *    matching rows. Read-optimal (scans stay pure parquet) but the
+  *    rewrite cost is proportional to the BYTES of every grazed file.
+  *  - [[deleteMor]] — merge-on-read: grazed files get a deletion-vector
+  *    sidecar (a position bitmap, [[graft.table.DeletionVectors]]) and
+  *    their bytes never move. Delete cost is proportional to the MATCHED
+  *    ROWS (tiny bitmaps + one column-pruned scan of the candidates); the
+  *    scan pays one codegen'd conjunct until compaction materializes the
+  *    DV away. At 100 TB this is the difference between a 1 % delete
+  *    writing KBs and it copying ~1 TB.
+  *
+  * Both modes share the same plan shape at scale:
   *  1. Candidate files via the same 3-valued stats evaluation the scan
   *     uses: a file whose stats prove AlwaysFalse for the predicate
   *     cannot hold a matching row and is left untouched (its bytes and
@@ -21,75 +34,81 @@ import graft.table.TsTable
   *     deliberately NOT used to drop whole files unread: the Tri algebra
   *     is necessary-condition-oriented under padded rewrites, so "all
   *     rows must match" cannot be concluded from it.
-  *  2. Candidates are rewritten keeping `NOT coalesce(cond, false)` —
-  *     SQL DELETE semantics: rows where the predicate is NULL are KEPT.
-  *  3. One atomic Remove+Add commit (swapSegments — snapshot isolation,
-  *     OCC rebase). A hit file whose match count equals its row count is
-  *     dropped metadata-only (never read by the rewrite job); only
-  *     partially-matched files are rewritten. A DELETE whose hits are all
-  *     fully matched degenerates to a pure-Remove commit.
-  *  4. Time-series tables get their table-coverage snapshot recomputed
-  *     from the surviving segments' sidecars, so a later append into the
-  *     deleted range is not falsely rejected as overlap.
+  *  2. SQL DELETE semantics: rows where the predicate is NULL are KEPT.
+  *  3. One atomic commit (snapshot isolation, OCC rebase). A file whose
+  *     every live row matches is dropped metadata-only in both modes.
+  *  4. Time-series tables get coverage recomputed in the SAME commit, so
+  *     a later append into the deleted range is not falsely rejected.
   */
 object DeleteWhere {
 
   final case class Report(candidates: Int, filesKept: Int, filesOut: Int,
                           rowsDeleted: Long, survivors: Long, version: Long,
-                          filesDroppedMetaOnly: Int = 0)
+                          filesDroppedMetaOnly: Int = 0,
+                          dvAttached: Int = 0)
 
-  def delete(spark: SparkSession, table: TsTable, condition: Column): Report = {
-    table.refresh()
+  /** Resolve the user predicate against the table schema (stats evaluation
+    * needs real AttributeReferences; an unresolved Column evaluates
+    * Unknown everywhere — sound, but pruning-free), reject nondeterminism,
+    * and split live segments into (resolved conjuncts, candidates,
+    * untouched). Shared by both modes. */
+  private def resolveAndPrune(spark: SparkSession, table: TsTable, condition: Column)
+      : (Seq[Expression], Seq[SegmentMeta], Seq[SegmentMeta]) = {
     val live = table.state.liveSegments
-
-    // resolve the user predicate against the table schema so stats
-    // evaluation sees real AttributeReferences (an unresolved Column would
-    // evaluate Unknown everywhere — sound, but pruning-free)
     val resolved: Seq[Expression] = {
       import org.apache.spark.sql.graft.Bridge
       val analyzed = table.scan(spark).where(condition).queryExecution.analyzed
       analyzed.collectFirst { case f: LFilter => f.condition }
         .map(splitConjuncts).getOrElse(Seq(Bridge.toExpr(condition)))
     }
-    // DELETE evaluates the predicate in TWO independent jobs (per-file
-    // match counts, then the rewrite) and drops whole files on the first
-    // evaluation's word — a nondeterministic condition (rand(), now()-
-    // derived exprs via the CLI's --where) could delete a row set no
-    // single evaluation ever selected. Reject up front, like Delta-style
-    // engines do.
+    // DELETE evaluates the predicate in independent jobs and drops whole
+    // files on the first evaluation's word — a nondeterministic condition
+    // (rand(), now()-derived exprs via the CLI's --where) could delete a
+    // row set no single evaluation ever selected. Reject up front, like
+    // Delta-style engines do.
     require(resolved.forall(_.deterministic),
       "DELETE WHERE requires a deterministic predicate; " +
         s"got: ${resolved.filterNot(_.deterministic).mkString(", ")}")
-
     val (candidates, untouched) = live.partition { seg =>
       // a file is a candidate unless SOME conjunct is provably false for
       // every row (conjunction semantics: one false conjunct kills it)
       !resolved.exists(c =>
         StatsPruning.eval(c, seg.stats, seg.rowCount) == StatsPruning.AlwaysFalse)
     }
-    val totalRows = live.map(_.rowCount).sum
+    (resolved, candidates, untouched)
+  }
+
+  /** Copy-on-write DELETE (see object doc). DV-aware: candidates that
+    * already carry a deletion vector are read live-rows-only, and their
+    * rewrite output materializes the old DV away. */
+  def delete(spark: SparkSession, table: TsTable, condition: Column): Report = {
+    table.refresh()
+    val live = table.state.liveSegments
+    val (_, candidates, untouched) = resolveAndPrune(spark, table, condition)
+    val totalLive = live.map(_.liveRowCount).sum
     if (candidates.isEmpty)
-      return Report(0, live.size, 0, 0L, totalRows, table.version)
+      return Report(0, live.size, 0, 0L, totalLive, table.version)
 
     val keep = !coalesce(condition, lit(false)) // NULL predicate -> keep
     val matchesCond = coalesce(condition, lit(false)) // rows that DELETE removes
 
-    // per-file MATCH counts in one pass over the candidates: stats are
-    // only necessary conditions, so a candidate can hold zero matching
-    // rows — such files are never rewritten (their bytes and segment ids
-    // survive), and a fully-no-op DELETE returns without committing.
-    // Both sides of the attribution compare through PathNorm.canonical,
-    // so trailing-slash or relative table roots line up with
-    // input_file_name()'s URI form.
-    import graft.meta.PathNorm
+    // per-file MATCH counts over LIVE rows in one pass over the
+    // candidates: stats are only necessary conditions, so a candidate can
+    // hold zero matching rows — such files are never rewritten (their
+    // bytes and segment ids survive), and a fully-no-op DELETE returns
+    // without committing. Both sides of the attribution compare through
+    // PathNorm.canonical, so trailing-slash or relative table roots line
+    // up with input_file_name()'s URI form.
     val paths = candidates.map(seg => s"${table.root}/${seg.path}")
-    val matchedPerFile: Map[String, Long] = spark.read.parquet(paths: _*)
+    def liveRows(df: DataFrame, segs: Seq[SegmentMeta]): DataFrame =
+      DeletionVectors.liveRowFilter(table.root, segs).map(df.where).getOrElse(df)
+    val matchedPerFile: Map[String, Long] = liveRows(spark.read.parquet(paths: _*), candidates)
       .where(matchesCond)
       .groupBy(input_file_name().as("f")).count()
       .collect().map(r => PathNorm.canonical(r.getString(0)) -> r.getLong(1)).toMap
     val rowsDeleted = matchedPerFile.values.sum
     if (rowsDeleted == 0L)
-      return Report(candidates.size, live.size, 0, 0L, totalRows, table.version)
+      return Report(candidates.size, live.size, 0, 0L, totalLive, table.version)
 
     var (hit, cleanCandidates) = candidates.partition(seg =>
       matchedPerFile.contains(PathNorm.canonical(s"${table.root}/${seg.path}")))
@@ -102,34 +121,171 @@ object DeleteWhere {
     val removeIds = hit.map(_.segmentId)
 
     // per-file degenerate handling: a hit file whose match count equals
-    // its row count has NO survivors — drop it metadata-only (one Remove
-    // action) instead of pushing its bytes through the rewrite job. On a
-    // curve-clustered table a range DELETE typically fully-matches a few
-    // files and grazes the rest; rewriting only the grazed ones is the
-    // difference between touching the deleted range and rewriting the
-    // table (round-2 finding). Fully-matched and partially-matched files
-    // still swap in ONE atomic commit (removeIds covers both).
+    // its LIVE row count has NO survivors — drop it metadata-only (one
+    // Remove action) instead of pushing its bytes through the rewrite
+    // job. On a curve-clustered table a range DELETE typically
+    // fully-matches a few files and grazes the rest; rewriting only the
+    // grazed ones is the difference between touching the deleted range
+    // and rewriting the table (round-2 finding). Fully-matched and
+    // partially-matched files still swap in ONE atomic commit (removeIds
+    // covers both).
     val (fullyMatched, partial) = hit.partition(seg =>
       // getOrElse: on the fallback path `hit` includes unattributed files
       // with no recorded matches — those must be rewritten, not dropped
       matchedPerFile.getOrElse(
-        PathNorm.canonical(s"${table.root}/${seg.path}"), 0L) == seg.rowCount)
+        PathNorm.canonical(s"${table.root}/${seg.path}"), 0L) == seg.liveRowCount)
 
     // the coverage recommit (time-series tables) is part of the SAME
     // commit as the Remove/Add actions — no crash window can leave a
     // stale snapshot rejecting appends into the vacated range
     val repairCov = table.timeSpec.isDefined
-    val newSegs: Seq[graft.meta.SegmentMeta] =
+    val newSegs: Seq[SegmentMeta] =
       if (partial.isEmpty) {
         table.commitRemovals(removeIds, recomputeCoverage = repairCov); Nil
       } else {
         val partialPaths = partial.map(seg => s"${table.root}/${seg.path}")
-        table.swapSegments(spark.read.parquet(partialPaths: _*).where(keep), removeIds,
+        table.swapSegments(
+          liveRows(spark.read.parquet(partialPaths: _*), partial).where(keep), removeIds,
           recomputeCoverage = repairCov)
       }
 
     Report(candidates.size, untouched.size + cleanCandidates.size, newSegs.size,
-      rowsDeleted, totalRows - rowsDeleted, table.version, fullyMatched.size)
+      rowsDeleted, totalLive - rowsDeleted, table.version, fullyMatched.size)
+  }
+
+  /** Merge-on-read DELETE (see object doc): ONE column-pruned pass over
+    * the candidate files computes, per file, the new deleted-position
+    * bitmap AND the survivors' coverage buckets (time-series tables) —
+    * positions arrive ascending within each scan split, partials merge by
+    * file, and the driver receives one run-length bitmap per grazed file
+    * (the same O(files × runs) driver bound as the coverage builder; no
+    * row ever collects). Grazed files are re-committed with
+    * dvPath/dvCardinality (and a fresh coverage sidecar); files whose
+    * every live row matched are dropped metadata-only. */
+  def deleteMor(spark: SparkSession, table: TsTable, condition: Column): Report = {
+    import spark.implicits._
+    table.refresh()
+    val live = table.state.liveSegments
+    val (_, candidates, untouched) = resolveAndPrune(spark, table, condition)
+    val totalLive = live.map(_.liveRowCount).sum
+    if (candidates.isEmpty)
+      return Report(0, live.size, 0, 0L, totalLive, table.version)
+
+    val matchesCond = coalesce(condition, lit(false)) // NULL predicate -> keep
+    val bucketCol = table.timeSpec match {
+      case Some(spec) =>
+        val len = spec.bucket.lengthSeconds
+        // same bucket arithmetic as the coverage builder (pre-epoch clamp,
+        // floor-div on the non-negative domain); null ts -> null bucket,
+        // which carries no coverage
+        expr(s"greatest(unix_micros(CAST(`${spec.timestampColumn}` AS TIMESTAMP)), 0L) " +
+          s"div ${1000000L * len}L")
+      case None => lit(null).cast("long")
+    }
+
+    val paths = candidates.map(seg => s"${table.root}/${seg.path}")
+    val base0 = spark.read.parquet(paths: _*).select(
+      col("_metadata.file_path").as("__f"),
+      col("_metadata.row_index").as("__i"),
+      matchesCond.as("__m"),
+      bucketCol.as("__b"))
+    // a candidate already carrying a DV is read live-rows-only, so new
+    // positions never overlap the existing bitmap and survivor coverage
+    // is exact by construction
+    val base = DeletionVectors.predicate(table.root, candidates, col("__f"), col("__i"))
+      .map(base0.where).getOrElse(base0)
+
+    // (file, dvPartial, covPartial, matches): one emit per (split, file)
+    val perFile = base.as[(String, Long, Boolean, Option[Long])]
+      .mapPartitions { it =>
+        val dv = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+        val cov = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.HashSet[Int]]
+        val matches = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { case (f, i, m, b) =>
+          if (m) {
+            if (i > DeletionVectors.MaxRowsPerFile)
+              throw new IllegalStateException(
+                s"row position $i exceeds the DV position domain in $f")
+            dv.getOrElseUpdate(f, scala.collection.mutable.ArrayBuffer.empty) += i.toInt
+            matches.update(f, matches.getOrElse(f, 0L) + 1L)
+          } else b.foreach { bb =>
+            if (bb > Int.MaxValue) throw BucketDomainOverflowException(bb)
+            cov.getOrElseUpdate(f, scala.collection.mutable.HashSet.empty) += bb.toInt
+          }
+        }
+        (dv.keySet ++ cov.keySet).iterator.map { f =>
+          (f,
+            dv.get(f).map(ps => Bitmap(ps).serialize()).orNull,
+            cov.get(f).map(bs => Bitmap(bs).serialize()).orNull,
+            matches.getOrElse(f, 0L))
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        var dvB = Bitmap.empty; var covB = Bitmap.empty; var m = 0L
+        it.foreach { case (_, d, c, mm) =>
+          if (d != null) dvB = dvB.union(Bitmap.deserialize(d))
+          if (c != null) covB = covB.union(Bitmap.deserialize(c))
+          m += mm
+        }
+        (f, dvB.serialize(), covB.serialize(), m)
+      }
+      .collect()
+
+    val grazed = perFile.filter(_._4 > 0L)
+    if (grazed.isEmpty)
+      return Report(candidates.size, live.size, 0, 0L, totalLive, table.version)
+
+    val segByCanon = candidates
+      .map(s => PathNorm.canonical(s"${table.root}/${s.path}") -> s).toMap
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val repairCov = table.timeSpec.isDefined
+    val written = scala.collection.mutable.ArrayBuffer.empty[String] // abort cleanup
+    val removeIds = scala.collection.mutable.ArrayBuffer.empty[String]
+    val upserts = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
+    var rowsDeleted = 0L
+    try {
+      grazed.foreach { case (f, dvBytes, covBytes, m) =>
+        val seg = segByCanon.getOrElse(PathNorm.canonical(f),
+          throw new IllegalStateException(
+            s"cannot attribute $f to a candidate segment (exotic path scheme?); " +
+              "use the copy-on-write DELETE for this table"))
+        rowsDeleted += m
+        val newDv = Bitmap.deserialize(dvBytes)
+        val union = seg.dvPath
+          .map(p => DeletionVectors.readDv(s"${table.root}/$p").union(newDv))
+          .getOrElse(newDv)
+        if (union.cardinality == seg.rowCount) removeIds += seg.segmentId
+        else {
+          val dvRel = s"_dv/dv-${seg.segmentId}-$commitId.dv"
+          table.writeBytes(s"${table.root}/$dvRel", union.serialize())
+          written += dvRel
+          val covRel =
+            if (repairCov) {
+              val rel = s"_coverage/segments/segcov-${seg.segmentId}-$commitId.cov"
+              table.writeBytes(s"${table.root}/$rel", covBytes)
+              written += rel
+              Some(rel)
+            } else seg.coveragePath
+          upserts += seg.copy(dvPath = Some(dvRel), dvCardinality = union.cardinality,
+            coveragePath = covRel)
+        }
+      }
+      val expectedDv = grazed.map { case (f, _, _, _) =>
+        val seg = segByCanon(PathNorm.canonical(f)); seg.segmentId -> seg.dvPath
+      }.toMap
+      table.commitDvAttach(upserts.toSeq, removeIds.toSeq, expectedDv,
+        recomputeCoverage = repairCov)
+    } catch {
+      case e: Throwable =>
+        written.foreach(rel => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(PathNorm.canonical(s"${table.root}/$rel"))))
+        throw e
+    }
+
+    Report(candidates.size, untouched.size + (candidates.size - grazed.length), 0,
+      rowsDeleted, totalLive - rowsDeleted, table.version,
+      filesDroppedMetaOnly = removeIds.size, dvAttached = upserts.size)
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

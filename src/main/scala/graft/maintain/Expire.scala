@@ -127,6 +127,7 @@ object Expire {
         try store.readCommit(ov).actions.foreach {
           case graft.log.LogAction.AddSegment(s) =>
             inGraceOrphanAdds += s.path; s.coveragePath.foreach(inGraceOrphanAdds += _)
+            s.dvPath.foreach(inGraceOrphanAdds += _)
           case _ => ()
         } catch { case _: Exception => () } // unreadable in-grace orphan: sweep age guard still protects its files
       }
@@ -148,6 +149,7 @@ object Expire {
     val referenced = scala.collection.mutable.Set.empty[String]
     wmState.segments.values.foreach { s =>
       referenced += s.path; s.coveragePath.foreach(referenced += _)
+      s.dvPath.foreach(referenced += _)
     }
     v = keepFromVersion + 1
     while (v <= current) {
@@ -155,6 +157,7 @@ object Expire {
         store.readCommit(v).actions.foreach {
           case graft.log.LogAction.AddSegment(s) =>
             referenced += s.path; s.coveragePath.foreach(referenced += _)
+            s.dvPath.foreach(referenced += _)
           case _ => ()
         }
       }
@@ -185,6 +188,7 @@ object Expire {
     }
     sweep("data", count = true)
     sweep("_coverage/segments", count = false)
+    sweep("_dv", count = false) // deletion-vector sidecars age out like coverage
 
     // 4) crashed-writer debris: a writer that died between staging its
     //    parquet output and moving it into data/ leaves a `.staging-*`

@@ -136,7 +136,7 @@ object MergeInto {
 
     // size the output by estimated bytes/row of the inputs (4 KiB default);
     // row counts come from the manifest, never from extra data passes
-    val targetRows = candidates.map(_.rowCount).sum
+    val targetRows = candidates.map(_.liveRowCount).sum // DV'd rows never reach the rewrite
     val bytesPerRow =
       if (candidates.nonEmpty) candBytes.toDouble / math.max(targetRows, 1L)
       else 4096.0
@@ -159,9 +159,16 @@ object MergeInto {
       // applies here and ONLY here (upd keeps the caller's session/conf)
       val merged =
         if (candidates.isEmpty) upd
-        else scoped.read.parquet(candidates.map(s => s"${table.root}/${s.path}"): _*)
-          .join(upd.select(col(key)), Seq(key), "left_anti")
-          .unionByName(upd)
+        else {
+          // merge-on-read deletes: candidates are read live-rows-only, so
+          // the rewrite materializes any DV away (outputs carry none) and
+          // deleted rows can never resurrect through a MERGE
+          val raw = scoped.read.parquet(candidates.map(s => s"${table.root}/${s.path}"): _*)
+          graft.table.DeletionVectors.liveRowFilter(table.root, candidates)
+            .map(raw.where).getOrElse(raw)
+            .join(upd.select(col(key)), Seq(key), "left_anti")
+            .unionByName(upd)
+        }
       val cached = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val clustered = Compaction.clusterSorted(cached, curve, outFiles, ClusterKey.fit(live))

@@ -87,13 +87,23 @@ final case class SegmentMeta(
     segmentId: String,
     path: String,          // relative to table root
     format: String,        // "parquet"
-    rowCount: Long,
+    rowCount: Long,        // PHYSICAL rows in the file (never changes)
     fileSize: Option[Long],
     stats: Map[String, ColStats],
-    coveragePath: Option[String]) {
+    coveragePath: Option[String],
+    // Merge-on-read deletion vector: a sidecar bitmap of deleted row
+    // positions (Delta-DV / Iceberg-positional-delete analog; not in the
+    // reference — its log is append-only). `stats` stay PHYSICAL and thus
+    // conservative: the live subset of a file can only have narrower
+    // min/max, so AlwaysFalse pruning conclusions remain sound.
+    dvPath: Option[String] = None,   // relative to table root, immutable
+    dvCardinality: Long = 0L) {      // deleted positions in dvPath
 
   def tsMin(col: String): Option[StatVal] = stats.get(col).flatMap(_.min)
   def tsMax(col: String): Option[StatVal] = stats.get(col).flatMap(_.max)
+
+  /** Rows a scan of this segment returns (physical minus DV'd). */
+  def liveRowCount: Long = rowCount - dvCardinality
 
   def toJson: JsonNode = {
     val n = Json.obj()
@@ -110,6 +120,7 @@ final case class SegmentMeta(
       c.put("null_count", cs.nullCount)
     }
     coveragePath.foreach(n.put("coverage_path", _))
+    dvPath.foreach { p => n.put("dv_path", p); n.put("dv_cardinality", dvCardinality) }
     n
   }
 }
@@ -131,7 +142,9 @@ object SegmentMeta {
       Json.getLong(n, "row_count"),
       Json.optLong(n, "file_size"),
       stats,
-      Json.optStr(n, "coverage_path"))
+      Json.optStr(n, "coverage_path"),
+      Json.optStr(n, "dv_path"),
+      Json.optLong(n, "dv_cardinality").getOrElse(0L))
   }
 
   /** Content-addressed segment id, mirroring the reference's

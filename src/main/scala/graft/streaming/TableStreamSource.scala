@@ -162,6 +162,10 @@ final class TableStreamSource(
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = version(end)
+    // tail batches replay AddSegments from append-only commits, which
+    // never carry deletion vectors (a DV attach is a Remove+Add change
+    // commit, skipped above); only the initial snapshot can see DVs
+    var dvFilter: Option[org.apache.spark.sql.Column] = None
     val paths: Seq[String] = start match {
       case Some(s) => addedIn(version(s) + 1, endV)
       case None => startingVersion match {
@@ -171,7 +175,11 @@ final class TableStreamSource(
           // already-committed snapshot batch; if a manifest rewrite has
           // since expired the commits below v the replay cannot be
           // reconstructed — name the cause instead of a raw missing-file
-          try TableState.rebuildAt(table.store, endV).liveSegments.map(s => s"$rootPath/${s.path}")
+          try {
+            val segs = TableState.rebuildAt(table.store, endV).liveSegments
+            dvFilter = graft.table.DeletionVectors.liveRowFilter(rootPath, segs)
+            segs.map(s => s"$rootPath/${s.path}")
+          }
           catch { case e: Exception
               if e.getMessage != null && e.getMessage.contains("missing commit file") =>
             throw new IllegalStateException(
@@ -188,7 +196,8 @@ final class TableStreamSource(
       else {
         // explicit schema (no footer merge job) + positional re-select so the
         // batch's attribute order always matches the declared source schema
-        val df = sqlContext.sparkSession.read.schema(schema).parquet(paths: _*)
+        val raw = sqlContext.sparkSession.read.schema(schema).parquet(paths: _*)
+        val df = dvFilter.map(raw.where).getOrElse(raw)
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
         Bridge.streamingBatch(df, schema)
       }
@@ -314,6 +323,16 @@ final class GraftSourceProvider extends StreamSourceProvider with StreamSinkProv
     val st = parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.toLong }
       .map(v => graft.log.TableState.rebuildAt(table.store, v))
       .getOrElse(table.state)
+    // the DSv1 relation contract returns a bare BaseRelation — there is no
+    // hook to attach the deletion-vector filter, so a MOR-deleted snapshot
+    // read through this path would resurrect deleted rows. Refuse loudly;
+    // every other surface (TsTable.scan/scanAt, CLI, SQL shell) applies
+    // DVs, and a compaction pass materializes them away for this one.
+    if (st.liveSegments.exists(_.dvPath.isDefined))
+      throw new UnsupportedOperationException(
+        s"table at ${root(parameters)} carries merge-on-read deletion vectors; " +
+          "read it via TsTable.scan / the CLI (DV-aware), or run Compaction to " +
+          "materialize the deletes before using format(\"graft-table\") batch reads")
     table.relationAt(sqlContext.sparkSession, st).getOrElse(
       throw new IllegalStateException(
         s"table at ${root(parameters)} has no adopted schema yet (append once before reading)"))

@@ -81,12 +81,20 @@ final class TsTable private (val root: String, val store: LogStore) {
       val c = store.readCommit(v)
       val adds = c.actions.count(_.isInstanceOf[LogAction.AddSegment])
       val removes = c.actions.count(_.isInstanceOf[LogAction.RemoveSegment])
+      // a DV attach re-adds the SAME segment ids it removes (upsert); a
+      // compaction/merge swap always adds fresh ids
+      val removedIds = c.actions.collect { case LogAction.RemoveSegment(id) => id }.toSet
+      val dvUpsert = adds > 0 && removes > 0 && c.actions.forall {
+        case LogAction.AddSegment(s) => removedIds.contains(s.segmentId)
+        case _ => true
+      }
       val meta = c.actions.exists(_.isInstanceOf[LogAction.UpdateTableMeta])
       val cov = c.actions.exists(_.isInstanceOf[LogAction.UpdateTableCoverage])
       val txn = c.actions.collectFirst { case LogAction.SetTxn(app, b) => s"$app#$b" }
       val rowsAdded = c.actions.collect { case LogAction.AddSegment(s) => s.rowCount }.sum
       val op =
-        if (adds > 0 && removes > 0) "REWRITE"            // compaction/merge/delete swap
+        if (dvUpsert) "DELETE (DV)"                       // merge-on-read delete
+        else if (adds > 0 && removes > 0) "REWRITE"       // compaction/merge/delete swap
         else if (removes > 0) "DELETE"                    // metadata-only removal
         else if (adds > 0 && txn.isDefined) "STREAMING APPEND"
         else if (adds > 0) "APPEND"
@@ -102,7 +110,15 @@ final class TsTable private (val root: String, val store: LogStore) {
 
   private[graft] def scanState(spark: SparkSession, st: TableState): DataFrame =
     relationAt(spark, st) match {
-      case Some(rel) => spark.baseRelationToDataFrame(rel)
+      case Some(rel) =>
+        val base = spark.baseRelationToDataFrame(rel)
+        // merge-on-read deletes: one extra codegen'd conjunct over
+        // parquet's native _metadata (row_index, file_path) columns; a
+        // snapshot without DVs plans no filter at all
+        DeletionVectors.liveRowFilter(root, st.liveSegments) match {
+          case Some(live) => base.where(live)
+          case None => base
+        }
       case None =>
         val schema = st.tableMeta.flatMap(_.schema).getOrElse(new StructType())
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -582,6 +598,51 @@ final class TsTable private (val root: String, val store: LogStore) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Merge-on-read DELETE commit: upsert `upserts` (same segment ids, new
+    * dvPath/dvCardinality/coveragePath) and drop `removeIds` (files whose
+    * every live row matched), atomically. Each upsert is emitted as
+    * RemoveSegment + AddSegment — state-wise a plain upsert, but the
+    * Remove makes the commit a data-change commit, which the streaming
+    * source already skips (TableStreamSource skipChangeCommits): a DV
+    * attach must never re-emit rows a stream has delivered.
+    *
+    * OCC: rebase-retry on version conflicts, but ABORT if any affected
+    * segment was concurrently rewritten or re-DV'd — the caller's bitmaps
+    * were unioned against `expectedDv` and would silently drop that
+    * writer's deletes if applied over a different base. */
+  private[graft] def commitDvAttach(upserts: Seq[SegmentMeta], removeIds: Seq[String],
+                                    expectedDv: Map[String, Option[String]],
+                                    maxRetries: Int = 3,
+                                    recomputeCoverage: Boolean = false): Long = {
+    val affected = upserts.map(_.segmentId) ++ removeIds
+    var attempt = 0
+    while (true) {
+      refresh()
+      val st = cachedState
+      val missing = affected.filterNot(st.segments.contains)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"DV attach aborted: segments already rewritten by a concurrent job: $missing")
+      val rebased = affected.filter(id => st.segments(id).dvPath != expectedDv(id))
+      if (rebased.nonEmpty)
+        throw new IllegalStateException(
+          s"DV attach aborted: segments re-DV'd by a concurrent DELETE: $rebased")
+      val actions: Seq[LogAction] =
+        (removeIds ++ upserts.map(_.segmentId)).map(LogAction.RemoveSegment) ++
+          upserts.map(LogAction.AddSegment) ++
+          (if (recomputeCoverage) coverageActionFor(st, affected, upserts).toSeq else Nil)
+      try {
+        val v = store.commitWithExpectedVersion(st.version, actions)
+        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
+        return v
+      } catch {
+        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Coverage snapshot for the state AFTER removing `removeIds` and adding
     * `added`: union of the surviving + new segments' sidecars, written as
     * a fresh sidecar whose pointer action commits WITH the swap. None for
@@ -755,7 +816,7 @@ final class TsTable private (val root: String, val store: LogStore) {
     finally s.close()
   }
 
-  private def writeBytes(path: String, bytes: Array[Byte]): Unit = {
+  private[graft] def writeBytes(path: String, bytes: Array[Byte]): Unit = {
     val p = Paths.get(stripScheme(path))
     Files.createDirectories(p.getParent)
     Files.write(p, bytes)
