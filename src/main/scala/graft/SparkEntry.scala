@@ -220,6 +220,69 @@ object SparkEntry {
         expr(tokSum).as("tok_sum"))
     }),
 
+    // UPDATE WHERE through the engine: compact+cluster, then predicate
+    // update (stats-pruned candidates, copy-on-write swap) — matched rows
+    // take the SET expressions evaluated over their OLD values
+    // (simultaneous assignment), unmatched rows pass through unchanged
+    "q54_update_scan" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir)
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      graft.maintain.UpdateWhere.update(s, t, col("n_tok").between(200, 400),
+        Map("source" -> concat(col("source"), lit("-upd")),
+            "n_tok" -> (col("n_tok") + 1000)))
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
+        expr(tokSum).as("tok_sum"))
+    }),
+
+    // RESTORE to an earlier version ACROSS an append and a merge-on-read
+    // delete: the rollback commit swaps the live set back metadata-only
+    // (DV upserts reverted to their DV-free originals), so the scan must
+    // equal the pinned snapshot exactly
+    "q55_restore_scan" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir,
+        filter = Some("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0"))
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      val pinned = t.version
+      t.append(tokenDf(s, dir)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1").repartition(4))
+      graft.maintain.DeleteWhere.deleteMor(s, t, col("n_tok") < 500)
+      graft.maintain.Restore.restore(t, pinned)
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
+        expr(tokSum).as("tok_sum"))
+    }),
+
+    // MERGE … WHEN MATCHED THEN DELETE: delete-by-key through the merge
+    // candidate selection (stats ranges + footer blooms) and the
+    // merge-on-read DV attach — the governance "forget these doc ids" verb
+    "q56_merge_delete" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir)
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      val victims = tokenDf(s, dir)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 7 = 0").select("doc_id")
+      MergeInto.mergeDelete(s, t, victims)
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
+        expr(tokSum).as("tok_sum"))
+    }),
+
+    // snapshot diff (change data feed): v1 = evens; then odd-id appends,
+    // a factor-37 re-tokenization MERGE of %10==0, and a MOR range delete
+    // — the diff must net composition (updated-then-deleted ⇒ one delete)
+    // and emit update pre/post images with the right token arrays
+    "q57_snapshot_diff" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir,
+        filter = Some("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0"))
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      val v1 = t.version
+      t.append(tokenDf(s, dir)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1").repartition(4))
+      MergeInto.merge(s, t, tokenDf(s, dir, factor = 37)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 10 = 0"))
+      graft.maintain.DeleteWhere.deleteMor(s, t, col("n_tok").between(200, 400))
+      graft.maintain.SnapshotDiff.diff(s, t, v1, t.version, "doc_id")
+        .select(col("_change_type"), col("doc_id"), col("source"), col("n_tok"),
+          expr(tokSum).as("tok_sum"))
+    }),
+
     // snapshot expiration after compaction: orphans deleted, checkpointed
     // manifest replays, data intact
     "q12_expire_scan" -> ((s, dir) => {
@@ -689,6 +752,63 @@ object SparkEntry {
            |FROM documents
            |WHERE NOT (64 + doc_id % 1985 BETWEEN 200 AND 400)
            |  AND NOT (64 + doc_id % 1985 < 100)""".stripMargin,
+
+      "q54_update_scan" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id,
+           |  CASE WHEN 64 + doc_id % 1985 BETWEEN 200 AND 400
+           |       THEN source || '-upd' ELSE source END AS source,
+           |  CAST(CASE WHEN 64 + doc_id % 1985 BETWEEN 200 AND 400
+           |       THEN 1064 + doc_id % 1985 ELSE 64 + doc_id % 1985 END AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents""".stripMargin,
+
+      "q55_restore_scan" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents
+           |WHERE doc_id % 2 = 0""".stripMargin,
+
+      "q56_merge_delete" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents
+           |WHERE doc_id % 7 <> 0""".stripMargin,
+
+      // doc_id 0 is %10==0 but its factor-31 and factor-37 token arrays
+      // are both all-(i % 50257) — the MERGE writes an identical row, so
+      // the diff rightly reports NO update for it; the oracle excludes it
+      "q57_snapshot_diff" ->
+        s"""SELECT 'insert' AS _change_type,
+           |  'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents
+           |WHERE doc_id % 2 = 1 AND NOT (64 + doc_id % 1985 BETWEEN 200 AND 400)
+           |UNION ALL
+           |SELECT 'delete' AS _change_type,
+           |  'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents
+           |WHERE doc_id % 2 = 0 AND (64 + doc_id % 1985 BETWEEN 200 AND 400)
+           |UNION ALL
+           |SELECT 'update_pre' AS _change_type,
+           |  'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents
+           |WHERE doc_id % 10 = 0 AND doc_id > 0
+           |  AND NOT (64 + doc_id % 1985 BETWEEN 200 AND 400)
+           |UNION ALL
+           |SELECT 'update_post' AS _change_type,
+           |  'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 37)} AS tok_sum
+           |FROM documents
+           |WHERE doc_id % 10 = 0 AND doc_id > 0
+           |  AND NOT (64 + doc_id % 1985 BETWEEN 200 AND 400)""".stripMargin,
 
       "q11_merge_scan" ->
         s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,

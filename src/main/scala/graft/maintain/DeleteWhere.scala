@@ -51,8 +51,8 @@ object DeleteWhere {
     * needs real AttributeReferences; an unresolved Column evaluates
     * Unknown everywhere — sound, but pruning-free), reject nondeterminism,
     * and split live segments into (resolved conjuncts, candidates,
-    * untouched). Shared by both modes. */
-  private def resolveAndPrune(spark: SparkSession, table: TsTable, condition: Column)
+    * untouched). Shared by both modes (and by UPDATE WHERE). */
+  private[maintain] def resolveAndPrune(spark: SparkSession, table: TsTable, condition: Column)
       : (Seq[Expression], Seq[SegmentMeta], Seq[SegmentMeta]) = {
     val live = table.state.liveSegments
     val resolved: Seq[Expression] = {
@@ -163,7 +163,6 @@ object DeleteWhere {
     * dvPath/dvCardinality (and a fresh coverage sidecar); files whose
     * every live row matched are dropped metadata-only. */
   def deleteMor(spark: SparkSession, table: TsTable, condition: Column): Report = {
-    import spark.implicits._
     table.refresh()
     val live = table.state.liveSegments
     val (_, candidates, untouched) = resolveAndPrune(spark, table, condition)
@@ -172,29 +171,49 @@ object DeleteWhere {
       return Report(0, live.size, 0, 0L, totalLive, table.version)
 
     val matchesCond = coalesce(condition, lit(false)) // NULL predicate -> keep
-    val bucketCol = table.timeSpec match {
-      case Some(spec) =>
-        val len = spec.bucket.lengthSeconds
-        // same bucket arithmetic as the coverage builder (pre-epoch clamp,
-        // floor-div on the non-negative domain); null ts -> null bucket,
-        // which carries no coverage
-        expr(s"greatest(unix_micros(CAST(`${spec.timestampColumn}` AS TIMESTAMP)), 0L) " +
-          s"div ${1000000L * len}L")
-      case None => lit(null).cast("long")
-    }
+    val base = morBase(spark, table, candidates)(raw =>
+      raw.select(
+        col("_metadata.file_path").as("__f"),
+        col("_metadata.row_index").as("__i"),
+        matchesCond.as("__m"),
+        bucketExpr(table).as("__b")))
+    morAttach(spark, table, candidates, untouched.size, totalLive, base)
+  }
 
+  /** Bucket id of a row for the coverage recompute — same arithmetic as
+    * the coverage builder (pre-epoch clamp, floor-div on the non-negative
+    * domain); null ts -> null bucket, which carries no coverage. Constant
+    * null for non-time-series tables. */
+  private[maintain] def bucketExpr(table: TsTable): Column = table.timeSpec match {
+    case Some(spec) =>
+      val len = spec.bucket.lengthSeconds
+      expr(s"greatest(unix_micros(CAST(`${spec.timestampColumn}` AS TIMESTAMP)), 0L) " +
+        s"div ${1000000L * len}L")
+    case None => lit(null).cast("long")
+  }
+
+  /** Candidate read for a MOR pass: `project` maps the raw candidate scan
+    * to the (__f, __i, __m, __b) shape, and candidates already carrying a
+    * DV are then read live-rows-only, so new positions never overlap the
+    * existing bitmap and survivor coverage is exact by construction. */
+  private[maintain] def morBase(spark: SparkSession, table: TsTable,
+                                candidates: Seq[SegmentMeta])
+                               (project: DataFrame => DataFrame): DataFrame = {
     val paths = candidates.map(seg => s"${table.root}/${seg.path}")
-    val base0 = spark.read.parquet(paths: _*).select(
-      col("_metadata.file_path").as("__f"),
-      col("_metadata.row_index").as("__i"),
-      matchesCond.as("__m"),
-      bucketCol.as("__b"))
-    // a candidate already carrying a DV is read live-rows-only, so new
-    // positions never overlap the existing bitmap and survivor coverage
-    // is exact by construction
-    val base = DeletionVectors.predicate(table.root, candidates, col("__f"), col("__i"))
+    val base0 = project(spark.read.parquet(paths: _*))
+    DeletionVectors.predicate(table.root, candidates, col("__f"), col("__i"))
       .map(base0.where).getOrElse(base0)
+  }
 
+  /** Shared MOR tail (predicate and keyed deletes): aggregate `base`
+    * — columns (__f file, __i position, __m matched, __b survivor bucket),
+    * already live-row-filtered — into one DV bitmap + one survivor
+    * coverage bitmap per grazed file, write the sidecars, and commit the
+    * attach atomically (see object doc for the scale shape). */
+  private[maintain] def morAttach(spark: SparkSession, table: TsTable,
+                                  candidates: Seq[SegmentMeta], untouchedCount: Int,
+                                  totalLive: Long, base: DataFrame): Report = {
+    import spark.implicits._
     // (file, dvPartial, covPartial, matches): one emit per (split, file)
     val perFile = base.as[(String, Long, Boolean, Option[Long])]
       .mapPartitions { it =>
@@ -234,7 +253,8 @@ object DeleteWhere {
 
     val grazed = perFile.filter(_._4 > 0L)
     if (grazed.isEmpty)
-      return Report(candidates.size, live.size, 0, 0L, totalLive, table.version)
+      return Report(candidates.size, untouchedCount + candidates.size, 0, 0L,
+        totalLive, table.version)
 
     val segByCanon = candidates
       .map(s => PathNorm.canonical(s"${table.root}/${s.path}") -> s).toMap
@@ -283,7 +303,7 @@ object DeleteWhere {
         throw e
     }
 
-    Report(candidates.size, untouched.size + (candidates.size - grazed.length), 0,
+    Report(candidates.size, untouchedCount + (candidates.size - grazed.length), 0,
       rowsDeleted, totalLive - rowsDeleted, table.version,
       filesDroppedMetaOnly = removeIds.size, dvAttached = upserts.size)
   }

@@ -78,55 +78,7 @@ object MergeInto {
     val upd = updates.dropDuplicates(key)
     val updCount = upd.count() // the only job over the (small) update set
 
-    // --- 1a. stats-based candidate selection (per-file [min,max]) --------
-    val ranges: Seq[(String, String, String)] = live.flatMap { seg =>
-      seg.stats.get(key) match {
-        case Some(graft.meta.ColStats(Some(StatVal.S(mn)), Some(StatVal.S(mx)), _)) =>
-          Some((seg.segmentId, mn, mx))
-        case _ => None
-      }
-    }
-    val withStats = ranges.iterator.map(_._1).toSet // O(live), not O(live²)
-    val statless = live.filterNot(s => withStats(s.segmentId)).map(_.segmentId)
-
-    import spark.implicits._
-    val keysDf = upd.select(col(key)).distinct()
-    val rangesDf = ranges.toDF("segment_id", "kmin", "kmax")
-    // broadcast the file ranges (manifest-sized), shuffle only the keys
-    val hitIds = keysDf
-      .join(broadcast(rangesDf),
-        col(key) >= col("kmin") && col(key) <= col("kmax"), "inner")
-      .select("segment_id").distinct().as[String].collect().toSet
-
-    // --- 1b. refinement: range stats are void after space-curve
-    // clustering (interleaved keys make every file span the keyspace), so
-    // range-hit candidates are re-tested for ACTUAL key presence:
-    //  - small update sets (≤ BloomKeyCap): probe each candidate's parquet
-    //    column bloom — footer metadata only, one driver-pool pass, no job;
-    //  - large update sets: an exact DISTRIBUTED semi-join of the
-    //    candidates' KEY COLUMN against the update keys, grouped to the
-    //    distinct source files (input_file_name). Keys never collect to
-    //    the driver (only hit file-ids do, bounded by the candidate
-    //    count), there are no false positives at any K (unlike blooms at
-    //    1 % FPP — see BloomKeyCap), and the cost is a single-column
-    //    projected scan of the candidates: a few % of the bytes the
-    //    rewrite would spend on each file the pass excludes. Parquet
-    //    column pruning keeps the scan to the key column; Catalyst plans
-    //    the semi-join shuffle/broadcast by size.
-    val rangeHits = live.filter(s => hitIds.contains(s.segmentId))
-    val bloomHits: Set[String] = table.bloomKeyColumn match {
-      case Some(bloomCol) if bloomCol == key && rangeHits.nonEmpty && updCount > 0 =>
-        val files = rangeHits.map(s => (s"${table.root}/${s.path}", s.segmentId))
-        if (updCount <= BloomKeyCap) {
-          val keys: Array[Any] = upd.select(col(key)).collect().map(_.get(0))
-          KeyBloom.filterMayContain(spark.sparkContext.hadoopConfiguration,
-            files, bloomCol, keys).toSet
-        } else refineCandidatesExact(spark, upd.select(col(key)), key, files)
-      case _ => hitIds
-    }
-
-    val candidateIds = bloomHits ++ statless // stat-less files must be rewritten (sound)
-    val candidates = live.filter(s => candidateIds.contains(s.segmentId))
+    val candidates = selectCandidates(spark, table, upd, updCount, key, live)
 
     // --- 2. rewrite -------------------------------------------------------
     if (candidates.isEmpty && updCount == 0)
@@ -182,5 +134,103 @@ object MergeInto {
     val updated = targetRows - survivors
     val inserted = updCount - updated
     Report(candidates.size, added.size, updated, inserted, survivors, table.version)
+  }
+
+  /** `MERGE INTO … WHEN MATCHED THEN DELETE` — delete-by-key, the other
+    * half of the upsert MERGE (GDPR/right-to-be-forgotten over doc ids).
+    * Same candidate selection as [[merge]] (stats ranges → footer blooms /
+    * exact semi-join), then MERGE-ON-READ: one column-pruned pass joins the
+    * candidates' key column (plus parquet `_metadata` position) against the
+    * key set and attaches deletion-vector sidecars — matched-row-
+    * proportional cost, no file bytes move, exactly like
+    * [[DeleteWhere.deleteMor]]. Keys never collect to the driver: the
+    * match test is a broadcast/shuffle LEFT join Catalyst sizes itself. */
+  def mergeDelete(spark: SparkSession, table: TsTable, keys: DataFrame,
+                  key: String = "doc_id"): DeleteWhere.Report = {
+    table.refresh()
+    val live = table.state.liveSegments
+    val totalLive = live.map(_.liveRowCount).sum
+    val del = keys.select(col(key)).dropDuplicates(key)
+    val delCount = del.count()
+    if (delCount == 0 || live.isEmpty)
+      return DeleteWhere.Report(0, live.size, 0, 0L, totalLive, table.version)
+
+    val candidates = selectCandidates(spark, table, del, delCount, key, live)
+    if (candidates.isEmpty)
+      return DeleteWhere.Report(0, live.size, 0, 0L, totalLive, table.version)
+
+    val base = DeleteWhere.morBase(spark, table, candidates) { raw =>
+      raw.select(
+          col("_metadata.file_path").as("__f"),
+          col("_metadata.row_index").as("__i"),
+          col(key),
+          DeleteWhere.bucketExpr(table).as("__b"))
+        // LEFT join + hit flag = "key IS IN the delete set", evaluated
+        // distributed (broadcast when the key set is small, shuffle
+        // otherwise); NULL keys never match, matching MERGE ON semantics
+        .join(del.withColumn("__hit", lit(true)), Seq(key), "left")
+        .select(col("__f"), col("__i"),
+          coalesce(col("__hit"), lit(false)).as("__m"), col("__b"))
+    }
+    DeleteWhere.morAttach(spark, table, candidates,
+      live.size - candidates.size, totalLive, base)
+  }
+
+  /** Shared candidate-file selection for [[merge]] and [[mergeDelete]]:
+    * stats-range hits refined by footer blooms (small key sets) or an
+    * exact distributed semi-join (large ones); stat-less files are always
+    * candidates (sound). */
+  private def selectCandidates(spark: SparkSession, table: TsTable, upd: DataFrame,
+                               updCount: Long, key: String,
+                               live: Seq[SegmentMeta]): Seq[SegmentMeta] = {
+    // --- 1a. stats-based candidate selection (per-file [min,max]) --------
+    val ranges: Seq[(String, String, String)] = live.flatMap { seg =>
+      seg.stats.get(key) match {
+        case Some(graft.meta.ColStats(Some(StatVal.S(mn)), Some(StatVal.S(mx)), _)) =>
+          Some((seg.segmentId, mn, mx))
+        case _ => None
+      }
+    }
+    val withStats = ranges.iterator.map(_._1).toSet // O(live), not O(live²)
+    val statless = live.filterNot(s => withStats(s.segmentId)).map(_.segmentId)
+
+    import spark.implicits._
+    val keysDf = upd.select(col(key)).distinct()
+    val rangesDf = ranges.toDF("segment_id", "kmin", "kmax")
+    // broadcast the file ranges (manifest-sized), shuffle only the keys
+    val hitIds = keysDf
+      .join(broadcast(rangesDf),
+        col(key) >= col("kmin") && col(key) <= col("kmax"), "inner")
+      .select("segment_id").distinct().as[String].collect().toSet
+
+    // --- 1b. refinement: range stats are void after space-curve
+    // clustering (interleaved keys make every file span the keyspace), so
+    // range-hit candidates are re-tested for ACTUAL key presence:
+    //  - small update sets (≤ BloomKeyCap): probe each candidate's parquet
+    //    column bloom — footer metadata only, one driver-pool pass, no job;
+    //  - large update sets: an exact DISTRIBUTED semi-join of the
+    //    candidates' KEY COLUMN against the update keys, grouped to the
+    //    distinct source files (input_file_name). Keys never collect to
+    //    the driver (only hit file-ids do, bounded by the candidate
+    //    count), there are no false positives at any K (unlike blooms at
+    //    1 % FPP — see BloomKeyCap), and the cost is a single-column
+    //    projected scan of the candidates: a few % of the bytes the
+    //    rewrite would spend on each file the pass excludes. Parquet
+    //    column pruning keeps the scan to the key column; Catalyst plans
+    //    the semi-join shuffle/broadcast by size.
+    val rangeHits = live.filter(s => hitIds.contains(s.segmentId))
+    val bloomHits: Set[String] = table.bloomKeyColumn match {
+      case Some(bloomCol) if bloomCol == key && rangeHits.nonEmpty && updCount > 0 =>
+        val files = rangeHits.map(s => (s"${table.root}/${s.path}", s.segmentId))
+        if (updCount <= BloomKeyCap) {
+          val keys: Array[Any] = upd.select(col(key)).collect().map(_.get(0))
+          KeyBloom.filterMayContain(spark.sparkContext.hadoopConfiguration,
+            files, bloomCol, keys).toSet
+        } else refineCandidatesExact(spark, upd.select(col(key)), key, files)
+      case _ => hitIds
+    }
+
+    val candidateIds = bloomHits ++ statless // stat-less files must be rewritten (sound)
+    live.filter(s => candidateIds.contains(s.segmentId))
   }
 }

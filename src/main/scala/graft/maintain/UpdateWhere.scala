@@ -1,0 +1,94 @@
+package graft.maintain
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.meta.{PathNorm, SegmentMeta}
+import graft.table.{DeletionVectors, TsTable}
+
+/** UPDATE WHERE — copy-on-write predicate update, the in-place revision
+  * operator (re-score a quality column, re-tag a source, patch token
+  * arrays after a tokenizer fix). Not in the reference (its log is
+  * append-only); north-rule addition alongside DELETE/MERGE/compaction.
+  *
+  * Plan shape at scale (mirrors [[DeleteWhere.delete]]):
+  *  1. Candidate files via the same 3-valued stats evaluation the scan
+  *     uses — a file whose stats prove AlwaysFalse for the predicate holds
+  *     no matching row and is never read or rewritten.
+  *  2. One column-pruned pass counts matches per candidate over LIVE rows
+  *     (deletion vectors respected); candidates with zero matches keep
+  *     their bytes and segment ids.
+  *  3. Grazed files are rewritten whole — matched rows take the SET
+  *     expressions (evaluated against the row's OLD values, standard SQL
+  *     UPDATE semantics; assignments are simultaneous), unmatched rows
+  *     pass through byte-identical — and swap in ONE atomic commit
+  *     (snapshot isolation, OCC rebase). A rewrite also materializes any
+  *     deletion vector away, like compaction.
+  *  4. SET values are cast to the column's existing type, so the table
+  *     schema is invariant under UPDATE; time-series tables recompute
+  *     coverage in the same commit (the SET may touch the ts column).
+  *
+  * SQL UPDATE semantics: rows where the predicate is NULL are NOT updated.
+  */
+object UpdateWhere {
+
+  final case class Report(candidates: Int, filesKept: Int, filesOut: Int,
+                          rowsUpdated: Long, version: Long)
+
+  def update(spark: SparkSession, table: TsTable, condition: Column,
+             set: Map[String, Column]): Report = {
+    require(set.nonEmpty, "UPDATE WHERE needs at least one SET assignment")
+    table.refresh()
+    val live = table.state.liveSegments
+    val (_, candidates, untouched) = DeleteWhere.resolveAndPrune(spark, table, condition)
+    if (candidates.isEmpty)
+      return Report(0, live.size, 0, 0L, table.version)
+
+    val schema = table.scan(spark).schema
+    val unknown = set.keySet.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"UPDATE WHERE SET targets unknown columns: $unknown")
+
+    val matchesCond = coalesce(condition, lit(false)) // NULL predicate -> untouched
+
+    def liveRows(df: DataFrame, segs: Seq[SegmentMeta]): DataFrame =
+      DeletionVectors.liveRowFilter(table.root, segs).map(df.where).getOrElse(df)
+
+    // per-file match counts over live rows: zero-match candidates are
+    // never rewritten; a fully-no-op UPDATE returns without committing
+    val paths = candidates.map(seg => s"${table.root}/${seg.path}")
+    val matchedPerFile: Map[String, Long] = liveRows(spark.read.parquet(paths: _*), candidates)
+      .where(matchesCond)
+      .groupBy(input_file_name().as("f")).count()
+      .collect().map(r => PathNorm.canonical(r.getString(0)) -> r.getLong(1)).toMap
+    val rowsUpdated = matchedPerFile.values.sum
+    if (rowsUpdated == 0L)
+      return Report(candidates.size, live.size, 0, 0L, table.version)
+
+    var (hit, clean) = candidates.partition(seg =>
+      matchedPerFile.contains(PathNorm.canonical(s"${table.root}/${seg.path}")))
+    // same sanity net as DELETE: an unattributable matched file (exotic
+    // path scheme) falls back to rewriting all candidates — sound
+    val attributed = candidates
+      .map(seg => PathNorm.canonical(s"${table.root}/${seg.path}")).toSet
+    if (matchedPerFile.keys.exists(!attributed(_))) { hit = candidates; clean = Nil }
+
+    // simultaneous assignment against OLD values: every SET expression is
+    // planned over the original row (a SET that references an updated
+    // column sees its pre-update value), and the cast pins the column's
+    // declared type so the rewrite cannot drift the table schema
+    val projected = schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(v) => when(matchesCond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }
+
+    val repairCov = table.timeSpec.isDefined
+    val hitPaths = hit.map(seg => s"${table.root}/${seg.path}")
+    val newSegs = table.swapSegments(
+      liveRows(spark.read.parquet(hitPaths: _*), hit).select(projected.toIndexedSeq: _*),
+      hit.map(_.segmentId), recomputeCoverage = repairCov)
+
+    Report(candidates.size, untouched.size + clean.size, newSegs.size,
+      rowsUpdated, table.version)
+  }
+}

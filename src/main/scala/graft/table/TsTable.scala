@@ -643,6 +643,48 @@ final class TsTable private (val root: String, val store: LogStore) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** RESTORE commit: make the live set equal `targetSegs` (an earlier
+    * version's snapshot) as a NEW data-change commit — history is never
+    * rewritten, so concurrent readers keep snapshot isolation and the
+    * restore itself is time-travelable / restorable-away. The diff against
+    * the current state is recomputed INSIDE the OCC loop, so a rebase
+    * retry reconciles against the state it actually commits over:
+    *  - live id absent from target (or present with different meta, e.g. a
+    *    deletion vector attached since) → RemoveSegment;
+    *  - target segment absent from live (or differing) → AddSegment
+    *    (re-add of the original SegmentMeta, sidecar pointers included);
+    *  - identical id+meta → untouched.
+    * Time-series tables get coverage recomputed in the same commit. */
+  private[graft] def commitRestore(targetSegs: Seq[SegmentMeta], maxRetries: Int = 3,
+                                   recomputeCoverage: Boolean = false): Long = {
+    val targetById = targetSegs.map(s => s.segmentId -> s).toMap
+    require(targetById.size == targetSegs.size,
+      "target snapshot has duplicate segment ids — corrupt manifest?")
+    var attempt = 0
+    while (true) {
+      refresh()
+      val st = cachedState
+      val live = st.liveSegments
+      val liveById = live.map(s => s.segmentId -> s).toMap
+      val removes = live.filterNot(s => targetById.get(s.segmentId).contains(s))
+        .map(_.segmentId)
+      val adds = targetSegs.filterNot(s => liveById.get(s.segmentId).contains(s))
+      if (removes.isEmpty && adds.isEmpty) return st.version // already there
+      val actions: Seq[LogAction] =
+        removes.map(LogAction.RemoveSegment) ++ adds.map(LogAction.AddSegment) ++
+          (if (recomputeCoverage) coverageActionFor(st, removes, adds).toSeq else Nil)
+      try {
+        val v = store.commitWithExpectedVersion(st.version, actions)
+        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
+        return v
+      } catch {
+        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Coverage snapshot for the state AFTER removing `removeIds` and adding
     * `added`: union of the surviving + new segments' sidecars, written as
     * a fresh sidecar whose pointer action commits WITH the swap. None for
