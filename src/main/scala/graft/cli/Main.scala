@@ -21,8 +21,14 @@ import graft.table.TsTable
   *   compact --table ROOT [--target-file-size BYTES] [--job-id ID]
   *           [--where "SQL predicate"]   (stats-scoped: only matching files)
   *   expire  --table ROOT --keep-from VERSION
-  *   delete  --table ROOT --where "SQL predicate"
-  *   merge   --table ROOT --updates PARQUET [--key COL]
+  *   delete  --table ROOT --where "SQL predicate" [--mor]
+  *           (--mor = merge-on-read: deletion-vector sidecars, no rewrite)
+  *   update  --table ROOT --where "SQL predicate" --set col=EXPR [--set ...]
+  *   merge   --table ROOT --updates PARQUET [--key COL] [--delete]
+  *           (--delete = WHEN MATCHED THEN DELETE: the parquet holds keys)
+  *   restore --table ROOT --to-version V
+  *   diff    --table ROOT --from V [--to V] [--key COL] [--max-rows N]
+  *           [--output PATH --format csv|jsonl]
   *   history --table ROOT [--max-rows N]
   *   coverage --table ROOT --start ISO --end ISO
   */
@@ -120,17 +126,52 @@ object Main {
 
     case "delete" =>
       val t = TsTable.open(req(args, "table"))
-      val rep = DeleteWhere.delete(spark, t,
-        org.apache.spark.sql.functions.expr(req(args, "where")))
+      val cond = org.apache.spark.sql.functions.expr(req(args, "where"))
+      val rep =
+        if (flag(args, "mor")) DeleteWhere.deleteMor(spark, t, cond)
+        else DeleteWhere.delete(spark, t, cond)
       println(s"deleted: rows=${rep.rowsDeleted} candidates=${rep.candidates} " +
+        s"kept=${rep.filesKept} rewritten=${rep.filesOut} dv=${rep.dvAttached} -> v${rep.version}")
+
+    case "update" =>
+      val t = TsTable.open(req(args, "table"))
+      val sets = multi(args, "set").map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k.trim -> org.apache.spark.sql.functions.expr(v)
+      }.toMap
+      val rep = graft.maintain.UpdateWhere.update(spark, t,
+        org.apache.spark.sql.functions.expr(req(args, "where")), sets)
+      println(s"updated: rows=${rep.rowsUpdated} candidates=${rep.candidates} " +
         s"kept=${rep.filesKept} rewritten=${rep.filesOut} -> v${rep.version}")
 
     case "merge" =>
       val t = TsTable.open(req(args, "table"))
       val updates = spark.read.parquet(req(args, "updates"))
-      val rep = MergeInto.merge(spark, t, updates, key = opt(args, "key").getOrElse("doc_id"))
-      println(s"merged: updated=${rep.updated} inserted=${rep.inserted} " +
-        s"candidates=${rep.candidates} -> v${rep.version}")
+      val key = opt(args, "key").getOrElse("doc_id")
+      if (flag(args, "delete")) {
+        val rep = MergeInto.mergeDelete(spark, t, updates, key)
+        println(s"merge-deleted: rows=${rep.rowsDeleted} candidates=${rep.candidates} " +
+          s"dv=${rep.dvAttached} -> v${rep.version}")
+      } else {
+        val rep = MergeInto.merge(spark, t, updates, key = key)
+        println(s"merged: updated=${rep.updated} inserted=${rep.inserted} " +
+          s"candidates=${rep.candidates} -> v${rep.version}")
+      }
+
+    case "restore" =>
+      val t = TsTable.open(req(args, "table"))
+      val rep = graft.maintain.Restore.restore(t, req(args, "to-version").toLong)
+      println(s"restored: to=v${rep.restoredTo} added=${rep.filesAdded} " +
+        s"removed=${rep.filesRemoved} rows=${rep.rowsAfter} -> v${rep.version}")
+
+    case "diff" =>
+      val t = TsTable.open(req(args, "table"))
+      val from = req(args, "from").toLong
+      val to = opt(args, "to").map(_.toLong).getOrElse { t.refresh(); t.version }
+      val df = graft.maintain.SnapshotDiff.diff(spark, t, from, to,
+        opt(args, "key").getOrElse("doc_id"))
+      output(df, opt(args, "output"), opt(args, "format").getOrElse("csv"),
+        opt(args, "max-rows").map(_.toInt))
 
     case "shell" =>
       // interactive REPL (reference shell.rs); --table ROOT opens tables up

@@ -84,6 +84,60 @@ class CliSpec extends SparkFunSuite {
     run("history", "--table", root, "--max-rows", "5")
   }
 
+  test("update / delete --mor / merge --delete / restore / diff verbs drive end to end") {
+    import spark.implicits._
+    val root = tmpDir("cli-r5")
+    run("create", "--table", root, "--cluster-by", "source,n_tok,doc_id")
+    val pq = tmpDir("cli-r5-pq")
+    graft.data.TokenGen.generate(spark, 200).coalesce(1).write.mode("overwrite").parquet(pq)
+    val f = {
+      val s = Files.list(Paths.get(pq))
+      try { var found: String = null
+        val it = s.iterator()
+        while (it.hasNext && found == null) {
+          val p = it.next(); if (p.toString.endsWith(".parquet")) found = p.toString
+        }
+        found
+      } finally s.close()
+    }
+    run("append", "--table", root, "--parquet", f)
+    val pinned = TsTable.open(root).version
+
+    // UPDATE: multi-column SET via SQL expressions
+    run("update", "--table", root, "--where", "n_tok < 500",
+      "--set", "source=concat(source, '-u')", "--set", "n_tok=n_tok + 1")
+    val t1 = TsTable.open(root)
+    assert(t1.scan(spark).where("source LIKE '%-u'").count() ==
+      t1.scanAt(spark, pinned).where("n_tok < 500").count())
+
+    // merge-on-read delete: no rewrite, DV sidecars
+    run("delete", "--table", root, "--where", "n_tok > 1500", "--mor")
+    assert(TsTable.open(root).scan(spark).where("n_tok > 1500").count() == 0)
+
+    // MERGE ... WHEN MATCHED THEN DELETE from a key parquet
+    val keysPq = tmpDir("cli-r5-keys")
+    TsTable.open(root).scan(spark).select("doc_id").limit(10)
+      .write.mode("overwrite").parquet(keysPq)
+    val before = TsTable.open(root).scan(spark).count()
+    run("merge", "--table", root, "--updates", keysPq, "--delete")
+    assert(TsTable.open(root).scan(spark).count() == before - 10)
+
+    // diff since the pinned append, jsonl sink (tokens is an array column)
+    val out = tmpDir("cli-r5-out") + "/d"
+    run("diff", "--table", root, "--from", pinned.toString,
+      "--output", out, "--format", "jsonl")
+    val d = spark.read.json(out)
+    assert(d.select("_change_type").as[String].collect().toSet
+      .subsetOf(Set("insert", "delete", "update_pre", "update_post")))
+    assert(d.where("_change_type = 'delete'").count() > 0)
+
+    // restore to the pinned version: everything above rolls back
+    run("restore", "--table", root, "--to-version", pinned.toString)
+    val t2 = TsTable.open(root)
+    assert(t2.scan(spark).count() == 200)
+    assert(t2.scan(spark).where("source LIKE '%-u'").count() == 0)
+  }
+
   test("create rejects invalid bucket specs with a friendly error") {
     val e = intercept[IllegalArgumentException] {
       run("create", "--table", tmpDir("cli-bad"),
