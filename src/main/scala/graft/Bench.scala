@@ -69,6 +69,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark) // tok_sum in the scan sections
 
     val wall0 = System.nanoTime()
 
@@ -108,12 +109,22 @@ object Bench {
       record("ingest", time(t.append(input))._2)
 
       def latency(df: DataFrame): Double = time(df.count())._2
+      // the full_scan sections MATERIALIZE the sum (head, not count):
+      // count() over a global aggregate lets Catalyst prune the token
+      // aggregate away entirely — parquet then answers from footer row
+      // counts and the "full scan" reads no data pages. Fixed in r05;
+      // full_scan_* values from earlier rounds are not comparable (they
+      // measured a metadata count, ~0.07 s flat). The sum runs through
+      // the codegen'd tok_sum kernel — the HOF `aggregate` form is
+      // CodegenFallback and measures interpreted lambda dispatch, not the
+      // engine (TokenKernelSpec asserts the two are hash-identical).
+      def materialize(df: DataFrame): Double = time(df.head())._2
+      def tokSumScan() = t.scan(spark).select(sum(expr("tok_sum(tokens)")))
       val probeDoc = f"doc-${rows / 3}%012d"
       record("scan_point_before", latency(t.scan(spark).where(col("doc_id") === probeDoc)))
       record("scan_ntok_before", latency(t.scan(spark).where(col("n_tok").between(100, 160))))
       record("scan_source_before", latency(t.scan(spark).where(col("source") === "src15")))
-      record("full_scan_before", latency(t.scan(spark)
-        .select(sum(expr("aggregate(tokens, 0L, (a, x) -> a + x)")))))
+      record("full_scan_before", materialize(tokSumScan()))
 
       // the north-rule headline: compaction + Z-order clustering
       record("compact_zorder", time {
@@ -123,8 +134,7 @@ object Bench {
       record("scan_point_after", latency(t.scan(spark).where(col("doc_id") === probeDoc)))
       record("scan_ntok_after", latency(t.scan(spark).where(col("n_tok").between(100, 160))))
       record("scan_source_after", latency(t.scan(spark).where(col("source") === "src15")))
-      record("full_scan_after", latency(t.scan(spark)
-        .select(sum(expr("aggregate(tokens, 0L, (a, x) -> a + x)")))))
+      record("full_scan_after", materialize(tokSumScan()))
 
       val updIn = spark.read.parquet(updStage)
       record("merge_upsert", time(MergeInto.merge(spark, t, updIn))._2)
@@ -150,8 +160,7 @@ object Bench {
         graft.maintain.DeleteWhere.deleteMor(spark, t,
           col("doc_id") >= dvLo && col("doc_id") < dvHi)
       }._2)
-      record("full_scan_after_dv", latency(t.scan(spark)
-        .select(sum(expr("aggregate(tokens, 0L, (a, x) -> a + x)")))))
+      record("full_scan_after_dv", materialize(tokSumScan()))
 
       record("expire", time(Expire.expire(t, t.version))._2)
       // the trial's table root is never read again — reclaim it NOW so

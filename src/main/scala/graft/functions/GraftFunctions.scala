@@ -43,7 +43,10 @@ object GraftFunctions {
       { case Seq(v, p, q) => ProbeBlocks(v, intLit(p, "planes"), intLit(q, "probes")) }),
     ("date_bin",
       "date_bin(stride, ts, origin) — start of the stride-aligned bin (anchored at origin) containing ts",
-      { case Seq(s, t, o) => DateBin(s, t, o) }))
+      { case Seq(s, t, o) => DateBin(s, t, o) }),
+    ("tok_sum",
+      "tok_sum(tokens) — BIGINT sum of an array<int>, codegen'd (HOF-aggregate semantics)",
+      { case Seq(a) => TokSum(a) }))
 
   private def entries = functions.map { case (name, usage, builder) =>
     val checked: Seq[Expression] => Expression = exprs =>

@@ -108,21 +108,33 @@ final class TsTable private (val root: String, val store: LogStore) {
       "rows_added", "meta_updated", "coverage_updated", "txn")
   }
 
-  private[graft] def scanState(spark: SparkSession, st: TableState): DataFrame =
-    relationAt(spark, st) match {
-      case Some(rel) =>
-        val base = spark.baseRelationToDataFrame(rel)
-        // merge-on-read deletes: one extra codegen'd conjunct over
-        // parquet's native _metadata (row_index, file_path) columns; a
-        // snapshot without DVs plans no filter at all
-        DeletionVectors.liveRowFilter(root, st.liveSegments) match {
-          case Some(live) => base.where(live)
-          case None => base
-        }
-      case None =>
-        val schema = st.tableMeta.flatMap(_.schema).getOrElse(new StructType())
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  private[graft] def scanState(spark: SparkSession, st: TableState): DataFrame = {
+    val live = st.liveSegments
+    val schema = st.tableMeta.flatMap(_.schema).getOrElse {
+      if (live.isEmpty)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], new StructType())
+      spark.read.parquet(abs(live.head)).schema
     }
+    if (live.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // merge-on-read deletes: the snapshot splits into two relations so
+    // only the DV'd files pay the per-row filter — the clean majority
+    // scans exactly as a DV-free table (no _metadata columns, no lookup
+    // call, full whole-stage codegen), and Catalyst pushes query filters
+    // and column pruning through the union into both branches. A snapshot
+    // without DVs plans the single-relation path, zero overhead.
+    val (dvSegs, cleanSegs) = live.partition(_.dvPath.isDefined)
+    if (dvSegs.isEmpty)
+      spark.baseRelationToDataFrame(relationFor(spark, live, schema))
+    else {
+      val dvScan = spark.baseRelationToDataFrame(relationFor(spark, dvSegs, schema))
+        .where(DeletionVectors.liveRowFilter(root, dvSegs).get)
+      if (cleanSegs.isEmpty) dvScan
+      else spark.baseRelationToDataFrame(relationFor(spark, cleanSegs, schema))
+        .unionByName(dvScan)
+    }
+  }
 
   /** The manifest-backed BaseRelation for a snapshot (None when empty) —
     * also the batch half of the "graft-table" data source, so
@@ -134,14 +146,19 @@ final class TsTable private (val root: String, val store: LogStore) {
       if (st.liveSegments.isEmpty) return None // schema not yet adopted
       else spark.read.parquet(st.liveSegments.map(abs).head).schema
     }
-    val index = new TsFileIndex(spark, new HPath(root), st.liveSegments, schema)
-    Some(HadoopFsRelation(
+    Some(relationFor(spark, st.liveSegments, schema))
+  }
+
+  private def relationFor(spark: SparkSession, segs: Seq[SegmentMeta],
+                          schema: StructType): HadoopFsRelation = {
+    val index = new TsFileIndex(spark, new HPath(root), segs, schema)
+    HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),
       dataSchema = schema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
-      options = Map.empty)(spark))
+      options = Map.empty)(spark)
   }
 
   /** Native range scan (reference R16, table/scan.rs:311-354): half-open
