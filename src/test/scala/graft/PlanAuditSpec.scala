@@ -170,4 +170,52 @@ class PlanAuditSpec extends SparkFunSuite {
       plan.indexOf("HashAggregate") != plan.lastIndexOf("HashAggregate"),
       "no partial aggregation stage")
   }
+
+  test("DV'd snapshot: only grazed files pay the filter; pushdown reaches both branches") {
+    val root = tmpDir("plan-dv")
+    val t = TsTable.create(root, TableMeta("tokens",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
+    // two disjoint-range appends so the MOR delete grazes only batch 1
+    t.append(TokenGen.generate(spark, 500, numFiles = 2))
+    t.append(TokenGen.generate(spark, 500, idStart = 90000L, numFiles = 2))
+    graft.maintain.DeleteWhere.deleteMor(spark, t,
+      col("doc_id") < "doc-000000000100")
+    assert(t.state.liveSegments.count(_.dvPath.isDefined) > 0)
+    assert(t.state.liveSegments.count(_.dvPath.isEmpty) > 0)
+
+    val q = t.scan(spark).where(col("n_tok") > 500).select("doc_id", "n_tok")
+    val plan = executed(q)
+    assert(plan.contains("Union"), s"DV'd snapshot must plan a two-branch union:\n$plan")
+    // the user predicate pushes into BOTH parquet scans
+    assert("GreaterThan\\(n_tok,500\\)".r.findAllIn(plan).size >= 2,
+      s"pushdown did not reach both union branches:\n$plan")
+    // exactly one branch's SCAN evaluates the DV filter; the clean branch
+    // reads without _metadata columns or the lookup call
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.size == 2, s"expected two parquet scans:\n$plan")
+    assert(scans.count(_.contains("dv_deleted")) == 1,
+      s"DV filter must reach exactly one branch's scan:\n$plan")
+    assert(scans.count(_.contains("_tmp_metadata_row_index")) == 1,
+      s"clean branch must not materialize _metadata:\n$plan")
+  }
+
+  test("snapshot diff: fast path plans no join; general path joins keyed (no NLJ)") {
+    val root = tmpDir("plan-diff")
+    val t = TsTable.create(root, TableMeta("tokens",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
+    t.append(TokenGen.generate(spark, 400, numFiles = 2))
+    val v1 = t.version
+    t.append(TokenGen.generate(spark, 100, idStart = 90000L, numFiles = 1))
+    val fast = graft.maintain.SnapshotDiff.diff(spark, t, v1, t.version, "doc_id")
+    val fastPlan = executed(fast)
+    assert(!fastPlan.toLowerCase.contains("join"),
+      s"append-only diff must read only the added files:\n$fastPlan")
+
+    graft.maintain.DeleteWhere.delete(spark, t, col("n_tok") < 300)
+    val gen = graft.maintain.SnapshotDiff.diff(spark, t, v1, t.version, "doc_id")
+    val genPlan = executed(gen)
+    assert(genPlan.contains("Join") || genPlan.contains("join"), "general path must join")
+    assert(!genPlan.contains("BroadcastNestedLoopJoin") && !genPlan.contains("CartesianProduct"),
+      s"diff join must stay keyed:\n$genPlan")
+  }
 }
