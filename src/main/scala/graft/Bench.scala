@@ -90,6 +90,12 @@ object Bench {
     val inserts = TokenGen.generate(spark, rows / 1000, idStart = rows * 10, numFiles = 1)
     val updStage = Files.createTempDirectory("graft-bench-upd").toString
     updates.unionByName(inserts).write.mode("overwrite").parquet(updStage)
+    // a second, disjoint-range 1% update set for the MOR merge section
+    // (re-applying updStage would merely re-match the rows the COW merge
+    // just wrote)
+    val updMorStage = Files.createTempDirectory("graft-bench-updmor").toString
+    TokenGen.generate(spark, rows / 100, idStart = rows / 5, numFiles = 4)
+      .write.mode("overwrite").parquet(updMorStage)
 
     val headline = Seq("q01_agg", "q03_join", "q05_date_trunc", "q10_maintain_scan",
       "q21_minhash_pairs", "q22_simhash_pairs", "q24_embed_neardup", "q25_ann_topk",
@@ -138,6 +144,14 @@ object Bench {
 
       val updIn = spark.read.parquet(updStage)
       record("merge_upsert", time(MergeInto.merge(spark, t, updIn))._2)
+
+      // merge-on-read MERGE of a DIFFERENT 1% update set (fresh factor —
+      // the keys exist, the rows differ): DV-masks the matched rows and
+      // appends the updates, so the cost is the update set, not the
+      // candidate bytes — the COW merge above rewrites nearly the whole
+      // table because a uniform 1% keyset grazes every z-ordered file
+      val updMorIn = spark.read.parquet(updMorStage)
+      record("merge_upsert_mor", time(MergeInto.mergeMor(spark, t, updMorIn))._2)
 
       // DELETE WHERE: a contiguous 1% id range (post-zorder, stats keep
       // most files as candidates — the honest worst-ish case)
@@ -208,7 +222,7 @@ object Bench {
     spark.stop()
     // reclaim the dataset-sized staged inputs so repeated runs don't fill
     // /tmp (trial table roots were deleted as each trial finished)
-    Seq(stage, updStage).foreach { d =>
+    Seq(stage, updStage, updMorStage).foreach { d =>
       try deleteRecursively(java.nio.file.Paths.get(d))
       catch { case _: Exception => () }
     }

@@ -220,6 +220,20 @@ object SparkEntry {
         expr(tokSum).as("tok_sum"))
     }),
 
+    // merge-on-read MERGE: identical inputs and oracle as q11, but the
+    // matched old rows are masked with deletion vectors and the update
+    // set lands as new clustered segments in the SAME commit — the scan
+    // must read through the DVs and still reproduce q11's closed forms
+    "q58_merge_mor_scan" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir)
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      val updates = tokenDf(s, dir, factor = 37).where("CAST(substring(doc_id, 5) AS BIGINT) % 10 = 0")
+      val inserts = tokenDf(s, dir, factor = 31, idOffset = 10000000L)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 97 = 10000000 % 97")
+      MergeInto.mergeMor(s, t, updates.unionByName(inserts))
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"), expr(tokSum).as("tok_sum"))
+    }),
+
     // UPDATE WHERE through the engine: compact+cluster, then predicate
     // update (stats-pruned candidates, copy-on-write swap) — matched rows
     // take the SET expressions evaluated over their OLD values
@@ -811,6 +825,20 @@ object SparkEntry {
            |  AND NOT (64 + doc_id % 1985 BETWEEN 200 AND 400)""".stripMargin,
 
       "q11_merge_scan" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  CASE WHEN doc_id % 10 = 0 THEN ${tokSumOracle("doc_id", 37)}
+           |       ELSE ${tokSumOracle("doc_id", 31)} END AS tok_sum
+           |FROM documents
+           |UNION ALL
+           |SELECT 'doc-' || lpad(CAST(doc_id + 10000000 AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + (doc_id + 10000000) % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("(doc_id + 10000000)", 31)} AS tok_sum
+           |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
+
+      // identical to q11 (same inputs, same final state): MOR merge must
+      // be indistinguishable from COW merge at the query surface
+      "q58_merge_mor_scan" ->
         s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
            |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
            |  CASE WHEN doc_id % 10 = 0 THEN ${tokSumOracle("doc_id", 37)}

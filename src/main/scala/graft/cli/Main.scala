@@ -24,8 +24,9 @@ import graft.table.TsTable
   *   delete  --table ROOT --where "SQL predicate" [--mor]
   *           (--mor = merge-on-read: deletion-vector sidecars, no rewrite)
   *   update  --table ROOT --where "SQL predicate" --set col=EXPR [--set ...]
-  *   merge   --table ROOT --updates PARQUET [--key COL] [--delete]
-  *           (--delete = WHEN MATCHED THEN DELETE: the parquet holds keys)
+  *   merge   --table ROOT --updates PARQUET [--key COL] [--delete] [--mor]
+  *           (--delete = WHEN MATCHED THEN DELETE: the parquet holds keys;
+  *            --mor = merge-on-read upsert: DV-mask matched rows + append)
   *   restore --table ROOT --to-version V
   *   diff    --table ROOT --from V [--to V] [--key COL] [--max-rows N]
   *           [--output PATH --format csv|jsonl]
@@ -153,7 +154,9 @@ object Main {
         println(s"merge-deleted: rows=${rep.rowsDeleted} candidates=${rep.candidates} " +
           s"dv=${rep.dvAttached} -> v${rep.version}")
       } else {
-        val rep = MergeInto.merge(spark, t, updates, key = key)
+        val rep =
+          if (flag(args, "mor")) MergeInto.mergeMor(spark, t, updates, key = key)
+          else MergeInto.merge(spark, t, updates, key = key)
         println(s"merged: updated=${rep.updated} inserted=${rep.inserted} " +
           s"candidates=${rep.candidates} -> v${rep.version}")
       }

@@ -205,6 +205,15 @@ object DeleteWhere {
       .map(base0.where).getOrElse(base0)
   }
 
+  /** The driver-side outcome of a MOR matched-row pass, sidecars already
+    * written (caller owns `written` cleanup on abort): the DV upserts,
+    * the fully-matched removals, the OCC base expectation, and the
+    * matched-row count. */
+  private[maintain] final case class MorPlan(
+      upserts: Seq[SegmentMeta], removeIds: Seq[String],
+      expectedDv: Map[String, Option[String]], rowsMatched: Long,
+      written: Seq[String])
+
   /** Shared MOR tail (predicate and keyed deletes): aggregate `base`
     * — columns (__f file, __i position, __m matched, __b survivor bucket),
     * already live-row-filtered — into one DV bitmap + one survivor
@@ -213,6 +222,33 @@ object DeleteWhere {
   private[maintain] def morAttach(spark: SparkSession, table: TsTable,
                                   candidates: Seq[SegmentMeta], untouchedCount: Int,
                                   totalLive: Long, base: DataFrame): Report = {
+    val plan = morCompute(spark, table, candidates, base).getOrElse(
+      return Report(candidates.size, untouchedCount + candidates.size, 0, 0L,
+        totalLive, table.version))
+    try table.commitDvAttach(plan.upserts, plan.removeIds, plan.expectedDv,
+      recomputeCoverage = table.timeSpec.isDefined)
+    catch {
+      case e: Throwable =>
+        plan.written.foreach(rel => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(PathNorm.canonical(s"${table.root}/$rel"))))
+        throw e
+    }
+    val grazedCount = plan.upserts.size + plan.removeIds.size
+    Report(candidates.size, untouchedCount + (candidates.size - grazedCount), 0,
+      plan.rowsMatched, totalLive - plan.rowsMatched, table.version,
+      filesDroppedMetaOnly = plan.removeIds.size, dvAttached = plan.upserts.size)
+  }
+
+  /** The distributed half of a MOR pass: aggregate `base` into per-file
+    * bitmaps, write DV (and survivor-coverage) sidecars, and return the
+    * commit plan WITHOUT committing — [[morAttach]] commits it alone,
+    * [[MergeInto.mergeMor]] commits it atomically with the appended
+    * replacement segments. None = no row matched. Sidecar writes that
+    * fail mid-loop are cleaned up here; after a Some return the CALLER
+    * owns `written` until its commit succeeds. */
+  private[maintain] def morCompute(spark: SparkSession, table: TsTable,
+                                   candidates: Seq[SegmentMeta],
+                                   base: DataFrame): Option[MorPlan] = {
     import spark.implicits._
     // (file, dvPartial, covPartial, matches): one emit per (split, file)
     val perFile = base.as[(String, Long, Boolean, Option[Long])]
@@ -252,9 +288,7 @@ object DeleteWhere {
       .collect()
 
     val grazed = perFile.filter(_._4 > 0L)
-    if (grazed.isEmpty)
-      return Report(candidates.size, untouchedCount + candidates.size, 0, 0L,
-        totalLive, table.version)
+    if (grazed.isEmpty) return None
 
     val segByCanon = candidates
       .map(s => PathNorm.canonical(s"${table.root}/${s.path}") -> s).toMap
@@ -263,14 +297,14 @@ object DeleteWhere {
     val written = scala.collection.mutable.ArrayBuffer.empty[String] // abort cleanup
     val removeIds = scala.collection.mutable.ArrayBuffer.empty[String]
     val upserts = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
-    var rowsDeleted = 0L
+    var rowsMatched = 0L
     try {
       grazed.foreach { case (f, dvBytes, covBytes, m) =>
         val seg = segByCanon.getOrElse(PathNorm.canonical(f),
           throw new IllegalStateException(
             s"cannot attribute $f to a candidate segment (exotic path scheme?); " +
-              "use the copy-on-write DELETE for this table"))
-        rowsDeleted += m
+              "use the copy-on-write path for this table"))
+        rowsMatched += m
         val newDv = Bitmap.deserialize(dvBytes)
         val union = seg.dvPath
           .map(p => DeletionVectors.readDv(s"${table.root}/$p").union(newDv))
@@ -291,21 +325,16 @@ object DeleteWhere {
             coveragePath = covRel)
         }
       }
-      val expectedDv = grazed.map { case (f, _, _, _) =>
-        val seg = segByCanon(PathNorm.canonical(f)); seg.segmentId -> seg.dvPath
-      }.toMap
-      table.commitDvAttach(upserts.toSeq, removeIds.toSeq, expectedDv,
-        recomputeCoverage = repairCov)
     } catch {
       case e: Throwable =>
         written.foreach(rel => java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(PathNorm.canonical(s"${table.root}/$rel"))))
         throw e
     }
-
-    Report(candidates.size, untouchedCount + (candidates.size - grazed.length), 0,
-      rowsDeleted, totalLive - rowsDeleted, table.version,
-      filesDroppedMetaOnly = removeIds.size, dvAttached = upserts.size)
+    val expectedDv = grazed.map { case (f, _, _, _) =>
+      val seg = segByCanon(PathNorm.canonical(f)); seg.segmentId -> seg.dvPath
+    }.toMap
+    Some(MorPlan(upserts.toSeq, removeIds.toSeq, expectedDv, rowsMatched, written.toSeq))
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

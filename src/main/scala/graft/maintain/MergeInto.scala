@@ -136,6 +136,92 @@ object MergeInto {
     Report(candidates.size, added.size, updated, inserted, survivors, table.version)
   }
 
+  /** Merge-on-read MERGE (upsert): identical semantics to [[merge]] —
+    * matched keys take the update row, unmatched update keys insert,
+    * untouched rows survive — but the matched OLD rows are masked with
+    * deletion-vector sidecars instead of rewriting their files, and the
+    * update set lands as NEW clustered segments. ONE atomic commit carries
+    * the DV upserts, the fully-matched removals, and the added segments,
+    * so no reader can observe the delete without the replacement.
+    *
+    * Cost shape at 10^12 rows: COW merge pays the BYTES of every
+    * candidate file (curve interleaving makes a uniform 1 % update touch
+    * nearly every file — the rewrite approaches a full-table compaction);
+    * MOR merge pays one column-pruned scan of the candidates (key +
+    * position), KB-scale bitmap sidecars, and a write proportional to the
+    * UPDATE SET. The read side pays the DV conjunct on grazed files until
+    * compaction materializes it away — the same deliberate write/read
+    * trade as [[DeleteWhere.deleteMor]]. */
+  def mergeMor(spark: SparkSession, table: TsTable, updates: DataFrame,
+               key: String = "doc_id",
+               targetFileSize: Long = 512L * 1024 * 1024): Report = {
+    table.refresh()
+    val live = table.state.liveSegments
+    val curve = table.clusterSpec.map(_.curve).getOrElse("none")
+    // the update set is consumed four times (count, candidate refinement,
+    // match join, clustered write) — pin it once, whatever upstream it
+    // came from
+    val upd = updates.dropDuplicates(key)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val updCount = upd.count()
+    if (updCount == 0)
+      return Report(0, 0, 0, 0, live.map(_.liveRowCount).sum, table.version)
+
+    val candidates = selectCandidates(spark, table, upd, updCount, key, live)
+
+    // matched-position pass (only when something can match)
+    val plan: Option[DeleteWhere.MorPlan] =
+      if (candidates.isEmpty) None
+      else {
+        val keysDf = upd.select(col(key))
+        val base = DeleteWhere.morBase(spark, table, candidates) { raw =>
+          raw.select(
+              col("_metadata.file_path").as("__f"),
+              col("_metadata.row_index").as("__i"),
+              col(key),
+              DeleteWhere.bucketExpr(table).as("__b"))
+            .join(keysDf.withColumn("__hit", lit(true)), Seq(key), "left")
+            .select(col("__f"), col("__i"),
+              coalesce(col("__hit"), lit(false)).as("__m"), col("__b"))
+        }
+        DeleteWhere.morCompute(spark, table, candidates, base)
+      }
+
+    // the update set as new clustered segments; sized like a small append
+    // (compaction bin-packs later) — never fewer files than cores would
+    // leave the cluster idle, never so many that tiny updates fragment
+    val updBytesEst = updCount * 4096L
+    val outFiles = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      math.ceil(updBytesEst.toDouble / targetFileSize).toInt * 4))
+    val clustered = Compaction.clusterSorted(upd, curve, outFiles, ClusterKey.fit(live))
+    val newSegs = table.stageSegments(clustered)
+
+    try {
+      plan match {
+        case Some(p) =>
+          table.commitDvAttach(p.upserts, p.removeIds, p.expectedDv,
+            recomputeCoverage = table.timeSpec.isDefined, adds = newSegs)
+        case None =>
+          // pure insert: no matched rows anywhere — commit just the adds
+          table.commitDvAttach(Nil, Nil, Map.empty,
+            recomputeCoverage = table.timeSpec.isDefined, adds = newSegs)
+      }
+    } catch {
+      case e: Throwable =>
+        table.deleteStaged(newSegs)
+        plan.foreach(_.written.foreach(rel => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(graft.meta.PathNorm.canonical(s"${table.root}/$rel")))))
+        throw e
+    }
+
+    val matched = plan.map(_.rowsMatched).getOrElse(0L)
+    val survivors = live.map(_.liveRowCount).sum - matched
+    Report(candidates.size, newSegs.size, matched, updCount - matched,
+      survivors, table.version)
+    } finally upd.unpersist(false)
+  }
+
   /** `MERGE INTO … WHEN MATCHED THEN DELETE` — delete-by-key, the other
     * half of the upsert MERGE (GDPR/right-to-be-forgotten over doc ids).
     * Same candidate selection as [[merge]] (stats ranges → footer blooms /

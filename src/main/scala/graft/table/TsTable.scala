@@ -480,65 +480,13 @@ final class TsTable private (val root: String, val store: LogStore) {
   private[graft] def swapSegments(df: DataFrame, removeIds: Seq[String],
                                   maxRetries: Int = 3,
                                   recomputeCoverage: Boolean = false): Seq[SegmentMeta] = {
-    val spark = df.sparkSession
-    val commitId = UUID.randomUUID().toString.take(8)
-    val stagingAbs = s"$root/.staging-$commitId"
-    // same liveness beacon as append: a long rewrite must not lose its
-    // staging tree to a concurrent Expire's crashed-writer reclamation
-    val heartbeat = StagingHeartbeat.start(stagingAbs)
-    try {
-    df.write.options(segmentWriteOptions).mode("overwrite").parquet(stagingAbs)
-    val written0 = listParquet(stagingAbs)
-    val conf = spark.sparkContext.hadoopConfiguration
-    // zero-row part files (a rewrite partition whose every row was
-    // filtered away) are DISCARDED like the append path does — committing
-    // one would create a rowCount=0 segment with no coverage sidecar,
-    // which wedges the time-series append precondition forever. An
-    // all-empty rewrite degenerates to a pure-Remove commit.
-    val statsAll = FooterStats.readAll(conf, written0)
-    val (liveOut, emptyOut) = statsAll.partition(_._2.rowCount > 0)
-    emptyOut.foreach(f => Files.deleteIfExists(Paths.get(stripScheme(f._1))))
-    val written = liveOut.map(_._1)
-    val fileStats = liveOut
-    val moved = written.zipWithIndex.map { case (src, i) =>
-      val rel = f"data/$commitId-$i%05d.parquet"
-      Files.createDirectories(Paths.get(s"$root/data"))
-      Files.move(Paths.get(stripScheme(src)), Paths.get(stripScheme(s"$root/$rel")))
-      rel
-    }
-    // same beacon-before-delete ordering as append (see there)
-    heartbeat.stop()
-    deleteRecursively(Paths.get(stripScheme(stagingAbs)))
-    // time-series tables: rewritten segments need coverage sidecars so the
-    // append overlap-check precondition keeps holding after compaction
-    val covByPath: Map[String, String] = timeSpec match {
-      case Some(spec) if moved.nonEmpty =>
-        computeCoverage(spark, moved.map(rel => s"$root/$rel"), spec).map { case (p, bm) =>
-          val rel = p.stripPrefix(graft.meta.PathNorm.canonical(root) + "/")
-          val segId = SegmentMeta.segmentIdV1(rel, Paths.get(p))
-          val covRel = s"_coverage/segments/segcov-$segId.cov"
-          writeBytes(s"$root/$covRel", bm.serialize())
-          rel -> covRel
-        }
-      case _ => Map.empty
-    }
-    val segs = moved.zip(fileStats).map { case (rel, (_, fs)) =>
-      val segId = SegmentMeta.segmentIdV1(rel, Paths.get(stripScheme(s"$root/$rel")))
-      SegmentMeta(segId, rel, "parquet", fs.rowCount, Some(fs.fileSize), fs.stats, covByPath.get(rel))
-    }
+    val segs = stageSegments(df)
     // same orphan rule as append: the rewritten files were moved into
     // data/ above, so every abort path below (lost race on a removed
     // segment, retry budget exhausted) must delete them + their sidecars
     // before propagating — no commit references them and Expire's orphan
     // scan only reclaims log-seen segments
-    def cleanupAndThrow(e: Throwable): Nothing = {
-      segs.foreach { seg =>
-        Files.deleteIfExists(Paths.get(stripScheme(s"$root/${seg.path}")))
-        seg.coveragePath.foreach(cp =>
-          Files.deleteIfExists(Paths.get(stripScheme(s"$root/$cp"))))
-      }
-      throw e
-    }
+    def cleanupAndThrow(e: Throwable): Nothing = { deleteStaged(segs); throw e }
     var attempt = 0
     while (true) {
       refresh()
@@ -561,9 +509,72 @@ final class TsTable private (val root: String, val store: LogStore) {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
 
+  /** Write `df` as new committed-ready segments under data/ (staging dir,
+    * zero-row parts discarded, footer stats, coverage sidecars for
+    * time-series tables) and return their metas. NO log commit happens
+    * here: the caller commits the AddSegments (swapSegments, mergeMor) and
+    * owns [[deleteStaged]] cleanup on every abort path — until the commit
+    * lands these files are unreferenced orphans invisible to readers. */
+  private[graft] def stageSegments(df: DataFrame): Seq[SegmentMeta] = {
+    val spark = df.sparkSession
+    val commitId = UUID.randomUUID().toString.take(8)
+    val stagingAbs = s"$root/.staging-$commitId"
+    // same liveness beacon as append: a long rewrite must not lose its
+    // staging tree to a concurrent Expire's crashed-writer reclamation
+    val heartbeat = StagingHeartbeat.start(stagingAbs)
+    try {
+      df.write.options(segmentWriteOptions).mode("overwrite").parquet(stagingAbs)
+      val written0 = listParquet(stagingAbs)
+      val conf = spark.sparkContext.hadoopConfiguration
+      // zero-row part files (a rewrite partition whose every row was
+      // filtered away) are DISCARDED like the append path does — committing
+      // one would create a rowCount=0 segment with no coverage sidecar,
+      // which wedges the time-series append precondition forever. An
+      // all-empty rewrite degenerates to a pure-Remove commit.
+      val statsAll = FooterStats.readAll(conf, written0)
+      val (liveOut, emptyOut) = statsAll.partition(_._2.rowCount > 0)
+      emptyOut.foreach(f => Files.deleteIfExists(Paths.get(stripScheme(f._1))))
+      val written = liveOut.map(_._1)
+      val fileStats = liveOut
+      val moved = written.zipWithIndex.map { case (src, i) =>
+        val rel = f"data/$commitId-$i%05d.parquet"
+        Files.createDirectories(Paths.get(s"$root/data"))
+        Files.move(Paths.get(stripScheme(src)), Paths.get(stripScheme(s"$root/$rel")))
+        rel
+      }
+      // same beacon-before-delete ordering as append (see there)
+      heartbeat.stop()
+      deleteRecursively(Paths.get(stripScheme(stagingAbs)))
+      // time-series tables: rewritten segments need coverage sidecars so the
+      // append overlap-check precondition keeps holding after compaction
+      val covByPath: Map[String, String] = timeSpec match {
+        case Some(spec) if moved.nonEmpty =>
+          computeCoverage(spark, moved.map(rel => s"$root/$rel"), spec).map { case (p, bm) =>
+            val rel = p.stripPrefix(graft.meta.PathNorm.canonical(root) + "/")
+            val segId = SegmentMeta.segmentIdV1(rel, Paths.get(p))
+            val covRel = s"_coverage/segments/segcov-$segId.cov"
+            writeBytes(s"$root/$covRel", bm.serialize())
+            rel -> covRel
+          }
+        case _ => Map.empty
+      }
+      moved.zip(fileStats).map { case (rel, (_, fs)) =>
+        val segId = SegmentMeta.segmentIdV1(rel, Paths.get(stripScheme(s"$root/$rel")))
+        SegmentMeta(segId, rel, "parquet", fs.rowCount, Some(fs.fileSize), fs.stats,
+          covByPath.get(rel))
+      }
     } finally heartbeat.stop()
   }
+
+  /** Delete staged-but-uncommitted segments (+ sidecars) after an abort. */
+  private[graft] def deleteStaged(segs: Seq[SegmentMeta]): Unit =
+    segs.foreach { seg =>
+      Files.deleteIfExists(Paths.get(stripScheme(s"$root/${seg.path}")))
+      seg.coveragePath.foreach(cp =>
+        Files.deleteIfExists(Paths.get(stripScheme(s"$root/$cp"))))
+    }
 
   /** Watermark-only commit for an empty streaming batch: the (app, batch)
     * txn advances with no segments, so a replay of the empty batch is
@@ -630,7 +641,8 @@ final class TsTable private (val root: String, val store: LogStore) {
   private[graft] def commitDvAttach(upserts: Seq[SegmentMeta], removeIds: Seq[String],
                                     expectedDv: Map[String, Option[String]],
                                     maxRetries: Int = 3,
-                                    recomputeCoverage: Boolean = false): Long = {
+                                    recomputeCoverage: Boolean = false,
+                                    adds: Seq[SegmentMeta] = Nil): Long = {
     val affected = upserts.map(_.segmentId) ++ removeIds
     var attempt = 0
     while (true) {
@@ -646,8 +658,9 @@ final class TsTable private (val root: String, val store: LogStore) {
           s"DV attach aborted: segments re-DV'd by a concurrent DELETE: $rebased")
       val actions: Seq[LogAction] =
         (removeIds ++ upserts.map(_.segmentId)).map(LogAction.RemoveSegment) ++
-          upserts.map(LogAction.AddSegment) ++
-          (if (recomputeCoverage) coverageActionFor(st, affected, upserts).toSeq else Nil)
+          (upserts ++ adds).map(LogAction.AddSegment) ++
+          (if (recomputeCoverage)
+            coverageActionFor(st, affected, upserts ++ adds).toSeq else Nil)
       try {
         val v = store.commitWithExpectedVersion(st.version, actions)
         cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)

@@ -117,6 +117,57 @@ class UpdateRestoreDiffSpec extends SparkFunSuite {
     assert(r3.rowsDeleted == 0L && r3.version == t.version)
   }
 
+  test("mergeMor: equals COW merge row-for-row; candidate bytes untouched; one atomic commit") {
+    val rows = 600
+    val df = TokenGen.generate(spark, rows, numFiles = 4)
+    val tMor = TsTable.create(tmpDir("urd-mor"), tokenMeta); tMor.append(df)
+    val tCow = TsTable.create(tmpDir("urd-cow"), tokenMeta); tCow.append(df)
+    Compaction.run(spark, tMor, targetFileSize = 8L * 1024 * 1024)
+    Compaction.run(spark, tCow, targetFileSize = 8L * 1024 * 1024)
+
+    // updates: 50 existing keys re-tokenized (distinguishable content),
+    // plus 10 brand-new keys (inserts)
+    val upd = TokenGen.generate(spark, 50, idStart = 100L)
+      .withColumn("source", lit("revised"))
+      .unionByName(TokenGen.generate(spark, 10, idStart = 50000L))
+
+    val filesBefore = tMor.state.liveSegments.map(s => (s.path, s.fileSize)).toSet
+    val vBefore = tMor.version
+    val rm = MergeInto.mergeMor(spark, tMor, upd)
+    val rc = MergeInto.merge(spark, tCow, upd)
+    assert(rm.updated == 50 && rm.inserted == 10)
+    assert(rm.updated == rc.updated && rm.inserted == rc.inserted)
+    // ONE commit: DV upserts + adds land atomically
+    assert(tMor.version == vBefore + 1)
+    // candidate bytes never moved; only NEW files appeared
+    val after = tMor.state.liveSegments.map(s => (s.path, s.fileSize)).toSet
+    assert(filesBefore.subsetOf(after), "MOR merge must not rewrite candidate files")
+
+    // full result parity with the COW merge (same rows, same content)
+    val a = tMor.scan(spark).orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getSeq[Int](1), r.getInt(2), r.getString(3))).toSeq
+    val b = tCow.scan(spark).orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getSeq[Int](1), r.getInt(2), r.getString(3))).toSeq
+    assert(a == b)
+    assert(a.count(_._4 == "revised") == 50)
+    // compaction materializes the merge DVs away; content unchanged
+    Compaction.run(spark, tMor, targetFileSize = 8L * 1024 * 1024)
+    assert(tMor.state.liveSegments.forall(_.dvPath.isEmpty))
+    assert(tMor.scan(spark).count() == rows + 10)
+  }
+
+  test("mergeMor: pure-insert set (no matches) commits adds only; empty set is a no-op") {
+    val t = build(200, files = 2)
+    val v0 = t.version
+    val r = MergeInto.mergeMor(spark, t,
+      TokenGen.generate(spark, 20, idStart = 77000L))
+    assert(r.updated == 0 && r.inserted == 20 && t.version == v0 + 1)
+    assert(t.state.liveSegments.forall(_.dvPath.isEmpty)) // nothing masked
+    assert(t.scan(spark).count() == 220)
+    val r2 = MergeInto.mergeMor(spark, t, TokenGen.generate(spark, 5).where(lit(false)))
+    assert(r2.updated == 0 && r2.inserted == 0 && t.version == v0 + 1)
+  }
+
   // ---- RESTORE ----------------------------------------------------------
 
   test("restore: rolls back append + MOR delete metadata-only; restore itself is time-travelable") {
