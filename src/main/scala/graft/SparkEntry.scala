@@ -248,6 +248,19 @@ object SparkEntry {
         expr(tokSum).as("tok_sum"))
     }),
 
+    // merge-on-read UPDATE: same inputs and oracle as q54, but matched
+    // rows are DV-masked and their updated images appended in one commit;
+    // the scan reads through the DVs and must reproduce q54's closed form
+    "q59_update_mor_scan" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir)
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      graft.maintain.UpdateWhere.updateMor(s, t, col("n_tok").between(200, 400),
+        Map("source" -> concat(col("source"), lit("-upd")),
+            "n_tok" -> (col("n_tok") + 1000)))
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
+        expr(tokSum).as("tok_sum"))
+    }),
+
     // RESTORE to an earlier version ACROSS an append and a merge-on-read
     // delete: the rollback commit swaps the live set back metadata-only
     // (DV upserts reverted to their DV-free originals), so the scan must
@@ -768,6 +781,17 @@ object SparkEntry {
            |  AND NOT (64 + doc_id % 1985 < 100)""".stripMargin,
 
       "q54_update_scan" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id,
+           |  CASE WHEN 64 + doc_id % 1985 BETWEEN 200 AND 400
+           |       THEN source || '-upd' ELSE source END AS source,
+           |  CAST(CASE WHEN 64 + doc_id % 1985 BETWEEN 200 AND 400
+           |       THEN 1064 + doc_id % 1985 ELSE 64 + doc_id % 1985 END AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents""".stripMargin,
+
+      // identical to q54: MOR update must be indistinguishable from COW
+      // update at the query surface
+      "q59_update_mor_scan" ->
         s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id,
            |  CASE WHEN 64 + doc_id % 1985 BETWEEN 200 AND 400
            |       THEN source || '-upd' ELSE source END AS source,

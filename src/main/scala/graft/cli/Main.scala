@@ -24,6 +24,7 @@ import graft.table.TsTable
   *   delete  --table ROOT --where "SQL predicate" [--mor]
   *           (--mor = merge-on-read: deletion-vector sidecars, no rewrite)
   *   update  --table ROOT --where "SQL predicate" --set col=EXPR [--set ...]
+  *           [--mor]  (merge-on-read: DV-mask matched rows + append images)
   *   merge   --table ROOT --updates PARQUET [--key COL] [--delete] [--mor]
   *           (--delete = WHEN MATCHED THEN DELETE: the parquet holds keys;
   *            --mor = merge-on-read upsert: DV-mask matched rows + append)
@@ -140,8 +141,10 @@ object Main {
         val Array(k, v) = kv.split("=", 2)
         k.trim -> org.apache.spark.sql.functions.expr(v)
       }.toMap
-      val rep = graft.maintain.UpdateWhere.update(spark, t,
-        org.apache.spark.sql.functions.expr(req(args, "where")), sets)
+      val cond = org.apache.spark.sql.functions.expr(req(args, "where"))
+      val rep =
+        if (flag(args, "mor")) graft.maintain.UpdateWhere.updateMor(spark, t, cond, sets)
+        else graft.maintain.UpdateWhere.update(spark, t, cond, sets)
       println(s"updated: rows=${rep.rowsUpdated} candidates=${rep.candidates} " +
         s"kept=${rep.filesKept} rewritten=${rep.filesOut} -> v${rep.version}")
 

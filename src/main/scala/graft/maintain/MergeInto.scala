@@ -188,13 +188,28 @@ object MergeInto {
         DeleteWhere.morCompute(spark, table, candidates, base)
       }
 
+    // pin the update set to the TABLE schema (order + types): the COW
+    // path gets this via unionByName with the candidate read, but here
+    // the updates land as segments directly — an extra/missing column
+    // fails loudly, a compatible type is cast, so the table schema is
+    // invariant under MERGE
+    val pinned = table.state.tableMeta.flatMap(_.schema) match {
+      case Some(sch) =>
+        val missing = sch.fieldNames.filterNot(upd.columns.contains)
+        require(missing.isEmpty, s"MERGE update set lacks table columns: ${missing.mkString(", ")}")
+        val extra = upd.columns.filterNot(sch.fieldNames.contains)
+        require(extra.isEmpty, s"MERGE update set has unknown columns: ${extra.mkString(", ")}")
+        upd.select(sch.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      case None => upd
+    }
+
     // the update set as new clustered segments; sized like a small append
     // (compaction bin-packs later) — never fewer files than cores would
     // leave the cluster idle, never so many that tiny updates fragment
     val updBytesEst = updCount * 4096L
     val outFiles = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       math.ceil(updBytesEst.toDouble / targetFileSize).toInt * 4))
-    val clustered = Compaction.clusterSorted(upd, curve, outFiles, ClusterKey.fit(live))
+    val clustered = Compaction.clusterSorted(pinned, curve, outFiles, ClusterKey.fit(live))
     val newSegs = table.stageSegments(clustered)
 
     try {

@@ -91,4 +91,71 @@ object UpdateWhere {
     Report(candidates.size, untouched.size + clean.size, newSegs.size,
       rowsUpdated, table.version)
   }
+
+  /** Merge-on-read UPDATE: the matched rows are masked with
+    * deletion-vector sidecars and their UPDATED images are appended as
+    * new clustered segments — one atomic commit, exactly the
+    * [[MergeInto.mergeMor]] shape. Cost is proportional to the MATCHED
+    * rows (one candidate scan + the rewrite of only those rows), not the
+    * grazed files' bytes; the read side pays the DV conjunct on grazed
+    * files until compaction materializes it away. Same SQL semantics as
+    * [[update]]: NULL predicate keeps the row untouched, SET expressions
+    * evaluate over OLD values, casts pin the table schema. */
+  def updateMor(spark: SparkSession, table: TsTable, condition: Column,
+                set: Map[String, Column]): Report = {
+    require(set.nonEmpty, "UPDATE WHERE needs at least one SET assignment")
+    table.refresh()
+    val live = table.state.liveSegments
+    val (_, candidates, untouched) = DeleteWhere.resolveAndPrune(spark, table, condition)
+    if (candidates.isEmpty)
+      return Report(0, live.size, 0, 0L, table.version)
+
+    val schema = table.scan(spark).schema
+    val unknown = set.keySet.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"UPDATE WHERE SET targets unknown columns: $unknown")
+    val matchesCond = coalesce(condition, lit(false))
+
+    // pass 1 (column-pruned: predicate inputs + position): per-file
+    // matched-position bitmaps + survivor coverage
+    val base = DeleteWhere.morBase(spark, table, candidates)(raw =>
+      raw.select(
+        col("_metadata.file_path").as("__f"),
+        col("_metadata.row_index").as("__i"),
+        matchesCond.as("__m"),
+        DeleteWhere.bucketExpr(table).as("__b")))
+    val plan = DeleteWhere.morCompute(spark, table, candidates, base).getOrElse(
+      return Report(candidates.size, live.size, 0, 0L, table.version))
+
+    // pass 2 (full rows, matched only): the updated images, appended as
+    // new clustered segments — the only data write, sized by the matched
+    // rows
+    val projected = schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(v) => v.cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    val raw = spark.read.parquet(candidates.map(s => s"${table.root}/${s.path}"): _*)
+    val matchedRows = DeletionVectors.liveRowFilter(table.root, candidates)
+      .map(raw.where).getOrElse(raw)
+      .where(matchesCond)
+      .select(projected.toIndexedSeq: _*)
+    val curve = table.clusterSpec.map(_.curve).getOrElse("none")
+    val outFiles = math.max(1, math.min(spark.sparkContext.defaultParallelism, 4))
+    val newSegs = table.stageSegments(
+      Compaction.clusterSorted(matchedRows, curve, outFiles, ClusterKey.fit(live)))
+
+    try table.commitDvAttach(plan.upserts, plan.removeIds, plan.expectedDv,
+      recomputeCoverage = table.timeSpec.isDefined, adds = newSegs)
+    catch {
+      case e: Throwable =>
+        table.deleteStaged(newSegs)
+        plan.written.foreach(rel => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(PathNorm.canonical(s"${table.root}/$rel"))))
+        throw e
+    }
+    Report(candidates.size,
+      untouched.size + candidates.size - plan.upserts.size - plan.removeIds.size,
+      newSegs.size, plan.rowsMatched, table.version)
+  }
 }

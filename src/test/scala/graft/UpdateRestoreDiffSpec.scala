@@ -156,6 +156,33 @@ class UpdateRestoreDiffSpec extends SparkFunSuite {
     assert(tMor.scan(spark).count() == rows + 10)
   }
 
+  test("updateMor: equals COW update row-for-row; candidate bytes untouched; one commit") {
+    val df = TokenGen.generate(spark, 500, numFiles = 4)
+    val tMor = TsTable.create(tmpDir("urd-umor"), tokenMeta); tMor.append(df)
+    val tCow = TsTable.create(tmpDir("urd-ucow"), tokenMeta); tCow.append(df)
+    val cond = col("source") === "src01"
+    val sets = Map("n_tok" -> (col("n_tok") + 5000),
+                   "source" -> concat(lit("was-"), col("n_tok").cast("string")))
+
+    val filesBefore = tMor.state.liveSegments.map(s => (s.path, s.fileSize)).toSet
+    val v0 = tMor.version
+    val rm = UpdateWhere.updateMor(spark, tMor, cond, sets)
+    val rc = UpdateWhere.update(spark, tCow, cond, sets)
+    assert(rm.rowsUpdated == rc.rowsUpdated && rm.rowsUpdated > 0)
+    assert(tMor.version == v0 + 1, "DV mask + appended images must be one commit")
+    assert(filesBefore.subsetOf(tMor.state.liveSegments.map(s => (s.path, s.fileSize)).toSet))
+
+    val a = tMor.scan(spark).orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getSeq[Int](1), r.getInt(2), r.getString(3))).toSeq
+    val b = tCow.scan(spark).orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getSeq[Int](1), r.getInt(2), r.getString(3))).toSeq
+    assert(a == b)
+    // no-match predicate: no commit at all
+    val v1 = tMor.version
+    val r0 = UpdateWhere.updateMor(spark, tMor, col("source") === "no-such", sets)
+    assert(r0.rowsUpdated == 0 && tMor.version == v1)
+  }
+
   test("mergeMor: pure-insert set (no matches) commits adds only; empty set is a no-op") {
     val t = build(200, files = 2)
     val v0 = t.version
