@@ -31,6 +31,8 @@ import graft.table.TsTable
   *   restore --table ROOT --to-version V
   *   diff    --table ROOT --from V [--to V] [--key COL] [--max-rows N]
   *           [--output PATH --format csv|jsonl]
+  *   analyze --table ROOT [--target-file-size BYTES]
+  *           (manifest-only health report: small-file/DV debt, clustering)
   *   history --table ROOT [--max-rows N]
   *   coverage --table ROOT --start ISO --end ISO
   */
@@ -196,6 +198,11 @@ object Main {
       Shell.repl(spark,
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
         System.out, preload)
+
+    case "analyze" =>
+      val t = TsTable.open(req(args, "table"))
+      println(graft.maintain.Analyze.analyze(t,
+        opt(args, "target-file-size").map(_.toLong).getOrElse(512L * 1024 * 1024)).render)
 
     case "history" =>
       val t = TsTable.open(req(args, "table"))
