@@ -20,6 +20,7 @@ import graft.table.TsTable
   *           [--param k=v]... [--arg v]...   ($1..$N bind to --arg in order)
   *   compact --table ROOT [--target-file-size BYTES] [--job-id ID]
   *           [--where "SQL predicate"]   (stats-scoped: only matching files)
+  *           [--dv-debt-threshold R]     (materialize DVs at ≥ R masked; 0 = all)
   *   expire  --table ROOT --keep-from VERSION
   *   delete  --table ROOT --where "SQL predicate" [--mor]
   *           (--mor = merge-on-read: deletion-vector sidecars, no rewrite)
@@ -118,7 +119,9 @@ object Main {
       val rep = Compaction.run(spark, t,
         targetFileSize = opt(args, "target-file-size").map(_.toLong).getOrElse(512L * 1024 * 1024),
         jobId = opt(args, "job-id").getOrElse(java.util.UUID.randomUUID().toString.take(8)),
-        where = opt(args, "where").map(org.apache.spark.sql.functions.expr))
+        where = opt(args, "where").map(org.apache.spark.sql.functions.expr),
+        dvDebtThreshold = opt(args, "dv-debt-threshold").map(_.toDouble)
+          .getOrElse(Compaction.DefaultDvDebtThreshold))
       println(s"compacted: bins=${rep.binsExecuted}/${rep.binsPlanned} rows=${rep.rowsRewritten} " +
         s"filesIn=${rep.filesIn} filesOut=${rep.filesOut} ms=${rep.millis} jobId=${rep.jobId}")
 

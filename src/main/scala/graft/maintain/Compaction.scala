@@ -47,12 +47,23 @@ object Compaction {
     * checkpoint/resume and of commit atomicity. A group is worth
     * rewriting when it has ≥ 2 inputs. Deterministic given the manifest.
     */
+  /** A DV'd file becomes a rewrite candidate only once its masked-row
+    * ratio crosses this — compaction is the pass that materializes DVs
+    * away, but "any DV ⇒ rewrite" would let a 0.01 % MOR delete trigger a
+    * full-table rewrite at the next maintenance pass (rewrite bytes ∝
+    * file size, benefit ∝ masked rows). Below the threshold the file
+    * keeps its DV and scans keep paying one conjunct — the cheaper side
+    * of the trade until debt accumulates. Pass 0.0 to force full
+    * materialization (RESTORE-hygiene, pre-export cleanup). */
+  val DefaultDvDebtThreshold: Double = 0.05
+
   def plan(segments: Seq[SegmentMeta], targetFileSize: Long,
-           smallFileThreshold: Double = 0.9, groupFactor: Int = 64): Seq[Bin] = {
+           smallFileThreshold: Double = 0.9, groupFactor: Int = 64,
+           dvDebtThreshold: Double = DefaultDvDebtThreshold): Seq[Bin] = {
+    def dvDebtDue(s: SegmentMeta): Boolean =
+      s.dvCardinality > 0 && s.dvCardinality.toDouble >= dvDebtThreshold * s.rowCount
     val small = segments
-      // a deletion-vector'd file is always a candidate, whatever its
-      // size: compaction is the pass that materializes the DV away
-      .filter(s => s.dvCardinality > 0 ||
+      .filter(s => dvDebtDue(s) ||
         s.fileSize.exists(_ < (targetFileSize * smallFileThreshold).toLong))
       .sortBy(_.segmentId)
     val cap = targetFileSize * groupFactor
@@ -99,7 +110,8 @@ object Compaction {
           curve: Option[String] = None,
           groupFactor: Int = 64,
           maxRetries: Int = 5,
-          where: Option[org.apache.spark.sql.Column] = None): Report = {
+          where: Option[org.apache.spark.sql.Column] = None,
+          dvDebtThreshold: Double = DefaultDvDebtThreshold): Report = {
     val t0 = System.currentTimeMillis()
     val journal = new LineageJournal(table.root, jobId)
     val done = journal.completedBins()
@@ -124,7 +136,8 @@ object Compaction {
             graft.scan.StatsPruning.eval(c, seg.stats, seg.rowCount) == graft.scan.StatsPruning.AlwaysFalse)
         }
     }
-    val bins = plan(inScope, targetFileSize, groupFactor = groupFactor)
+    val bins = plan(inScope, targetFileSize, groupFactor = groupFactor,
+      dvDebtThreshold = dvDebtThreshold)
     var executed = 0; var skipped = 0
     var rows = 0L; var bytes = 0L; var filesIn = 0; var filesOut = 0
 

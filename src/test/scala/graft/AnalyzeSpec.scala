@@ -39,6 +39,23 @@ class AnalyzeSpec extends SparkFunSuite {
     assert(clean.dvFiles == 0 && clean.dvDebtRows == 0)
   }
 
+  test("compaction DV-debt threshold: light debt keeps its DV, heavy debt materializes") {
+    def seg(id: String, rows: Long, dv: Long, size: Long): SegmentMeta =
+      SegmentMeta(id, s"data/$id.parquet", "parquet", rows, Some(size), Map.empty,
+        None, if (dv > 0) Some(s"_dv/$id.dv") else None, dv)
+    val target = 8L * 1024 * 1024
+    val big = (target * 4) // well above the small-file threshold
+    // 1% masked big file: not a candidate at the default 5% threshold
+    assert(Compaction.plan(Seq(seg("a", 1000, 10, big)), target).isEmpty)
+    // 10% masked: candidate even as a singleton (materialization pass)
+    assert(Compaction.plan(Seq(seg("b", 1000, 100, big)), target).nonEmpty)
+    // threshold 0.0 forces full materialization of any DV
+    assert(Compaction.plan(Seq(seg("a", 1000, 10, big)), target,
+      dvDebtThreshold = 0.0).nonEmpty)
+    // a clean big file is never a candidate
+    assert(Compaction.plan(Seq(seg("c", 1000, 0, big)), target).isEmpty)
+  }
+
   test("overlap: disjoint-range appends score ~0 on doc_id; interleaved z-order spans") {
     val t = TsTable.create(tmpDir("an-ovl"), tokenMeta)
     t.append(TokenGen.generate(spark, 200, numFiles = 1))
