@@ -168,6 +168,21 @@ object MergeInto {
     if (updCount == 0)
       return Report(0, 0, 0, 0, live.map(_.liveRowCount).sum, table.version)
 
+    // pin the update set to the TABLE schema (order + types) BEFORE any
+    // side effect: the COW path gets this via unionByName with the
+    // candidate read, but here the updates land as segments directly —
+    // an extra/missing column fails loudly, a compatible type is cast,
+    // so the table schema is invariant under MERGE
+    val pinned = table.state.tableMeta.flatMap(_.schema) match {
+      case Some(sch) =>
+        val missing = sch.fieldNames.filterNot(upd.columns.contains)
+        require(missing.isEmpty, s"MERGE update set lacks table columns: ${missing.mkString(", ")}")
+        val extra = upd.columns.filterNot(sch.fieldNames.contains)
+        require(extra.isEmpty, s"MERGE update set has unknown columns: ${extra.mkString(", ")}")
+        upd.select(sch.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      case None => upd
+    }
+
     val candidates = selectCandidates(spark, table, upd, updCount, key, live)
 
     // matched-position pass (only when something can match)
@@ -188,31 +203,24 @@ object MergeInto {
         DeleteWhere.morCompute(spark, table, candidates, base)
       }
 
-    // pin the update set to the TABLE schema (order + types): the COW
-    // path gets this via unionByName with the candidate read, but here
-    // the updates land as segments directly — an extra/missing column
-    // fails loudly, a compatible type is cast, so the table schema is
-    // invariant under MERGE
-    val pinned = table.state.tableMeta.flatMap(_.schema) match {
-      case Some(sch) =>
-        val missing = sch.fieldNames.filterNot(upd.columns.contains)
-        require(missing.isEmpty, s"MERGE update set lacks table columns: ${missing.mkString(", ")}")
-        val extra = upd.columns.filterNot(sch.fieldNames.contains)
-        require(extra.isEmpty, s"MERGE update set has unknown columns: ${extra.mkString(", ")}")
-        upd.select(sch.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-      case None => upd
+    // everything after morCompute owns the plan's sidecars: ANY failure
+    // from here to the commit must delete them (and any staged segments)
+    def cleanup(staged: Seq[graft.meta.SegmentMeta]): Unit = {
+      table.deleteStaged(staged)
+      plan.foreach(_.written.foreach(rel => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(graft.meta.PathNorm.canonical(s"${table.root}/$rel")))))
     }
-
-    // the update set as new clustered segments; sized like a small append
-    // (compaction bin-packs later) — never fewer files than cores would
-    // leave the cluster idle, never so many that tiny updates fragment
-    val updBytesEst = updCount * 4096L
-    val outFiles = math.max(1, math.min(spark.sparkContext.defaultParallelism,
-      math.ceil(updBytesEst.toDouble / targetFileSize).toInt * 4))
-    val clustered = Compaction.clusterSorted(pinned, curve, outFiles, ClusterKey.fit(live))
-    val newSegs = table.stageSegments(clustered)
-
+    var newSegs: Seq[graft.meta.SegmentMeta] = Nil
     try {
+      // the update set as new clustered segments; sized like a small
+      // append (compaction bin-packs later) — never fewer files than
+      // cores would leave the cluster idle, never so many that tiny
+      // updates fragment
+      val updBytesEst = updCount * 4096L
+      val outFiles = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        math.ceil(updBytesEst.toDouble / targetFileSize).toInt * 4))
+      newSegs = table.stageSegments(
+        Compaction.clusterSorted(pinned, curve, outFiles, ClusterKey.fit(live)))
       plan match {
         case Some(p) =>
           table.commitDvAttach(p.upserts, p.removeIds, p.expectedDv,
@@ -223,11 +231,7 @@ object MergeInto {
             recomputeCoverage = table.timeSpec.isDefined, adds = newSegs)
       }
     } catch {
-      case e: Throwable =>
-        table.deleteStaged(newSegs)
-        plan.foreach(_.written.foreach(rel => java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(graft.meta.PathNorm.canonical(s"${table.root}/$rel")))))
-        throw e
+      case e: Throwable => cleanup(newSegs); throw e
     }
 
     val matched = plan.map(_.rowsMatched).getOrElse(0L)

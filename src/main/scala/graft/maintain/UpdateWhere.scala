@@ -128,26 +128,35 @@ object UpdateWhere {
 
     // pass 2 (full rows, matched only): the updated images, appended as
     // new clustered segments — the only data write, sized by the matched
-    // rows
+    // rows (manifest bytes/row estimate; never below core count so the
+    // sort keeps the cluster busy — see MergeInto's outFiles rationale)
     val projected = schema.fields.map { f =>
       set.get(f.name) match {
         case Some(v) => v.cast(f.dataType).as(f.name)
         case None => col(f.name)
       }
     }
-    val raw = spark.read.parquet(candidates.map(s => s"${table.root}/${s.path}"): _*)
-    val matchedRows = DeletionVectors.liveRowFilter(table.root, candidates)
-      .map(raw.where).getOrElse(raw)
-      .where(matchesCond)
-      .select(projected.toIndexedSeq: _*)
+    val candBytes = candidates.flatMap(_.fileSize).sum
+    val candRows = math.max(1L, candidates.map(_.liveRowCount).sum)
+    val bytesPerRow = if (candBytes > 0) candBytes.toDouble / candRows else 4096.0
+    val targetFileSize = 512L * 1024 * 1024
+    val outFiles = math.max(
+      math.max(1, math.ceil(plan.rowsMatched * bytesPerRow / targetFileSize).toInt),
+      math.min(spark.sparkContext.defaultParallelism,
+        math.max(1, (plan.rowsMatched / 10000L).toInt)))
     val curve = table.clusterSpec.map(_.curve).getOrElse("none")
-    val outFiles = math.max(1, math.min(spark.sparkContext.defaultParallelism, 4))
-    val newSegs = table.stageSegments(
-      Compaction.clusterSorted(matchedRows, curve, outFiles, ClusterKey.fit(live)))
-
-    try table.commitDvAttach(plan.upserts, plan.removeIds, plan.expectedDv,
-      recomputeCoverage = table.timeSpec.isDefined, adds = newSegs)
-    catch {
+    var newSegs: Seq[SegmentMeta] = Nil
+    try {
+      val raw = spark.read.parquet(candidates.map(s => s"${table.root}/${s.path}"): _*)
+      val matchedRows = DeletionVectors.liveRowFilter(table.root, candidates)
+        .map(raw.where).getOrElse(raw)
+        .where(matchesCond)
+        .select(projected.toIndexedSeq: _*)
+      newSegs = table.stageSegments(
+        Compaction.clusterSorted(matchedRows, curve, outFiles, ClusterKey.fit(live)))
+      table.commitDvAttach(plan.upserts, plan.removeIds, plan.expectedDv,
+        recomputeCoverage = table.timeSpec.isDefined, adds = newSegs)
+    } catch {
       case e: Throwable =>
         table.deleteStaged(newSegs)
         plan.written.foreach(rel => java.nio.file.Files.deleteIfExists(
