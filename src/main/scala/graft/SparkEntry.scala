@@ -310,6 +310,27 @@ object SparkEntry {
           expr(tokSum).as("tok_sum"))
     }),
 
+    // schema evolution: ADD COLUMN is a metadata-only commit — rows
+    // written before it scan as NULL (parquet missing-column fill), rows
+    // after carry real values, and the post-evolution append is enforced
+    // against the evolved schema
+    "q60_schema_evolution" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir,
+        filter = Some("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0"))
+      t.addColumn("quality", org.apache.spark.sql.types.IntegerType)
+      val odds = tokenDf(s, dir).where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1")
+        .withColumn("quality",
+          expr("CAST(CAST(substring(doc_id, 5) AS BIGINT) % 100 AS INT)"))
+      t.append(odds.repartition(4))
+      // -1 sentinel instead of NULL: nullable ints round-trip as float64 +
+      // NaN through the pandas-based oracle compare, and NaN breaks both
+      // the tolerance check and value hashing. The coalesce still PROVES
+      // the NULL fill — only a genuine NULL maps to -1.
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
+        coalesce(col("quality"), lit(-1)).as("quality"),
+        expr(tokSum).as("tok_sum"))
+    }),
+
     // snapshot expiration after compaction: orphans deleted, checkpointed
     // manifest replays, data intact
     "q12_expire_scan" -> ((s, dir) => {
@@ -873,6 +894,19 @@ object SparkEntry {
            |  CAST(64 + (doc_id + 10000000) % 1985 AS INT) AS n_tok,
            |  ${tokSumOracle("(doc_id + 10000000)", 31)} AS tok_sum
            |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
+
+      "q60_schema_evolution" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  CAST(-1 AS INT) AS quality,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents WHERE doc_id % 2 = 0
+           |UNION ALL
+           |SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  CAST(doc_id % 100 AS INT) AS quality,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
 
       "q12_expire_scan" ->
         """SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,

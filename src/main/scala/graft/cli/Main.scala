@@ -32,6 +32,7 @@ import graft.table.TsTable
   *   restore --table ROOT --to-version V
   *   diff    --table ROOT --from V [--to V] [--key COL] [--max-rows N]
   *           [--output PATH --format csv|jsonl]
+  *   alter   --table ROOT --add-column NAME:TYPE   (nullable; old rows NULL)
   *   analyze --table ROOT [--target-file-size BYTES]
   *           (manifest-only health report: small-file/DV debt, clustering)
   *   history --table ROOT [--max-rows N]
@@ -201,6 +202,13 @@ object Main {
       Shell.repl(spark,
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
         System.out, preload)
+
+    case "alter" =>
+      val t = TsTable.open(req(args, "table"))
+      val Array(cn, ct) = req(args, "add-column").split(":", 2)
+      val v = t.addColumn(cn.trim,
+        org.apache.spark.sql.types.DataType.fromDDL(ct.trim))
+      println(s"added column ${cn.trim} (${ct.trim}) -> v$v")
 
     case "analyze" =>
       val t = TsTable.open(req(args, "table"))

@@ -182,7 +182,7 @@ object Compaction {
       // live-rows-only, outputs are fresh segments with no DV. (The
       // boundary SAMPLE below stays physical — deleted rows skew the
       // approximate range bounds marginally, never correctness.)
-      val raw = scoped.read.parquet(paths: _*)
+      val raw = table.segmentReader(scoped).parquet(paths: _*)
       val df = graft.table.DeletionVectors.liveRowFilter(table.root, inputs)
         .map(raw.where).getOrElse(raw)
       val sorted = curve match {

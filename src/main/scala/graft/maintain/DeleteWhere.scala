@@ -102,7 +102,8 @@ object DeleteWhere {
     val paths = candidates.map(seg => s"${table.root}/${seg.path}")
     def liveRows(df: DataFrame, segs: Seq[SegmentMeta]): DataFrame =
       DeletionVectors.liveRowFilter(table.root, segs).map(df.where).getOrElse(df)
-    val matchedPerFile: Map[String, Long] = liveRows(spark.read.parquet(paths: _*), candidates)
+    val matchedPerFile: Map[String, Long] =
+      liveRows(table.segmentReader(spark).parquet(paths: _*), candidates)
       .where(matchesCond)
       .groupBy(input_file_name().as("f")).count()
       .collect().map(r => PathNorm.canonical(r.getString(0)) -> r.getLong(1)).toMap
@@ -145,7 +146,8 @@ object DeleteWhere {
       } else {
         val partialPaths = partial.map(seg => s"${table.root}/${seg.path}")
         table.swapSegments(
-          liveRows(spark.read.parquet(partialPaths: _*), partial).where(keep), removeIds,
+          liveRows(table.segmentReader(spark).parquet(partialPaths: _*), partial)
+            .where(keep), removeIds,
           recomputeCoverage = repairCov)
       }
 
@@ -200,7 +202,7 @@ object DeleteWhere {
                                 candidates: Seq[SegmentMeta])
                                (project: DataFrame => DataFrame): DataFrame = {
     val paths = candidates.map(seg => s"${table.root}/${seg.path}")
-    val base0 = project(spark.read.parquet(paths: _*))
+    val base0 = project(table.segmentReader(spark).parquet(paths: _*))
     DeletionVectors.predicate(table.root, candidates, col("__f"), col("__i"))
       .map(base0.where).getOrElse(base0)
   }

@@ -115,7 +115,8 @@ object MergeInto {
           // merge-on-read deletes: candidates are read live-rows-only, so
           // the rewrite materializes any DV away (outputs carry none) and
           // deleted rows can never resurrect through a MERGE
-          val raw = scoped.read.parquet(candidates.map(s => s"${table.root}/${s.path}"): _*)
+          val raw = table.segmentReader(scoped)
+            .parquet(candidates.map(s => s"${table.root}/${s.path}"): _*)
           graft.table.DeletionVectors.liveRowFilter(table.root, candidates)
             .map(raw.where).getOrElse(raw)
             .join(upd.select(col(key)), Seq(key), "left_anti")

@@ -55,7 +55,8 @@ object UpdateWhere {
     // per-file match counts over live rows: zero-match candidates are
     // never rewritten; a fully-no-op UPDATE returns without committing
     val paths = candidates.map(seg => s"${table.root}/${seg.path}")
-    val matchedPerFile: Map[String, Long] = liveRows(spark.read.parquet(paths: _*), candidates)
+    val matchedPerFile: Map[String, Long] =
+      liveRows(table.segmentReader(spark).parquet(paths: _*), candidates)
       .where(matchesCond)
       .groupBy(input_file_name().as("f")).count()
       .collect().map(r => PathNorm.canonical(r.getString(0)) -> r.getLong(1)).toMap
@@ -85,7 +86,8 @@ object UpdateWhere {
     val repairCov = table.timeSpec.isDefined
     val hitPaths = hit.map(seg => s"${table.root}/${seg.path}")
     val newSegs = table.swapSegments(
-      liveRows(spark.read.parquet(hitPaths: _*), hit).select(projected.toIndexedSeq: _*),
+      liveRows(table.segmentReader(spark).parquet(hitPaths: _*), hit)
+        .select(projected.toIndexedSeq: _*),
       hit.map(_.segmentId), recomputeCoverage = repairCov)
 
     Report(candidates.size, untouched.size + clean.size, newSegs.size,
@@ -147,7 +149,8 @@ object UpdateWhere {
     val curve = table.clusterSpec.map(_.curve).getOrElse("none")
     var newSegs: Seq[SegmentMeta] = Nil
     try {
-      val raw = spark.read.parquet(candidates.map(s => s"${table.root}/${s.path}"): _*)
+      val raw = table.segmentReader(spark)
+        .parquet(candidates.map(s => s"${table.root}/${s.path}"): _*)
       val matchedRows = DeletionVectors.liveRowFilter(table.root, candidates)
         .map(raw.where).getOrElse(raw)
         .where(matchesCond)

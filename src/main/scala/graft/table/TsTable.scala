@@ -576,6 +576,53 @@ final class TsTable private (val root: String, val store: LogStore) {
         Files.deleteIfExists(Paths.get(stripScheme(s"$root/$cp"))))
     }
 
+  /** Parquet reader pinned to the MANIFEST schema. Every maintenance job
+    * that reads table segments directly (compaction, DELETE, MERGE,
+    * UPDATE) must use this instead of bare spark.read.parquet: after an
+    * ADD COLUMN the live set mixes old-footer and new-footer files, and a
+    * footer-inferred read can adopt an OLD file's schema — silently
+    * DROPPING the evolved column from a rewrite. Pinning also fills NULL
+    * for the evolved column on old files and skips the footer-sample job. */
+  private[graft] def segmentReader(spark: SparkSession): org.apache.spark.sql.DataFrameReader =
+    cachedState.tableMeta.flatMap(_.schema).fold(spark.read)(spark.read.schema)
+
+  /** Schema evolution: ADD COLUMN as a metadata-only commit (one
+    * UpdateTableMeta action — no data file is touched, so evolving a
+    * 100 TB table costs one log write). The new column is forced
+    * nullable: files written before the evolution have no values for it
+    * and every scan fills NULL there via Spark's parquet missing-column
+    * handling (the relation's dataSchema is the MANIFEST schema, not the
+    * file footers'). Appends after the commit must carry the full evolved
+    * schema — the adopt-or-enforce check keeps exact-match semantics, so
+    * an old-schema writer fails loudly instead of silently dropping the
+    * column. OCC rebase-retry like every other metadata commit. */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType,
+                maxRetries: Int = 3): Long = {
+    var attempt = 0
+    while (true) {
+      refresh()
+      val st = cachedState
+      val m = st.tableMeta.getOrElse(throw new IllegalStateException(
+        "no table metadata yet — create the table before evolving its schema"))
+      val sch = m.schema.getOrElse(throw new IllegalStateException(
+        "no schema adopted yet — append once before evolving the schema"))
+      require(!sch.fieldNames.contains(name), s"column '$name' already exists")
+      val evolved = StructType(sch.fields :+
+        org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+      val actions: Seq[LogAction] =
+        Seq(LogAction.UpdateTableMeta(m.copy(schemaJson = Some(evolved.json))))
+      try {
+        val v = store.commitWithExpectedVersion(st.version, actions)
+        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
+        return v
+      } catch {
+        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Watermark-only commit for an empty streaming batch: the (app, batch)
     * txn advances with no segments, so a replay of the empty batch is
     * still recognized as already-applied. */

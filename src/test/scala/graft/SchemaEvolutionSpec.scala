@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import graft.data.TokenGen
+import graft.maintain.{Compaction, DeleteWhere}
+import graft.meta._
+import graft.table.TsTable
+
+/** ADD COLUMN: metadata-only evolution — old rows NULL, new appends
+  * enforced against the evolved schema, maintenance unaffected. */
+class SchemaEvolutionSpec extends SparkFunSuite {
+
+  private def tokenMeta = TableMeta("tokens",
+    TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None)
+
+  test("old rows scan NULL; new rows carry values; old-schema append rejected") {
+    val t = TsTable.create(tmpDir("evo"), tokenMeta)
+    t.append(TokenGen.generate(spark, 200, numFiles = 2))
+    val vEvo = t.addColumn("quality", IntegerType)
+    assert(vEvo == t.version)
+
+    // scans of the evolved table: old files fill NULL, schema has 5 cols
+    assert(t.scan(spark).schema.fieldNames.last == "quality")
+    assert(t.scan(spark).where(col("quality").isNull).count() == 200)
+
+    // a post-evolution append must carry the evolved schema...
+    intercept[Exception] { t.append(TokenGen.generate(spark, 10, idStart = 9000L)) }
+    // ...and with it, lands fine
+    t.append(TokenGen.generate(spark, 50, idStart = 9000L)
+      .withColumn("quality", lit(7)))
+    assert(t.scan(spark).where(col("quality") === 7).count() == 50)
+    assert(t.scan(spark).count() == 250)
+
+    // duplicate add and unknown-state guards
+    intercept[IllegalArgumentException] { t.addColumn("quality", StringType) }
+
+    // maintenance reads/writes the evolved schema: compaction merges old
+    // (NULL-filled) and new files; the DV path still masks correctly
+    Compaction.run(spark, t, targetFileSize = 8L * 1024 * 1024)
+    assert(t.scan(spark).where(col("quality").isNull).count() == 200)
+    DeleteWhere.deleteMor(spark, t, col("quality") === 7)
+    assert(t.scan(spark).count() == 200)
+    assert(t.scan(spark).where(col("quality").isNotNull).count() == 0)
+  }
+
+  test("evolution is time-travelable: the pre-evolution snapshot keeps 4 columns") {
+    val t = TsTable.create(tmpDir("evo-tt"), tokenMeta)
+    t.append(TokenGen.generate(spark, 50, numFiles = 1))
+    val pre = t.version
+    t.addColumn("extra", StringType)
+    assert(t.scanAt(spark, pre).schema.fieldNames.length == 4)
+    assert(t.scan(spark).schema.fieldNames.length == 5)
+  }
+}
