@@ -1,0 +1,96 @@
+package graft.maintain
+
+import org.apache.spark.sql.functions._
+import graft.SparkFunSuite
+import graft.data.TokenGen
+import graft.meta._
+import graft.table.TsTable
+
+/** OCC abort paths of the merge-on-read commit: a DV attach prepared
+  * against one snapshot must REFUSE to land over a concurrently rewritten
+  * or re-DV'd base (its bitmaps were unioned against that base's DVs —
+  * applying them elsewhere would silently drop the other writer's
+  * deletes), and the abort must leave no sidecar debris. */
+class MorConcurrencySpec extends SparkFunSuite {
+
+  private def tokenMeta = TableMeta("tokens",
+    TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None)
+
+  private def dvFiles(root: String): Seq[String] = {
+    val d = java.nio.file.Paths.get(s"$root/_dv")
+    if (!java.nio.file.Files.isDirectory(d)) return Nil
+    val s = java.nio.file.Files.list(d)
+    try { import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString).toSeq }
+    finally s.close()
+  }
+
+  test("DV attach aborts when a concurrent compaction rewrote the candidates; no debris") {
+    val root = tmpDir("mor-occ")
+    val t = TsTable.create(root, tokenMeta)
+    t.append(TokenGen.generate(spark, 400, numFiles = 4))
+    val candidates = t.state.liveSegments
+
+    // prepare the MOR plan against the current snapshot (sidecars written)
+    val base = DeleteWhere.morBase(spark, t, candidates)(raw =>
+      raw.select(
+        col("_metadata.file_path").as("__f"),
+        col("_metadata.row_index").as("__i"),
+        (col("n_tok") < 900).as("__m"),
+        DeleteWhere.bucketExpr(t).as("__b")))
+    val plan = DeleteWhere.morCompute(spark, t, candidates, base).get
+    assert(dvFiles(root).nonEmpty, "plan sidecars staged")
+
+    // concurrent writer swaps the candidate files away
+    Compaction.run(spark, t, targetFileSize = 8L * 1024 * 1024)
+
+    val e = intercept[IllegalStateException] {
+      try t.commitDvAttach(plan.upserts, plan.removeIds, plan.expectedDv)
+      catch { case ex: Throwable => // caller-owned cleanup, as morAttach does
+        plan.written.foreach(rel => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(PathNorm.canonical(s"$root/$rel"))))
+        throw ex
+      }
+    }
+    assert(e.getMessage.contains("already rewritten"))
+    assert(dvFiles(root).isEmpty, "aborted attach must leave no sidecars")
+    // table unharmed: full row count, no DVs
+    assert(t.scan(spark).count() == 400)
+    assert(t.state.liveSegments.forall(_.dvPath.isEmpty))
+  }
+
+  test("DV attach aborts when candidates were re-DV'd by a concurrent DELETE") {
+    val root = tmpDir("mor-occ2")
+    val t = TsTable.create(root, tokenMeta)
+    t.append(TokenGen.generate(spark, 400, numFiles = 2))
+    val candidates = t.state.liveSegments
+
+    val mk = () => DeleteWhere.morCompute(spark, t, candidates,
+      DeleteWhere.morBase(spark, t, candidates)(raw =>
+        raw.select(
+          col("_metadata.file_path").as("__f"),
+          col("_metadata.row_index").as("__i"),
+          (col("source") === "src00").as("__m"),
+          DeleteWhere.bucketExpr(t).as("__b")))).get
+    val plan = mk()
+
+    // concurrent MOR delete re-DVs the same files (same ids survive)
+    DeleteWhere.deleteMor(spark, t, col("source") === "src01")
+    assert(t.state.liveSegments.exists(_.dvPath.isDefined))
+
+    val e = intercept[IllegalStateException] {
+      try t.commitDvAttach(plan.upserts, plan.removeIds, plan.expectedDv)
+      catch { case ex: Throwable =>
+        plan.written.foreach(rel => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(PathNorm.canonical(s"$root/$rel"))))
+        throw ex
+      }
+    }
+    assert(e.getMessage.contains("re-DV'd"))
+    // the concurrent delete's own masks are intact: a re-run of the failed
+    // delete sees the refreshed base and both deletes compose
+    DeleteWhere.deleteMor(spark, t, col("source") === "src00")
+    assert(t.scan(spark)
+      .where(col("source") === "src00" || col("source") === "src01").count() == 0)
+  }
+}
