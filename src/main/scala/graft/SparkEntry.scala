@@ -310,6 +310,22 @@ object SparkEntry {
           expr(tokSum).as("tok_sum"))
     }),
 
+    // CHECK constraint gate: the violating batch (odd ids, n_tok driven
+    // out of bounds) must be rejected WHOLE — only the catch of the typed
+    // violation lets the query proceed, and the scan must equal the
+    // evens-only closed form (any leaked odd row hash-mismatches)
+    "q61_check_gate" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir,
+        filter = Some("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0"))
+      t.addCheck(s, "tok_bounds", "n_tok BETWEEN 64 AND 2048")
+      try t.append(tokenDf(s, dir)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1")
+        .withColumn("n_tok", lit(1000000)).repartition(2))
+      catch { case _: graft.table.CheckViolationException => () }
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
+        expr(tokSum).as("tok_sum"))
+    }),
+
     // schema evolution: ADD COLUMN is a metadata-only commit — rows
     // written before it scan as NULL (parquet missing-column fill), rows
     // after carry real values, and the post-evolution append is enforced
@@ -894,6 +910,14 @@ object SparkEntry {
            |  CAST(64 + (doc_id + 10000000) % 1985 AS INT) AS n_tok,
            |  ${tokSumOracle("(doc_id + 10000000)", 31)} AS tok_sum
            |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
+
+      // evens-only: the rejected batch left no trace (same form as q55)
+      "q61_check_gate" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents
+           |WHERE doc_id % 2 = 0""".stripMargin,
 
       "q60_schema_evolution" ->
         s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,

@@ -33,6 +33,8 @@ import graft.table.TsTable
   *   diff    --table ROOT --from V [--to V] [--key COL] [--max-rows N]
   *           [--output PATH --format csv|jsonl]
   *   alter   --table ROOT --add-column NAME:TYPE   (nullable; old rows NULL)
+  *           | --add-check NAME:"SQL predicate"    (ingest quality gate)
+  *           | --drop-check NAME
   *   analyze --table ROOT [--target-file-size BYTES]
   *           (manifest-only health report: small-file/DV debt, clustering)
   *   history --table ROOT [--max-rows N]
@@ -205,10 +207,21 @@ object Main {
 
     case "alter" =>
       val t = TsTable.open(req(args, "table"))
-      val Array(cn, ct) = req(args, "add-column").split(":", 2)
-      val v = t.addColumn(cn.trim,
-        org.apache.spark.sql.types.DataType.fromDDL(ct.trim))
-      println(s"added column ${cn.trim} (${ct.trim}) -> v$v")
+      (opt(args, "add-column"), opt(args, "add-check"), opt(args, "drop-check")) match {
+        case (Some(spec), _, _) =>
+          val Array(cn, ct) = spec.split(":", 2)
+          val v = t.addColumn(cn.trim,
+            org.apache.spark.sql.types.DataType.fromDDL(ct.trim))
+          println(s"added column ${cn.trim} (${ct.trim}) -> v$v")
+        case (_, Some(spec), _) =>
+          val Array(cn, pred) = spec.split(":", 2)
+          val v = t.addCheck(spark, cn.trim, pred.trim)
+          println(s"added check ${cn.trim} (${pred.trim}) -> v$v")
+        case (_, _, Some(cn)) =>
+          val v = t.dropCheck(cn.trim)
+          println(s"dropped check ${cn.trim} -> v$v")
+        case _ => sys.error("alter needs --add-column, --add-check, or --drop-check")
+      }
 
     case "analyze" =>
       val t = TsTable.open(req(args, "table"))

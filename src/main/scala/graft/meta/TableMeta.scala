@@ -83,7 +83,11 @@ final case class TableMeta(
     name: String,
     kind: TableKind,
     schemaJson: Option[String],                    // Spark StructType JSON once adopted
-    entityIdentity: Option[Map[String, String]]) { // pinned from first entity append
+    entityIdentity: Option[Map[String, String]],   // pinned from first entity append
+    // CHECK constraints (name → SQL predicate), enforced on every write
+    // that stages new segments. SQL semantics: a row passes when the
+    // predicate is TRUE or NULL; only provably-FALSE rows violate.
+    checks: Seq[(String, String)] = Nil) {
 
   def schema: Option[StructType] =
     schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
@@ -108,6 +112,10 @@ final case class TableMeta(
       val e = n.putObject("entity_identity")
       m.toSeq.sortBy(_._1).foreach { case (k, v) => e.put(k, v) }
     }
+    if (checks.nonEmpty) {
+      val c = n.putObject("checks")
+      checks.sortBy(_._1).foreach { case (k, v) => c.put(k, v) }
+    }
     n
   }
 }
@@ -131,6 +139,9 @@ object TableMeta {
     val identity = Option(n.get("entity_identity")).map { e =>
       Json.fields(e).map { case (k, v) => k -> v.asText() }
     }
-    TableMeta(Json.getStr(n, "name"), kind, Json.optStr(n, "schema"), identity)
+    val checks = Option(n.get("checks"))
+      .map(c => Json.fields(c).map { case (k, v) => k -> v.asText() }.toSeq.sortBy(_._1))
+      .getOrElse(Nil)
+    TableMeta(Json.getStr(n, "name"), kind, Json.optStr(n, "schema"), identity, checks)
   }
 }

@@ -15,3 +15,7 @@ final case class InvalidRangeException(start: Long, end: Long)
 
 final case class BucketDomainOverflowException(value: Long)
   extends RuntimeException(s"bucket id $value overflows the u32 bucket domain")
+
+final case class CheckViolationException(check: String, predicate: String, violations: Long)
+  extends RuntimeException(
+    s"CHECK constraint '$check' ($predicate) violated by $violations row(s); write rejected")

@@ -270,6 +270,16 @@ final class TsTable private (val root: String, val store: LogStore) {
     val written = liveStats.map(_._1)
     val fileStats = liveStats
 
+    // CHECK constraints gate the append while the files are still in
+    // staging — a rejected batch deletes its scratch tree and commits
+    // nothing (stats fast path; see enforceChecks)
+    try enforceChecks(spark, fileStats.map { case (p, fs) => (p, fs.stats, fs.rowCount) })
+    catch { case e: Throwable =>
+      heartbeat.stop()
+      deleteRecursively(Paths.get(stripScheme(stagingAbs)))
+      throw e
+    }
+
     // canonical on-disk schema (reference adopts from the Parquet footer,
     // append.rs:130-151)
     val diskSchema = spark.read.parquet(stagingAbs).schema
@@ -560,11 +570,18 @@ final class TsTable private (val root: String, val store: LogStore) {
           }
         case _ => Map.empty
       }
-      moved.zip(fileStats).map { case (rel, (_, fs)) =>
+      val segs = moved.zip(fileStats).map { case (rel, (_, fs)) =>
         val segId = SegmentMeta.segmentIdV1(rel, Paths.get(stripScheme(s"$root/$rel")))
         SegmentMeta(segId, rel, "parquet", fs.rowCount, Some(fs.fileSize), fs.stats,
           covByPath.get(rel))
       }
+      // CHECK constraints also gate rewrites/merge-adds staged here: the
+      // stats fast path clears pass-through rewrites (existing rows were
+      // validated at their own write), and it is the only net that can
+      // catch an UPDATE whose SET drives rows out of bounds
+      try enforceChecks(spark, segs.map(s => (s"$root/${s.path}", s.stats, s.rowCount)))
+      catch { case e: Throwable => deleteStaged(segs); throw e }
+      segs
     } finally heartbeat.stop()
   }
 
@@ -575,6 +592,104 @@ final class TsTable private (val root: String, val store: LogStore) {
       seg.coveragePath.foreach(cp =>
         Files.deleteIfExists(Paths.get(stripScheme(s"$root/$cp"))))
     }
+
+  /** CHECK constraint: add an ingest-quality gate (name → SQL predicate)
+    * as a metadata-only commit. SQL CHECK semantics: a row passes when
+    * the predicate is TRUE or NULL; only provably-FALSE rows violate.
+    * Existing data is validated first (one scan; rejected if any row
+    * violates), so the invariant "every committed row satisfies every
+    * check" holds from the moment the commit lands — and rewrites can
+    * rely on it. */
+  def addCheck(spark: SparkSession, name: String, predicateSql: String,
+               maxRetries: Int = 3): Long = {
+    import org.apache.spark.sql.functions.{expr, lit, not}
+    val cond = expr(predicateSql)
+    var attempt = 0
+    while (true) {
+      refresh()
+      val st = cachedState
+      val m = st.tableMeta.getOrElse(throw new IllegalStateException(
+        "no table metadata yet — create the table before adding checks"))
+      require(!m.checks.exists(_._1 == name), s"check '$name' already exists")
+      // validate INSIDE the OCC loop, so a write racing this commit gets
+      // re-validated on the rebase (a write that lands after our commit
+      // is gated by enforceChecks instead — no unvalidated window)
+      if (st.liveSegments.nonEmpty) {
+        val bad = scanState(spark, st).where(not(cond) === lit(true)).count()
+        if (bad > 0) throw CheckViolationException(name, predicateSql, bad)
+      } else if (m.schema.isDefined) {
+        scanState(spark, st).where(cond).queryExecution.analyzed // fail fast on bad columns
+      }
+      val actions: Seq[LogAction] =
+        Seq(LogAction.UpdateTableMeta(m.copy(checks = m.checks :+ (name -> predicateSql))))
+      try {
+        val v = store.commitWithExpectedVersion(st.version, actions)
+        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
+        return v
+      } catch {
+        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Drop a CHECK constraint (metadata-only). */
+  def dropCheck(name: String, maxRetries: Int = 3): Long = {
+    var attempt = 0
+    while (true) {
+      refresh()
+      val st = cachedState
+      val m = st.tableMeta.getOrElse(throw new IllegalStateException("no table metadata"))
+      require(m.checks.exists(_._1 == name), s"no such check: '$name'")
+      val actions: Seq[LogAction] =
+        Seq(LogAction.UpdateTableMeta(m.copy(checks = m.checks.filterNot(_._1 == name))))
+      try {
+        val v = store.commitWithExpectedVersion(st.version, actions)
+        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
+        return v
+      } catch {
+        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Enforce the table's CHECK constraints over freshly staged files.
+    * Stats fast path, sound by the Tri algebra's one reliable direction:
+    * eval(NOT check) == AlwaysFalse over a file's footer stats means NO
+    * row makes the predicate FALSE (TRUE or NULL both pass, per SQL
+    * CHECK), so the file skips the row-level scan — on appends of clean
+    * data with tight stats this costs driver arithmetic only. Files the
+    * stats can't clear get ONE filtered count over just those files. */
+  private def enforceChecks(spark: SparkSession,
+                            files: Seq[(String, Map[String, graft.meta.ColStats], Long)]): Unit = {
+    val checks = cachedState.tableMeta.map(_.checks).getOrElse(Nil)
+    if (checks.isEmpty || files.isEmpty) return
+    import org.apache.spark.sql.functions.{expr, lit, not}
+    checks.foreach { case (name, sql) =>
+      val cond = expr(sql)
+      val resolved: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+        try scan(spark).where(cond).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        } catch { case _: Exception => None } // schema not adopted yet → row-check all
+      val suspects = files.filter { case (_, stats, rc) =>
+        resolved match {
+          case Some(c) =>
+            graft.scan.StatsPruning.eval(
+              org.apache.spark.sql.catalyst.expressions.Not(c), stats, rc) !=
+              graft.scan.StatsPruning.AlwaysFalse
+          case None => true
+        }
+      }
+      if (suspects.nonEmpty) {
+        val bad = spark.read.parquet(suspects.map(_._1): _*)
+          .where(not(cond) === lit(true)).count()
+        if (bad > 0) throw CheckViolationException(name, sql, bad)
+      }
+    }
+  }
 
   /** Parquet reader pinned to the MANIFEST schema. Every maintenance job
     * that reads table segments directly (compaction, DELETE, MERGE,
