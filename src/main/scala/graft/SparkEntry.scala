@@ -310,6 +310,23 @@ object SparkEntry {
           expr(tokSum).as("tok_sum"))
     }),
 
+    // tags: a named snapshot pinned BEFORE an append, a MOR delete AND a
+    // full snapshot expiration must still replay exactly — expire
+    // checkpoints the tagged version and keeps its files while dropping
+    // the rest of the sub-watermark history
+    "q62_tag_scan" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir,
+        filter = Some("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0"))
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      t.setTag("golden")
+      t.append(tokenDf(s, dir)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1").repartition(4))
+      graft.maintain.DeleteWhere.deleteMor(s, t, col("n_tok") < 500)
+      graft.maintain.Expire.expire(t, t.version)
+      t.scanAtTag(s, "golden").select(col("doc_id"), col("source"), col("n_tok"),
+        expr(tokSum).as("tok_sum"))
+    }),
+
     // CHECK constraint gate: the violating batch (odd ids, n_tok driven
     // out of bounds) must be rejected WHOLE — only the catch of the typed
     // violation lets the query proceed, and the scan must equal the
@@ -910,6 +927,14 @@ object SparkEntry {
            |  CAST(64 + (doc_id + 10000000) % 1985 AS INT) AS n_tok,
            |  ${tokSumOracle("(doc_id + 10000000)", 31)} AS tok_sum
            |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
+
+      // evens-only: the tagged snapshot predates the odd append + delete
+      "q62_tag_scan" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents
+           |WHERE doc_id % 2 = 0""".stripMargin,
 
       // evens-only: the rejected batch left no trace (same form as q55)
       "q61_check_gate" ->

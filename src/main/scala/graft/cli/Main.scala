@@ -15,7 +15,8 @@ import graft.table.TsTable
   *   create  --table ROOT (--time-column TS --bucket 1h [--timezone TZ]
   *            [--entity COL]... | --cluster-by c1,c2,c3 [--curve zorder|hilbert|lexico])
   *   append  --table ROOT --parquet FILE
-  *   query   --table ROOT --sql SQL [--at-version V] [--explain] [--timing]
+  *   query   --table ROOT --sql SQL [--at-version V | --at-tag N]
+  *           [--explain] [--timing]
   *           [--max-rows N] [--output PATH --format csv|jsonl] [--pager]
   *           [--param k=v]... [--arg v]...   ($1..$N bind to --arg in order)
   *   compact --table ROOT [--target-file-size BYTES] [--job-id ID]
@@ -32,6 +33,7 @@ import graft.table.TsTable
   *   restore --table ROOT --to-version V
   *   diff    --table ROOT --from V [--to V] [--key COL] [--max-rows N]
   *           [--output PATH --format csv|jsonl]
+  *   tag     --table ROOT [--name N [--version V] | --drop N]  (list if bare)
   *   alter   --table ROOT --add-column NAME:TYPE   (nullable; old rows NULL)
   *           | --add-check NAME:"SQL predicate"    (ingest quality gate)
   *           | --drop-check NAME
@@ -90,10 +92,11 @@ object Main {
     case "query" =>
       val t0 = System.nanoTime()
       val t = TsTable.open(req(args, "table"))
-      // --at-version pins a historical snapshot (time travel)
-      val scan = opt(args, "at-version") match {
-        case Some(v) => t.scanAt(spark, v.toLong)
-        case None    => t.scan(spark)
+      // --at-version / --at-tag pin a historical snapshot (time travel)
+      val scan = (opt(args, "at-version"), opt(args, "at-tag")) match {
+        case (Some(v), _) => t.scanAt(spark, v.toLong)
+        case (_, Some(n)) => t.scanAtTag(spark, n)
+        case _            => t.scan(spark)
       }
       scan.createOrReplaceTempView("t")
       val named: Map[String, Any] = multi(args, "param").map { kv =>
@@ -221,6 +224,19 @@ object Main {
           val v = t.dropCheck(cn.trim)
           println(s"dropped check ${cn.trim} -> v$v")
         case _ => sys.error("alter needs --add-column, --add-check, or --drop-check")
+      }
+
+    case "tag" =>
+      val t = TsTable.open(req(args, "table"))
+      (opt(args, "name"), opt(args, "drop")) match {
+        case (Some(n), _) =>
+          val v = t.setTag(n, opt(args, "version").map(_.toLong))
+          println(s"tagged '${n}' -> v${t.tags(n)} (commit v$v)")
+        case (_, Some(n)) =>
+          t.dropTag(n); println(s"dropped tag '$n'")
+        case _ =>
+          t.refresh()
+          t.tags.toSeq.sortBy(_._1).foreach { case (n, v) => println(s"$n\tv$v") }
       }
 
     case "analyze" =>

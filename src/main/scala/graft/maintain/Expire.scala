@@ -44,16 +44,27 @@ object Expire {
     val current = store.currentVersion()
     require(keepFromVersion >= 1 && keepFromVersion <= current,
       s"watermark $keepFromVersion out of range [1, $current]")
+    // tags are promises that a version stays readable ACROSS expiration:
+    // each tagged version below the watermark gets (a) its state
+    // checkpointed — replay then needs none of the dropped commits — and
+    // (b) its files excluded from every reclamation pass below
+    table.refresh()
+    val taggedBelow: Seq[Long] =
+      table.tags.values.filter(_ < keepFromVersion).toSeq.distinct.sorted
+
+    def writeCheckpoint(state: TableState, atVersion: Long): Unit = {
+      val p = store.checkpointPath(atVersion)
+      if (!Files.exists(p)) {
+        val tmp = Files.createTempFile(store.logDir, ".ckpt", ".tmp")
+        Files.writeString(tmp, Json.write(state.toJson))
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
 
     // 1) checkpoint the watermark state (manifest rewrite) — before deletes
     val wmState = TableState.rebuildAt(store, keepFromVersion)
-    val ckpt = store.checkpointPath(keepFromVersion)
-    if (!Files.exists(ckpt)) {
-      val tmp = Files.createTempFile(store.logDir, ".ckpt", ".tmp")
-      Files.writeString(tmp, Json.write(wmState.toJson))
-      Files.move(tmp, ckpt, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    writeCheckpoint(wmState, keepFromVersion)
 
     // 2) orphans: every segment ever added at v ≤ watermark that is not
     //    live at the watermark (removed and never re-added by replay) —
@@ -80,7 +91,14 @@ object Expire {
       }
       v += 1
     }
-    val orphans = (seen -- wmState.segments.keySet).values.toSeq.sortBy(_.path)
+    // tag states are rebuilt BEFORE any commit drops (their replay still
+    // needs the raw commits) and AFTER the `seen` scan (the fresh tag
+    // checkpoints must not shift the orphan-seed window of THIS pass);
+    // a tag-live segment is never an orphan, whatever the watermark says
+    val tagStates: Seq[TableState] = taggedBelow.map(TableState.rebuildAt(store, _))
+    val tagLiveIds: Set[String] = tagStates.flatMap(_.segments.keySet).toSet
+    val orphans = (seen -- wmState.segments.keySet -- tagLiveIds)
+      .values.toSeq.sortBy(_.path)
 
     var bytes = 0L; var files = 0; var sidecars = 0
     orphans.foreach { seg =>
@@ -92,13 +110,16 @@ object Expire {
       }
     }
 
-    // 3) drop commit files and stale checkpoints < watermark (replay now
-    //    starts at the watermark checkpoint)
+    // 3) materialize the tag checkpoints, then drop commit files and stale
+    //    checkpoints < watermark (replay of an untagged version now starts
+    //    at the watermark checkpoint; a tagged one at its own)
+    taggedBelow.zip(tagStates).foreach { case (tv, stV) => writeCheckpoint(stV, tv) }
+    val keepCkpt = taggedBelow.toSet
     var dropped = 0
     v = startV
     while (v < keepFromVersion) {
       if (Files.deleteIfExists(store.commitPath(v))) dropped += 1
-      Files.deleteIfExists(store.checkpointPath(v))
+      if (!keepCkpt(v)) Files.deleteIfExists(store.checkpointPath(v))
       v += 1
     }
 
@@ -147,7 +168,7 @@ object Expire {
     //    data/ contains EXACTLY the retained-state files plus in-grace
     //    writer output.
     val referenced = scala.collection.mutable.Set.empty[String]
-    wmState.segments.values.foreach { s =>
+    (wmState.segments.values ++ tagStates.flatMap(_.segments.values)).foreach { s =>
       referenced += s.path; s.coveragePath.foreach(referenced += _)
       s.dvPath.foreach(referenced += _)
     }

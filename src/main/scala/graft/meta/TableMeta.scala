@@ -87,7 +87,10 @@ final case class TableMeta(
     // CHECK constraints (name → SQL predicate), enforced on every write
     // that stages new segments. SQL semantics: a row passes when the
     // predicate is TRUE or NULL; only provably-FALSE rows violate.
-    checks: Seq[(String, String)] = Nil) {
+    checks: Seq[(String, String)] = Nil,
+    // named snapshots (tag → log version): human-stable time-travel
+    // handles; snapshot expiration refuses to reclaim a tagged version
+    tags: Map[String, Long] = Map.empty) {
 
   def schema: Option[StructType] =
     schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
@@ -116,6 +119,10 @@ final case class TableMeta(
       val c = n.putObject("checks")
       checks.sortBy(_._1).foreach { case (k, v) => c.put(k, v) }
     }
+    if (tags.nonEmpty) {
+      val tg = n.putObject("tags")
+      tags.toSeq.sortBy(_._1).foreach { case (k, v) => tg.put(k, v) }
+    }
     n
   }
 }
@@ -142,6 +149,9 @@ object TableMeta {
     val checks = Option(n.get("checks"))
       .map(c => Json.fields(c).map { case (k, v) => k -> v.asText() }.toSeq.sortBy(_._1))
       .getOrElse(Nil)
-    TableMeta(Json.getStr(n, "name"), kind, Json.optStr(n, "schema"), identity, checks)
+    val tags = Option(n.get("tags"))
+      .map(tg => Json.fields(tg).map { case (k, v) => k -> v.asLong() })
+      .getOrElse(Map.empty[String, Long])
+    TableMeta(Json.getStr(n, "name"), kind, Json.optStr(n, "schema"), identity, checks, tags)
   }
 }

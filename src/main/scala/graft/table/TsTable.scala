@@ -634,6 +634,58 @@ final class TsTable private (val root: String, val store: LogStore) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Tag a version with a stable name (metadata-only commit). Tags are
+    * human-stable time-travel handles; [[graft.maintain.Expire]] refuses
+    * to reclaim history a tag still points into. Default target: the
+    * current version. */
+  def setTag(name: String, version: Option[Long] = None, maxRetries: Int = 3): Long =
+    updateTags(name, current => {
+      val v = version.getOrElse(current)
+      require(v >= 1 && v <= current, s"tag target v$v out of range [1, $current]")
+      Some(v)
+    }, maxRetries)
+
+  /** Remove a tag (metadata-only commit). */
+  def dropTag(name: String, maxRetries: Int = 3): Long =
+    updateTags(name, _ => None, maxRetries, mustExist = true)
+
+  def tags: Map[String, Long] = cachedState.tableMeta.map(_.tags).getOrElse(Map.empty)
+
+  /** Time-travel scan by tag name. */
+  def scanAtTag(spark: SparkSession, name: String): DataFrame = {
+    refresh()
+    val v = tags.getOrElse(name,
+      throw new IllegalArgumentException(s"no such tag: '$name' (have: ${tags.keys.toSeq.sorted.mkString(", ")})"))
+    scanAt(spark, v)
+  }
+
+  private def updateTags(name: String, f: Long => Option[Long], maxRetries: Int,
+                         mustExist: Boolean = false): Long = {
+    var attempt = 0
+    while (true) {
+      refresh()
+      val st = cachedState
+      val m = st.tableMeta.getOrElse(throw new IllegalStateException("no table metadata"))
+      if (mustExist) require(m.tags.contains(name), s"no such tag: '$name'")
+      val newTags = f(st.version) match {
+        case Some(v) => m.tags + (name -> v)
+        case None => m.tags - name
+      }
+      if (newTags == m.tags) return st.version
+      val actions: Seq[LogAction] =
+        Seq(LogAction.UpdateTableMeta(m.copy(tags = newTags)))
+      try {
+        val v = store.commitWithExpectedVersion(st.version, actions)
+        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
+        return v
+      } catch {
+        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Drop a CHECK constraint (metadata-only). */
   def dropCheck(name: String, maxRetries: Int = 3): Long = {
     var attempt = 0

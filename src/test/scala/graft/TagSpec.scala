@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.data.TokenGen
+import graft.maintain.{Compaction, DeleteWhere, Expire}
+import graft.meta._
+import graft.table.TsTable
+
+/** Tags: named snapshots — stable time-travel handles protected from
+  * snapshot expiration. */
+class TagSpec extends SparkFunSuite {
+
+  private def tokenMeta = TableMeta("tokens",
+    TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None)
+
+  test("set/drop/list; scanAtTag replays the pinned snapshot across later writes") {
+    val t = TsTable.create(tmpDir("tag"), tokenMeta)
+    t.append(TokenGen.generate(spark, 200, numFiles = 2))
+    t.setTag("golden")
+    val want = t.scan(spark).orderBy("doc_id").collect().toSeq
+
+    t.append(TokenGen.generate(spark, 50, idStart = 9000L))
+    DeleteWhere.deleteMor(spark, t, col("n_tok") < 1000)
+    assert(t.scanAtTag(spark, "golden").orderBy("doc_id").collect().toSeq == want)
+
+    // retarget (same name, new version) and list; the tag points at the
+    // DATA version current when it was set (the tag commit itself adds one)
+    val dataV = t.version
+    t.setTag("golden") // now points at dataV
+    assert(t.tags("golden") == dataV && t.version == dataV + 1)
+    t.setTag("v1", Some(2L))
+    assert(t.tags.keySet == Set("golden", "v1"))
+    t.dropTag("v1")
+    assert(t.tags.keySet == Set("golden"))
+    intercept[IllegalArgumentException] { t.dropTag("v1") }
+    intercept[IllegalArgumentException] { t.scanAtTag(spark, "nope") }
+    intercept[IllegalArgumentException] { t.setTag("bad", Some(t.version + 10)) }
+  }
+
+  test("expire preserves tagged versions: checkpointed replay + files kept; untagged history reclaimed") {
+    val t = TsTable.create(tmpDir("tag-exp"), tokenMeta)
+    t.append(TokenGen.generate(spark, 200, numFiles = 2))
+    val pinned = t.version
+    val want = t.scan(spark).orderBy("doc_id").collect().toSeq
+    t.setTag("keep", Some(pinned))
+    Compaction.run(spark, t, targetFileSize = 8L * 1024 * 1024)
+
+    val r = Expire.expire(t, t.version, stagingGraceMs = 0L)
+    // the tag's commits are gone but its checkpoint + files survive
+    assert(r.commitsDropped > 0)
+    assert(t.scanAtTag(spark, "keep").orderBy("doc_id").collect().toSeq == want)
+    // current state intact too
+    assert(t.scan(spark).count() == 200)
+    // restore to the tagged (expired) version works off its checkpoint
+    graft.maintain.Restore.restore(t, pinned)
+    assert(t.scan(spark).orderBy("doc_id").collect().toSeq == want)
+
+    // once the tag drops, a later expire reclaims what only it referenced
+    t.dropTag("keep")
+    Compaction.run(spark, t, targetFileSize = 8L * 1024 * 1024)
+    Expire.expire(t, t.version, stagingGraceMs = 0L)
+    assert(t.scan(spark).count() == 200)
+    intercept[Exception] { t.scanAtTag(spark, "keep") }
+  }
+}
