@@ -17,7 +17,16 @@ import graft.table.TsTable
   * Fails loudly if snapshot expiration has already reclaimed any file the
   * target snapshot references (data, coverage sidecar, or deletion
   * vector) — a restore that silently resurrected a half-swept snapshot
-  * would fail at scan time instead, far from the cause.
+  * would fail at scan time instead, far from the cause. (A tagged
+  * version stays restorable even after expiration: expire checkpoints it
+  * and keeps its files.)
+  *
+  * CHECK-constraint caveat: restore is metadata-only BY DESIGN, so it
+  * does not re-validate the target's rows against checks added after the
+  * target was written — a restore can resurrect rows a newer check would
+  * reject. Constraints added via addCheck validate the CURRENT state, so
+  * re-running addCheck (drop + add) after a restore re-establishes the
+  * invariant, or run a validating scan: scan.where(NOT check).count.
   */
 object Restore {
 
