@@ -218,7 +218,7 @@ object Compaction {
           }
         case _ => clusterSorted(df, curve, outFiles, fit)
       }
-      table.swapSegments(sorted, inputs.map(_.segmentId), maxRetries)
+      table.swapSegments(sorted, inputs, maxRetries)
     }
   }
 

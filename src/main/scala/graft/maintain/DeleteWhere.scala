@@ -78,6 +78,33 @@ object DeleteWhere {
     (resolved, candidates, untouched)
   }
 
+  /** Per-file MATCH counts over LIVE rows in one pass over the
+    * candidates, partitioned into (matched-per-canonical-path, hit files,
+    * clean files): stats are only necessary conditions, so a candidate
+    * can hold zero matching rows — such files keep their bytes and
+    * segment ids. Both sides of the attribution compare through
+    * PathNorm.canonical, so trailing-slash or relative table roots line
+    * up with input_file_name()'s URI form; an unattributable matched file
+    * (exotic path scheme) falls back to treating ALL candidates as hit —
+    * sound, just less surgical. Shared by DELETE and UPDATE. */
+  private[maintain] def matchCounts(spark: SparkSession, table: TsTable,
+                                    candidates: Seq[SegmentMeta], matchesCond: Column)
+      : (Map[String, Long], Seq[SegmentMeta], Seq[SegmentMeta]) = {
+    val paths = candidates.map(seg => s"${table.root}/${seg.path}")
+    val base = table.segmentReader(spark).parquet(paths: _*)
+    val matchedPerFile: Map[String, Long] =
+      DeletionVectors.liveRowFilter(table.root, candidates).map(base.where).getOrElse(base)
+        .where(matchesCond)
+        .groupBy(input_file_name().as("f")).count()
+        .collect().map(r => PathNorm.canonical(r.getString(0)) -> r.getLong(1)).toMap
+    var (hit, clean) = candidates.partition(seg =>
+      matchedPerFile.contains(PathNorm.canonical(s"${table.root}/${seg.path}")))
+    val attributed = candidates
+      .map(seg => PathNorm.canonical(s"${table.root}/${seg.path}")).toSet
+    if (matchedPerFile.keys.exists(!attributed(_))) { hit = candidates; clean = Nil }
+    (matchedPerFile, hit, clean)
+  }
+
   /** Copy-on-write DELETE (see object doc). DV-aware: candidates that
     * already carry a deletion vector are read live-rows-only, and their
     * rewrite output materializes the old DV away. */
@@ -92,33 +119,13 @@ object DeleteWhere {
     val keep = !coalesce(condition, lit(false)) // NULL predicate -> keep
     val matchesCond = coalesce(condition, lit(false)) // rows that DELETE removes
 
-    // per-file MATCH counts over LIVE rows in one pass over the
-    // candidates: stats are only necessary conditions, so a candidate can
-    // hold zero matching rows — such files are never rewritten (their
-    // bytes and segment ids survive), and a fully-no-op DELETE returns
-    // without committing. Both sides of the attribution compare through
-    // PathNorm.canonical, so trailing-slash or relative table roots line
-    // up with input_file_name()'s URI form.
-    val paths = candidates.map(seg => s"${table.root}/${seg.path}")
     def liveRows(df: DataFrame, segs: Seq[SegmentMeta]): DataFrame =
       DeletionVectors.liveRowFilter(table.root, segs).map(df.where).getOrElse(df)
-    val matchedPerFile: Map[String, Long] =
-      liveRows(table.segmentReader(spark).parquet(paths: _*), candidates)
-      .where(matchesCond)
-      .groupBy(input_file_name().as("f")).count()
-      .collect().map(r => PathNorm.canonical(r.getString(0)) -> r.getLong(1)).toMap
+    val (matchedPerFile, hit, cleanCandidates) =
+      matchCounts(spark, table, candidates, matchesCond)
     val rowsDeleted = matchedPerFile.values.sum
     if (rowsDeleted == 0L)
       return Report(candidates.size, live.size, 0, 0L, totalLive, table.version)
-
-    var (hit, cleanCandidates) = candidates.partition(seg =>
-      matchedPerFile.contains(PathNorm.canonical(s"${table.root}/${seg.path}")))
-    // sanity net: every matched file must attribute to a candidate; if any
-    // does not (exotic path scheme), fall back to rewriting ALL candidates
-    // — sound, just less surgical
-    val attributed = candidates
-      .map(seg => PathNorm.canonical(s"${table.root}/${seg.path}")).toSet
-    if (matchedPerFile.keys.exists(!attributed(_))) { hit = candidates; cleanCandidates = Nil }
     val removeIds = hit.map(_.segmentId)
 
     // per-file degenerate handling: a hit file whose match count equals
@@ -145,9 +152,11 @@ object DeleteWhere {
         table.commitRemovals(removeIds, recomputeCoverage = repairCov); Nil
       } else {
         val partialPaths = partial.map(seg => s"${table.root}/${seg.path}")
+        // `hit` (not just the rewritten partials): the swap must abort if
+        // ANY removed file was concurrently re-DV'd or rewritten
         table.swapSegments(
           liveRows(table.segmentReader(spark).parquet(partialPaths: _*), partial)
-            .where(keep), removeIds,
+            .where(keep), hit,
           recomputeCoverage = repairCov)
       }
 

@@ -95,7 +95,15 @@ object Expire {
     // needs the raw commits) and AFTER the `seen` scan (the fresh tag
     // checkpoints must not shift the orphan-seed window of THIS pass);
     // a tag-live segment is never an orphan, whatever the watermark says
-    val tagStates: Seq[TableState] = taggedBelow.map(TableState.rebuildAt(store, _))
+    val tagStates: Seq[TableState] = taggedBelow.map { tv =>
+      try TableState.rebuildAt(store, tv)
+      catch { case e: Exception =>
+        val names = table.tags.collect { case (n, v) if v == tv => s"'$n'" }.mkString(", ")
+        throw new IllegalStateException(
+          s"tag(s) $names point at v$tv whose history is no longer replayable; " +
+            s"drop the tag(s) to unblock expire (${e.getMessage})", e)
+      }
+    }
     val tagLiveIds: Set[String] = tagStates.flatMap(_.segments.keySet).toSet
     val orphans = (seen -- wmState.segments.keySet -- tagLiveIds)
       .values.toSeq.sortBy(_.path)

@@ -125,7 +125,7 @@ object MergeInto {
       val cached = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val clustered = Compaction.clusterSorted(cached, curve, outFiles, ClusterKey.fit(live))
-        table.swapSegments(clustered, candidates.map(_.segmentId))
+        table.swapSegments(clustered, candidates)
       } finally cached.unpersist(false)
     }
 
@@ -225,11 +225,13 @@ object MergeInto {
       plan match {
         case Some(p) =>
           table.commitDvAttach(p.upserts, p.removeIds, p.expectedDv,
-            recomputeCoverage = table.timeSpec.isDefined, adds = newSegs)
+            recomputeCoverage = table.timeSpec.isDefined, adds = newSegs,
+            sparkForChecks = Some(spark))
         case None =>
           // pure insert: no matched rows anywhere — commit just the adds
           table.commitDvAttach(Nil, Nil, Map.empty,
-            recomputeCoverage = table.timeSpec.isDefined, adds = newSegs)
+            recomputeCoverage = table.timeSpec.isDefined, adds = newSegs,
+            sparkForChecks = Some(spark))
       }
     } catch {
       case e: Throwable => cleanup(newSegs); throw e

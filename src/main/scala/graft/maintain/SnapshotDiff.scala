@@ -51,9 +51,14 @@ object SnapshotDiff {
       return post.withColumn("_change_type", lit("insert")).where(lit(false))
 
     // ---- append-only fast path (log metadata decides; no data read) ----
+    // remove-free AND no added segment carries a deletion vector: a
+    // RESTORE whose diff happens to be adds-only can re-add DV'd segments
+    // in a remove-free commit, and reading those raw would report masked
+    // (deleted) rows as inserts — such ranges take the general join path
     val commits = ((fromVersion + 1) to toVersion).map(table.store.readCommit)
     val appendOnly = commits.forall(_.actions.forall {
       case _: LogAction.RemoveSegment => false
+      case LogAction.AddSegment(s) => s.dvPath.isEmpty
       case _ => true
     })
     if (appendOnly) {

@@ -52,25 +52,14 @@ object UpdateWhere {
     def liveRows(df: DataFrame, segs: Seq[SegmentMeta]): DataFrame =
       DeletionVectors.liveRowFilter(table.root, segs).map(df.where).getOrElse(df)
 
-    // per-file match counts over live rows: zero-match candidates are
-    // never rewritten; a fully-no-op UPDATE returns without committing
-    val paths = candidates.map(seg => s"${table.root}/${seg.path}")
-    val matchedPerFile: Map[String, Long] =
-      liveRows(table.segmentReader(spark).parquet(paths: _*), candidates)
-      .where(matchesCond)
-      .groupBy(input_file_name().as("f")).count()
-      .collect().map(r => PathNorm.canonical(r.getString(0)) -> r.getLong(1)).toMap
+    // per-file match counts over live rows (shared with DELETE, incl. the
+    // exotic-path fallback): zero-match candidates are never rewritten; a
+    // fully-no-op UPDATE returns without committing
+    val (matchedPerFile, hit, clean) =
+      DeleteWhere.matchCounts(spark, table, candidates, matchesCond)
     val rowsUpdated = matchedPerFile.values.sum
     if (rowsUpdated == 0L)
       return Report(candidates.size, live.size, 0, 0L, table.version)
-
-    var (hit, clean) = candidates.partition(seg =>
-      matchedPerFile.contains(PathNorm.canonical(s"${table.root}/${seg.path}")))
-    // same sanity net as DELETE: an unattributable matched file (exotic
-    // path scheme) falls back to rewriting all candidates — sound
-    val attributed = candidates
-      .map(seg => PathNorm.canonical(s"${table.root}/${seg.path}")).toSet
-    if (matchedPerFile.keys.exists(!attributed(_))) { hit = candidates; clean = Nil }
 
     // simultaneous assignment against OLD values: every SET expression is
     // planned over the original row (a SET that references an updated
@@ -88,7 +77,7 @@ object UpdateWhere {
     val newSegs = table.swapSegments(
       liveRows(table.segmentReader(spark).parquet(hitPaths: _*), hit)
         .select(projected.toIndexedSeq: _*),
-      hit.map(_.segmentId), recomputeCoverage = repairCov)
+      hit, recomputeCoverage = repairCov)
 
     Report(candidates.size, untouched.size + clean.size, newSegs.size,
       rowsUpdated, table.version)
@@ -158,7 +147,8 @@ object UpdateWhere {
       newSegs = table.stageSegments(
         Compaction.clusterSorted(matchedRows, curve, outFiles, ClusterKey.fit(live)))
       table.commitDvAttach(plan.upserts, plan.removeIds, plan.expectedDv,
-        recomputeCoverage = table.timeSpec.isDefined, adds = newSegs)
+        recomputeCoverage = table.timeSpec.isDefined, adds = newSegs,
+        sparkForChecks = Some(spark))
     } catch {
       case e: Throwable =>
         table.deleteStaged(newSegs)

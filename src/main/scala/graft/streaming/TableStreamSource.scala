@@ -218,9 +218,18 @@ final class TableStreamSource(
         "fresh checkpoint (or a startingVersion that still exists) to resume")
     (fromV to toV).flatMap { v =>
       val c = table.store.readCommit(v)
-      if (c.actions.exists(_.isInstanceOf[LogAction.RemoveSegment])) {
+      // a data-change commit is one with removes OR one whose adds carry a
+      // deletion vector: a RESTORE whose diff is adds-only can re-add DV'd
+      // segments in a remove-free commit, and replaying those files raw
+      // would emit the masked (deleted) rows
+      val isChange = c.actions.exists {
+        case _: LogAction.RemoveSegment => true
+        case LogAction.AddSegment(s) => s.dvPath.isDefined
+        case _ => false
+      }
+      if (isChange) {
         if (!skipChangeCommits) throw new IllegalStateException(
-          s"commit $v of $rootPath rewrites or deletes data (RemoveSegment); " +
+          s"commit $v of $rootPath rewrites, deletes, or re-masks data; " +
             "streaming from it would re-emit or lose rows. Set skipChangeCommits=true " +
             "to stream appends only.")
         Nil
@@ -314,6 +323,17 @@ final class GraftSourceProvider extends StreamSourceProvider with StreamSinkProv
       s"graft-table supports SaveMode.Append only (got $mode); use Compaction/MergeInto/Expire for rewrites")
     val table = TsTable.open(root(parameters))
     table.append(data)
+    // the returned relation has the same bare-BaseRelation limitation as
+    // the read path below: it cannot carry the deletion-vector filter, so
+    // on a DV'd table a consumer scanning it would resurrect masked rows.
+    // The append above LANDED either way; only the handed-back relation is
+    // refused (read through TsTable.scan / the CLI instead).
+    if (table.state.liveSegments.exists(_.dvPath.isDefined))
+      throw new UnsupportedOperationException(
+        s"append to ${root(parameters)} committed (v${table.version}), but the table " +
+          "carries merge-on-read deletion vectors and the DSv1 write contract must " +
+          "return a scannable relation that cannot apply them; read the table via " +
+          "TsTable.scan / the CLI, or run Compaction to materialize the deletes")
     table.relationAt(sqlContext.sparkSession, table.state).get
   }
 

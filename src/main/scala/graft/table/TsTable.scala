@@ -318,9 +318,18 @@ final class TsTable private (val root: String, val store: LogStore) {
       SegmentMeta(segId, rel, "parquet", fs.rowCount, Some(fs.fileSize), fs.stats, cov)
     }
 
+    // checks were enforced against THIS snapshot's constraint set while
+    // the files sat in staging; a rebase below may land on a snapshot
+    // with a check added since, and must re-gate the (now-moved) files
+    val checksValidated = cachedState.tableMeta.map(_.checks).getOrElse(Nil)
+
     var attempt = 0
     while (true) {
       val st = cachedState
+      if (st.tableMeta.map(_.checks).getOrElse(Nil) != checksValidated) {
+        try enforceChecks(spark, segs.map(s => (s"$root/${s.path}", s.stats, s.rowCount)))
+        catch { case e: Throwable => deleteStaged(segs); throw e }
+      }
       // authoritative idempotency check against the snapshot we commit on.
       // A replay detected here (e.g. two drivers raced the same batch and
       // this one lost the OCC commit) must delete the data files it already
@@ -487,9 +496,13 @@ final class TsTable private (val root: String, val store: LogStore) {
     * can leave a stale snapshot that falsely rejects later appends into
     * the vacated range. Orphan .cov files from lost OCC races are benign
     * (same policy as append's pre-commit sidecar writes). */
-  private[graft] def swapSegments(df: DataFrame, removeIds: Seq[String],
+  private[graft] def swapSegments(df: DataFrame, removed: Seq[SegmentMeta],
                                   maxRetries: Int = 3,
                                   recomputeCoverage: Boolean = false): Seq[SegmentMeta] = {
+    val spark = df.sparkSession
+    val checksValidated = cachedState.tableMeta.map(_.checks).getOrElse(Nil)
+    val removeIds = removed.map(_.segmentId)
+    val expectedDv = removed.map(s => s.segmentId -> s.dvPath).toMap
     val segs = stageSegments(df)
     // same orphan rule as append: the rewritten files were moved into
     // data/ above, so every abort path below (lost race on a removed
@@ -505,6 +518,21 @@ final class TsTable private (val root: String, val store: LogStore) {
       if (missing.nonEmpty)
         cleanupAndThrow(new IllegalStateException(
           s"swap aborted: segments already rewritten by a concurrent job: $missing"))
+      // a concurrent MOR delete keeps the segment ID but changes its
+      // deletion vector — committing this rewrite (whose bytes were read
+      // under the OLD DV) would silently resurrect the just-deleted rows,
+      // so the swap verifies the DV pointer it read under, not mere id
+      // presence (the mirror of commitDvAttach's expectedDv guard)
+      val dvRaced = removeIds.filter(id => st.segments(id).dvPath != expectedDv(id))
+      if (dvRaced.nonEmpty)
+        cleanupAndThrow(new IllegalStateException(
+          s"swap aborted: segments re-DV'd by a concurrent DELETE/MERGE: $dvRaced"))
+      // a CHECK added since this rewrite validated must re-gate it (the
+      // staged rows could predate the constraint); unchanged checks skip
+      try {
+        if (st.tableMeta.map(_.checks).getOrElse(Nil) != checksValidated)
+          enforceChecks(spark, segs.map(s => (s"$root/${s.path}", s.stats, s.rowCount)))
+      } catch { case e: Throwable => cleanupAndThrow(e) }
       val actions: Seq[LogAction] =
         removeIds.map(LogAction.RemoveSegment) ++ segs.map(LogAction.AddSegment) ++
           (if (recomputeCoverage) coverageActionFor(st, removeIds, segs).toSeq else Nil)
@@ -604,12 +632,7 @@ final class TsTable private (val root: String, val store: LogStore) {
                maxRetries: Int = 3): Long = {
     import org.apache.spark.sql.functions.{expr, lit, not}
     val cond = expr(predicateSql)
-    var attempt = 0
-    while (true) {
-      refresh()
-      val st = cachedState
-      val m = st.tableMeta.getOrElse(throw new IllegalStateException(
-        "no table metadata yet — create the table before adding checks"))
+    commitMetaUpdate(maxRetries) { (st, m) =>
       require(!m.checks.exists(_._1 == name), s"check '$name' already exists")
       // validate INSIDE the OCC loop, so a write racing this commit gets
       // re-validated on the rebase (a write that lands after our commit
@@ -620,18 +643,8 @@ final class TsTable private (val root: String, val store: LogStore) {
       } else if (m.schema.isDefined) {
         scanState(spark, st).where(cond).queryExecution.analyzed // fail fast on bad columns
       }
-      val actions: Seq[LogAction] =
-        Seq(LogAction.UpdateTableMeta(m.copy(checks = m.checks :+ (name -> predicateSql))))
-      try {
-        val v = store.commitWithExpectedVersion(st.version, actions)
-        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
-        return v
-      } catch {
-        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
-          attempt += 1
-      }
+      Some(m.copy(checks = m.checks :+ (name -> predicateSql)))
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** Tag a version with a stable name (metadata-only commit). Tags are
@@ -642,6 +655,23 @@ final class TsTable private (val root: String, val store: LogStore) {
     updateTags(name, current => {
       val v = version.getOrElse(current)
       require(v >= 1 && v <= current, s"tag target v$v out of range [1, $current]")
+      // the target must still be REPLAYABLE — commits/checkpoint AND data
+      // files: tagging a version expiration already reclaimed (even
+      // partially — a surviving checkpoint can outlive swept files) would
+      // wedge every later expire and fail scanAtTag far from the cause
+      val target =
+        try TableState.rebuildAt(store, v)
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"cannot tag v$v: its history was already reclaimed by snapshot " +
+              s"expiration (${e.getMessage})", e)
+        }
+      val missing = target.liveSegments
+        .flatMap(s => (Seq(s.path) ++ s.coveragePath.toSeq ++ s.dvPath.toSeq))
+        .filterNot(rel => Files.exists(Paths.get(stripScheme(s"$root/$rel"))))
+      require(missing.isEmpty,
+        s"cannot tag v$v: ${missing.size} referenced file(s) already reclaimed by " +
+          s"snapshot expiration, e.g. ${missing.take(3).mkString(", ")}")
       Some(v)
     }, maxRetries)
 
@@ -660,53 +690,52 @@ final class TsTable private (val root: String, val store: LogStore) {
   }
 
   private def updateTags(name: String, f: Long => Option[Long], maxRetries: Int,
-                         mustExist: Boolean = false): Long = {
-    var attempt = 0
-    while (true) {
-      refresh()
-      val st = cachedState
-      val m = st.tableMeta.getOrElse(throw new IllegalStateException("no table metadata"))
+                         mustExist: Boolean = false): Long =
+    commitMetaUpdate(maxRetries) { (st, m) =>
       if (mustExist) require(m.tags.contains(name), s"no such tag: '$name'")
       val newTags = f(st.version) match {
         case Some(v) => m.tags + (name -> v)
         case None => m.tags - name
       }
-      if (newTags == m.tags) return st.version
-      val actions: Seq[LogAction] =
-        Seq(LogAction.UpdateTableMeta(m.copy(tags = newTags)))
-      try {
-        val v = store.commitWithExpectedVersion(st.version, actions)
-        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
-        return v
-      } catch {
-        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
-          attempt += 1
+      if (newTags == m.tags) None else Some(m.copy(tags = newTags))
+    }
+
+  /** Shared OCC loop for metadata-only commits (schema evolution, checks,
+    * tags): refresh, validate+transform the CURRENT meta via `f` inside
+    * the loop (so a rebase re-validates against what it actually commits
+    * over; throw to abort, None for a no-op), commit one UpdateTableMeta,
+    * rebase-retry on conflicts. */
+  private def commitMetaUpdate(maxRetries: Int = 3)
+                              (f: (TableState, TableMeta) => Option[TableMeta]): Long = {
+    var attempt = 0
+    while (true) {
+      refresh()
+      val st = cachedState
+      val m = st.tableMeta.getOrElse(throw new IllegalStateException(
+        "no table metadata yet — create the table first"))
+      f(st, m) match {
+        case None => return st.version
+        case Some(nm) =>
+          val actions: Seq[LogAction] = Seq(LogAction.UpdateTableMeta(nm))
+          try {
+            val v = store.commitWithExpectedVersion(st.version, actions)
+            cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
+            return v
+          } catch {
+            case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
+              attempt += 1
+          }
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
   /** Drop a CHECK constraint (metadata-only). */
-  def dropCheck(name: String, maxRetries: Int = 3): Long = {
-    var attempt = 0
-    while (true) {
-      refresh()
-      val st = cachedState
-      val m = st.tableMeta.getOrElse(throw new IllegalStateException("no table metadata"))
+  def dropCheck(name: String, maxRetries: Int = 3): Long =
+    commitMetaUpdate(maxRetries) { (_, m) =>
       require(m.checks.exists(_._1 == name), s"no such check: '$name'")
-      val actions: Seq[LogAction] =
-        Seq(LogAction.UpdateTableMeta(m.copy(checks = m.checks.filterNot(_._1 == name))))
-      try {
-        val v = store.commitWithExpectedVersion(st.version, actions)
-        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
-        return v
-      } catch {
-        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
-          attempt += 1
-      }
+      Some(m.copy(checks = m.checks.filterNot(_._1 == name)))
     }
-    throw new IllegalStateException("unreachable")
-  }
 
   /** Enforce the table's CHECK constraints over freshly staged files.
     * Stats fast path, sound by the Tri algebra's one reliable direction:
@@ -764,31 +793,15 @@ final class TsTable private (val root: String, val store: LogStore) {
     * an old-schema writer fails loudly instead of silently dropping the
     * column. OCC rebase-retry like every other metadata commit. */
   def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType,
-                maxRetries: Int = 3): Long = {
-    var attempt = 0
-    while (true) {
-      refresh()
-      val st = cachedState
-      val m = st.tableMeta.getOrElse(throw new IllegalStateException(
-        "no table metadata yet — create the table before evolving its schema"))
+                maxRetries: Int = 3): Long =
+    commitMetaUpdate(maxRetries) { (_, m) =>
       val sch = m.schema.getOrElse(throw new IllegalStateException(
         "no schema adopted yet — append once before evolving the schema"))
       require(!sch.fieldNames.contains(name), s"column '$name' already exists")
       val evolved = StructType(sch.fields :+
         org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
-      val actions: Seq[LogAction] =
-        Seq(LogAction.UpdateTableMeta(m.copy(schemaJson = Some(evolved.json))))
-      try {
-        val v = store.commitWithExpectedVersion(st.version, actions)
-        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
-        return v
-      } catch {
-        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
-          attempt += 1
-      }
+      Some(m.copy(schemaJson = Some(evolved.json)))
     }
-    throw new IllegalStateException("unreachable")
-  }
 
   /** Watermark-only commit for an empty streaming batch: the (app, batch)
     * txn advances with no segments, so a replay of the empty batch is
@@ -856,12 +869,20 @@ final class TsTable private (val root: String, val store: LogStore) {
                                     expectedDv: Map[String, Option[String]],
                                     maxRetries: Int = 3,
                                     recomputeCoverage: Boolean = false,
-                                    adds: Seq[SegmentMeta] = Nil): Long = {
+                                    adds: Seq[SegmentMeta] = Nil,
+                                    sparkForChecks: Option[SparkSession] = None): Long = {
     val affected = upserts.map(_.segmentId) ++ removeIds
+    val checksValidated = cachedState.tableMeta.map(_.checks).getOrElse(Nil)
     var attempt = 0
     while (true) {
       refresh()
       val st = cachedState
+      // re-gate appended segments if a CHECK landed since they were staged
+      // (upserts/removes reference rows that were already committed-valid)
+      if (adds.nonEmpty && sparkForChecks.isDefined &&
+          st.tableMeta.map(_.checks).getOrElse(Nil) != checksValidated)
+        enforceChecks(sparkForChecks.get,
+          adds.map(a => (s"$root/${a.path}", a.stats, a.rowCount)))
       val missing = affected.filterNot(st.segments.contains)
       if (missing.nonEmpty)
         throw new IllegalStateException(

@@ -55,7 +55,7 @@ class RobustnessSpec extends SparkFunSuite {
     val b0 = bins.head
     t.swapSegments(
       spark.read.parquet(b0.segments.map(s => s"$root/${s.path}"): _*),
-      b0.segments.map(_.segmentId))
+      b0.segments)
     val journal = new LineageJournal(root, "job-crash2")
     journal.record(BinRecord(b0.id, b0.segments.map(_.segmentId), Some(t.version), None))
     val rep = Compaction.run(spark, t, targetFileSize = 4L * 1024 * 1024,

@@ -102,7 +102,8 @@ class TableStreamSourceSpec extends SparkFunSuite {
       .trigger(Trigger.AvailableNow())
       .start()
     val e = intercept[StreamingQueryException](q.awaitTermination())
-    assert(e.getMessage.contains("RemoveSegment") || Option(e.getCause).exists(_.getMessage.contains("RemoveSegment")))
+    assert(e.getMessage.contains("re-emit or lose rows") ||
+      Option(e.getCause).exists(_.getMessage.contains("re-emit or lose rows")))
   }
 
   test("offsets expired while the stream was down fail with a descriptive error") {

@@ -61,5 +61,10 @@ class TagSpec extends SparkFunSuite {
     Expire.expire(t, t.version, stagingGraceMs = 0L)
     assert(t.scan(spark).count() == 200)
     intercept[Exception] { t.scanAtTag(spark, "keep") }
+
+    // tagging an already-expired version is refused up front (it could
+    // never replay, and would wedge every later expire)
+    val e2 = intercept[IllegalArgumentException] { t.setTag("late", Some(pinned)) }
+    assert(e2.getMessage.contains("reclaimed"))
   }
 }

@@ -227,11 +227,11 @@ class TsTableSpec extends SparkFunSuite {
     val seg = t1.state.liveSegments.head
     val t2 = TsTable.open(root) // second writer, same snapshot
     // writer 1 rewrites the segment first
-    t1.swapSegments(t1.scan(spark), Seq(seg.segmentId))
+    t1.swapSegments(t1.scan(spark), Seq(seg))
     val filesAfterT1 = count(s"$root/data")
     // writer 2 still believes seg is live; its swap must abort AND clean up
     val e = intercept[IllegalStateException](
-      t2.swapSegments(spark.read.parquet(s"$root/${seg.path}"), Seq(seg.segmentId)))
+      t2.swapSegments(spark.read.parquet(s"$root/${seg.path}"), Seq(seg)))
     assert(e.getMessage.contains("swap aborted"), e.getMessage)
     assert(count(s"$root/data") == filesAfterT1,
       "aborted swap leaked its rewritten files into data/")

@@ -59,6 +59,74 @@ class MorConcurrencySpec extends SparkFunSuite {
     assert(t.state.liveSegments.forall(_.dvPath.isEmpty))
   }
 
+  test("copy-on-write swap aborts when a concurrent MOR delete re-DV'd its inputs") {
+    // the mirror race of the DV-attach guard: a rewrite that read its
+    // inputs under the OLD deletion-vector state must not commit over a
+    // concurrently attached DV — it would resurrect the masked rows
+    val root = tmpDir("mor-swap")
+    val t = graft.table.TsTable.create(root, tokenMeta)
+    t.append(TokenGen.generate(spark, 400, numFiles = 2))
+    val inputs = t.state.liveSegments
+    // the rewrite's read, planned under the current (DV-free) snapshot
+    val rewriteDf = spark.read.parquet(inputs.map(s => s"$root/${s.path}"): _*)
+
+    // concurrent MOR delete lands first
+    val del = DeleteWhere.deleteMor(spark, t, col("source") === "src00")
+    assert(del.rowsDeleted > 0)
+    val liveAfterDelete = t.scan(spark).count()
+
+    val e = intercept[IllegalStateException] {
+      t.swapSegments(rewriteDf, inputs)
+    }
+    assert(e.getMessage.contains("re-DV'd"))
+    // nothing resurrected, no orphan output committed
+    t.refresh()
+    assert(t.scan(spark).count() == liveAfterDelete)
+    assert(t.scan(spark).where(col("source") === "src00").count() == 0)
+  }
+
+  test("adds-only restore of DV'd segments: diff takes the join path, stream skips it") {
+    val root = tmpDir("mor-restore-adds")
+    val t = graft.table.TsTable.create(root, tokenMeta)
+    t.append(TokenGen.generate(spark, 300, numFiles = 1))
+    // v: DV attach; then fully remove the survivors (metadata-only)
+    DeleteWhere.deleteMor(spark, t, col("n_tok") < 1000)
+    val vDv = t.version
+    val liveAtDv = t.scan(spark).count()
+    assert(liveAtDv > 0 && liveAtDv < 300)
+    DeleteWhere.delete(spark, t, org.apache.spark.sql.functions.lit(true))
+    val vEmpty = t.version
+    assert(t.scan(spark).count() == 0)
+    // restore to the DV'd snapshot: the diff vs empty is ADDS-ONLY, and
+    // the re-added segment carries its deletion vector
+    Restore.restore(t, vDv)
+    val vRestored = t.version
+    val restoredCommit = t.store.readCommit(vRestored)
+    assert(!restoredCommit.actions.exists(_.isInstanceOf[graft.log.LogAction.RemoveSegment]))
+    assert(restoredCommit.actions.exists {
+      case graft.log.LogAction.AddSegment(s) => s.dvPath.isDefined; case _ => false
+    })
+
+    // diff over that range must NOT take the raw-file fast path: inserts
+    // are exactly the LIVE rows of the restored snapshot
+    val d = SnapshotDiff.diff(spark, t, vEmpty, vRestored, "doc_id")
+    assert(d.count() == liveAtDv)
+    assert(d.queryExecution.executedPlan.toString.contains("Join"),
+      "DV-carrying adds-only commit must use the general diff path")
+
+    // a stream tailing from the restore must SKIP it (change commit), not
+    // replay the raw file (which would emit the DV-masked rows)
+    val out = tmpDir("mor-restore-out"); val ckpt = tmpDir("mor-restore-ckpt")
+    val q = t.readStream(spark, Map(
+        "skipChangeCommits" -> "true", "startingVersion" -> vRestored.toString))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val emitted = try spark.read.parquet(out).count() catch { case _: Exception => 0L }
+    assert(emitted == 0L, "DV-carrying adds-only commit must be skipped by the stream")
+  }
+
   test("DV attach aborts when candidates were re-DV'd by a concurrent DELETE") {
     val root = tmpDir("mor-occ2")
     val t = TsTable.create(root, tokenMeta)
