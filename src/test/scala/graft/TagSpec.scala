@@ -67,4 +67,40 @@ class TagSpec extends SparkFunSuite {
     val e2 = intercept[IllegalArgumentException] { t.setTag("late", Some(pinned)) }
     assert(e2.getMessage.contains("reclaimed"))
   }
+
+  test("expire retains a tag-pinned deletion vector; the superseded re-DV sidecar is swept") {
+    val root = tmpDir("tag-dv")
+    val t = TsTable.create(root, tokenMeta)
+    t.append(TokenGen.generate(spark, 600, numFiles = 2))
+
+    // first MOR delete attaches DV d1; pin it with a tag
+    DeleteWhere.deleteMor(spark, t, col("source") === "src00")
+    val tagState = graft.log.TableState.rebuildAt(t.store, t.version)
+    val d1 = tagState.liveSegments.flatMap(_.dvPath)
+    assert(d1.nonEmpty, "first MOR delete must attach at least one DV")
+    t.setTag("pin")
+    val wantAtPin = t.scan(spark).count()
+
+    // second MOR delete supersedes d1 with a unioned d2 on the same segments
+    DeleteWhere.deleteMor(spark, t, col("source") === "src01")
+    val d2 = graft.log.TableState.rebuildAt(t.store, t.version)
+      .liveSegments.flatMap(_.dvPath).filterNot(d1.contains)
+    assert(d2.nonEmpty, "re-DV must write a new sidecar")
+
+    // compaction materializes every DV away; expire everything untagged
+    Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024, dvDebtThreshold = 0.0)
+    assert(t.state.liveSegments.forall(_.dvPath.isEmpty))
+    Thread.sleep(10) // grace-0 sweep uses strict mtime < now
+    Expire.expire(t, t.version, stagingGraceMs = 0L)
+
+    def exists(rel: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/$rel"))
+    assert(d1.forall(exists), "tag-pinned DV sidecar must survive expire")
+    assert(!d2.exists(exists), "superseded DV referenced by no retained version must be swept")
+
+    // the tag still reads EXACTLY its snapshot (src00 masked, src01 present)
+    val atPin = t.scanAtTag(spark, "pin")
+    assert(atPin.count() == wantAtPin)
+    assert(atPin.where(col("source") === "src00").count() == 0)
+    assert(atPin.where(col("source") === "src01").count() > 0)
+  }
 }
