@@ -289,4 +289,21 @@ class TableStreamSourceSpec extends SparkFunSuite {
     Compaction.run(spark, dst, targetFileSize = 64L * 1024 * 1024)
     assert(dst.scan(spark).count() == 300)
   }
+  test("stream across ADD COLUMN: pre-evolution files null-fill, schema pinned at start") {
+    val root = tmpDir("srcstream-evo")
+    val out = tmpDir("srcstream-evo-out"); val ckpt = tmpDir("srcstream-evo-ckpt")
+    val t = TsTable.create(root, tokenMeta)
+    t.append(TokenGen.generate(spark, 100)) // pre-evolution files: no 'lang'
+    t.addColumn("lang", org.apache.spark.sql.types.StringType)
+    t.refresh()
+    t.append(TokenGen.generate(spark, 50, idStart = 5000).withColumn("lang", lit("en")))
+
+    // a stream opened AFTER evolution sees the evolved schema and must
+    // null-fill the column for files written before it existed
+    val got = drain(t.readStream(spark), out, ckpt)
+    assert(got.schema.fieldNames.contains("lang"))
+    assert(got.count() == 150)
+    assert(got.where(col("lang").isNull).count() == 100)
+    assert(got.where(col("lang") === "en").count() == 50)
+  }
 }
