@@ -175,14 +175,13 @@ object Compaction {
   private def rewriteBin(spark: SparkSession, table: TsTable, inputs: Seq[SegmentMeta],
                          outFiles: Int, curve: String, fit: ClusterKey.Fit,
                          maxRetries: Int): Seq[SegmentMeta] = {
-    val paths = inputs.map(s => s"${table.root}/${s.path}")
     val totalBytes = math.max(inputs.flatMap(_.fileSize).sum, 1L)
-    withSizedReadSplits(spark, totalBytes) { scoped =>
+    withSizedReadSplits(spark, totalBytes, inputs.size) { scoped =>
       // merge-on-read deletes materialize here: inputs are read
       // live-rows-only, outputs are fresh segments with no DV. (The
       // boundary SAMPLE below stays physical — deleted rows skew the
       // approximate range bounds marginally, never correctness.)
-      val raw = table.segmentReader(scoped).parquet(paths: _*)
+      val raw = table.segmentScan(scoped, inputs)
       val df = graft.table.DeletionVectors.liveRowFilter(table.root, inputs)
         .map(raw.where).getOrElse(raw)
       val sorted = curve match {
@@ -199,7 +198,11 @@ object Compaction {
           val rows = math.max(inputs.map(_.rowCount).sum, 1L)
           val targetSamples = math.min(outFiles.toLong * 1000L, 1000000L)
           val fraction = math.min(1.0, targetSamples.toDouble / rows)
-          val sample = scoped.read.parquet(paths: _*)
+          // sample from the SAME manifest-backed relation as the rewrite:
+          // a second read.parquet here re-listed the whole bin (a second
+          // listing job per rewrite); column pruning still keeps the
+          // sample scan narrow
+          val sample = raw
             .select(ClusterKey.tokenTableKey(curve, fit).as("k"),
               pmod(xxhash64(col("doc_id")), lit(1024L)).as("s"))
             .sample(withReplacement = false, fraction, seed = 42L)
@@ -255,10 +258,20 @@ object Compaction {
     * on. Round-2 finding: mutating the shared session's conf made every
     * CONCURRENT query on that session silently plan with the maintenance
     * job's split size (and vice versa on restore). */
-  def withSizedReadSplits[T](spark: SparkSession, totalBytes: Long)(f: SparkSession => T): T = {
+  def withSizedReadSplits[T](spark: SparkSession, totalBytes: Long,
+                             numFiles: Int = 0)(f: SparkSession => T): T = {
     val cores = spark.sparkContext.defaultParallelism
+    // Spark pads every file with files.openCostInBytes (4 MB default) when
+    // packing splits into read tasks, so sizing from raw bytes alone lands
+    // the scan off whole waves (observed: a 1 GB/122-file bin planned 41
+    // tasks at 8 cores — a 6th wave with ONE straggler task, +17 % stage
+    // wall). Budget the padding so task count ≈ 3 × cores exactly.
+    val openCost = spark.conf.getOption("spark.sql.files.openCostInBytes")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(4L * 1024 * 1024)
+    val padded = math.max(totalBytes, 1L) + numFiles.toLong * openCost
     val targetSplit = math.min(128L * 1024 * 1024,
-      math.max(8L * 1024 * 1024, math.max(totalBytes, 1L) / (3L * cores)))
+      math.max(8L * 1024 * 1024, padded / (3L * cores)))
     val scoped = spark.newSession()
     // newSession() starts from the context defaults; carry the caller's
     // runtime SQL conf (shuffle partitions, AQE, timezone) so maintenance

@@ -90,8 +90,7 @@ object DeleteWhere {
   private[maintain] def matchCounts(spark: SparkSession, table: TsTable,
                                     candidates: Seq[SegmentMeta], matchesCond: Column)
       : (Map[String, Long], Seq[SegmentMeta], Seq[SegmentMeta]) = {
-    val paths = candidates.map(seg => s"${table.root}/${seg.path}")
-    val base = table.segmentReader(spark).parquet(paths: _*)
+    val base = table.segmentScan(spark, candidates)
     val matchedPerFile: Map[String, Long] =
       DeletionVectors.liveRowFilter(table.root, candidates).map(base.where).getOrElse(base)
         .where(matchesCond)
@@ -151,11 +150,10 @@ object DeleteWhere {
       if (partial.isEmpty) {
         table.commitRemovals(removeIds, recomputeCoverage = repairCov); Nil
       } else {
-        val partialPaths = partial.map(seg => s"${table.root}/${seg.path}")
         // `hit` (not just the rewritten partials): the swap must abort if
         // ANY removed file was concurrently re-DV'd or rewritten
         table.swapSegments(
-          liveRows(table.segmentReader(spark).parquet(partialPaths: _*), partial)
+          liveRows(table.segmentScan(spark, partial), partial)
             .where(keep), hit,
           recomputeCoverage = repairCov)
       }
@@ -210,8 +208,7 @@ object DeleteWhere {
   private[maintain] def morBase(spark: SparkSession, table: TsTable,
                                 candidates: Seq[SegmentMeta])
                                (project: DataFrame => DataFrame): DataFrame = {
-    val paths = candidates.map(seg => s"${table.root}/${seg.path}")
-    val base0 = project(table.segmentReader(spark).parquet(paths: _*))
+    val base0 = project(table.segmentScan(spark, candidates))
     DeletionVectors.predicate(table.root, candidates, col("__f"), col("__i"))
       .map(base0.where).getOrElse(base0)
   }

@@ -105,7 +105,7 @@ object MergeInto {
     // read→anti-join→union, so without a cache the whole merge pipeline
     // executes once for the sample pass and again for the write pass.
     // Persist for the two passes, then release.
-    val added = Compaction.withSizedReadSplits(spark, candBytes) { scoped =>
+    val added = Compaction.withSizedReadSplits(spark, candBytes, candidates.size) { scoped =>
       // the candidate read is created on the scoped session: split sizing
       // binds to the relation's session, so the tuned maxPartitionBytes
       // applies here and ONLY here (upd keeps the caller's session/conf)
@@ -115,8 +115,7 @@ object MergeInto {
           // merge-on-read deletes: candidates are read live-rows-only, so
           // the rewrite materializes any DV away (outputs carry none) and
           // deleted rows can never resurrect through a MERGE
-          val raw = table.segmentReader(scoped)
-            .parquet(candidates.map(s => s"${table.root}/${s.path}"): _*)
+          val raw = table.segmentScan(scoped, candidates)
           graft.table.DeletionVectors.liveRowFilter(table.root, candidates)
             .map(raw.where).getOrElse(raw)
             .join(upd.select(col(key)), Seq(key), "left_anti")

@@ -73,9 +73,8 @@ object UpdateWhere {
     }
 
     val repairCov = table.timeSpec.isDefined
-    val hitPaths = hit.map(seg => s"${table.root}/${seg.path}")
     val newSegs = table.swapSegments(
-      liveRows(table.segmentReader(spark).parquet(hitPaths: _*), hit)
+      liveRows(table.segmentScan(spark, hit), hit)
         .select(projected.toIndexedSeq: _*),
       hit, recomputeCoverage = repairCov)
 
@@ -138,8 +137,7 @@ object UpdateWhere {
     val curve = table.clusterSpec.map(_.curve).getOrElse("none")
     var newSegs: Seq[SegmentMeta] = Nil
     try {
-      val raw = table.segmentReader(spark)
-        .parquet(candidates.map(s => s"${table.root}/${s.path}"): _*)
+      val raw = table.segmentScan(spark, candidates)
       val matchedRows = DeletionVectors.liveRowFilter(table.root, candidates)
         .map(raw.where).getOrElse(raw)
         .where(matchesCond)

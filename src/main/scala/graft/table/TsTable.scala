@@ -782,6 +782,23 @@ final class TsTable private (val root: String, val store: LogStore) {
   private[graft] def segmentReader(spark: SparkSession): org.apache.spark.sql.DataFrameReader =
     cachedState.tableMeta.flatMap(_.schema).fold(spark.read)(spark.read.schema)
 
+  /** Manifest-backed PHYSICAL scan over an explicit segment subset — the
+    * read every maintenance job (compaction bin, MERGE/DELETE/UPDATE
+    * candidates) should use instead of `segmentReader(...).parquet(paths)`:
+    * the manifest already knows each file's path and size, so the scan
+    * plans with ZERO filesystem listing (a bare parquet read of a 161-file
+    * bin was paying two ~1 s distributed listing jobs per rewrite — pure
+    * scheduler overhead at any scale, and a real object-store LIST storm
+    * at 100 TB). Schema is pinned to the manifest like [[segmentReader]];
+    * rows are physical (no DV filter) — callers layer
+    * [[DeletionVectors.liveRowFilter]] exactly as before. */
+  private[graft] def segmentScan(spark: SparkSession, segs: Seq[SegmentMeta]): DataFrame = {
+    require(segs.nonEmpty, "segmentScan over an empty segment set")
+    val schema = cachedState.tableMeta.flatMap(_.schema)
+      .getOrElse(spark.read.parquet(abs(segs.head)).schema)
+    spark.baseRelationToDataFrame(relationFor(spark, segs, schema))
+  }
+
   /** Schema evolution: ADD COLUMN as a metadata-only commit (one
     * UpdateTableMeta action — no data file is touched, so evolving a
     * 100 TB table costs one log write). The new column is forced
