@@ -89,5 +89,10 @@ object ProfileCompact {
     println(f"  gap ${(w1 - cursor) / 1000.0}%6.2f s | (tail)")
     println(f"== sum(jobs) ${jobMs / 1000.0}%.2f s; driver gaps ${(w1 - w0 - jobMs) / 1000.0}%.2f s")
     spark.stop()
+    // each run writes ~2.5 GB of table data; leaked roots accumulated to a
+    // disk-full across sessions — reclaim both before exit
+    Seq(root, warmRoot).foreach { d =>
+      SparkTestBase.registerForCleanup(java.nio.file.Paths.get(d))
+    }
   }
 }
