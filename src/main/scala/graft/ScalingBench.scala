@@ -216,6 +216,13 @@ object ScalingBench {
       val rep = Compaction.run(spark, tbl, targetFileSize = target)
       val sec = (System.nanoTime() - t1) / 1e9
       spark.stop()
+      // a misconfigured input (per-file bytes above the small-file
+      // threshold ⇒ nothing to rewrite) must FAIL, not record a
+      // microsecond "measurement": rows/files/target must be sized
+      // together — e.g. 600k/200 files or 2.4M/800 files at 16 MB
+      require(rep.binsExecuted > 0,
+        s"compaction planned no bins at rows=$rows files=$nFiles target=$target — " +
+          "input files are not 'small'; raise SPARK_GRAFT_BENCH_FILES or SPARK_GRAFT_TARGET_MB")
       times(cpus) = times(cpus) :+ sec
       System.err.println(s"[scaling] trial=$trial cpus=$cpus sec=$sec bins=${rep.binsExecuted} filesOut=${rep.filesOut}")
       deleteTree(work)
