@@ -28,7 +28,10 @@ for name in sorted(os.listdir(outdir)):
         ok.append(f"{name}: rows-only ({len(spark_df)} rows)")
         continue
     try:
+        import time as _t; _t0 = _t.time()
+        print(f"[oracle] {name} ...", file=sys.stderr, flush=True)
         oracle_df = con.sql(oracles[name]).df()
+        print(f"[oracle] {name} done in {_t.time()-_t0:.1f}s", file=sys.stderr, flush=True)
         a, b = canon(spark_df.copy()), canon(oracle_df.copy())
         if list(a.columns) != list(b.columns):
             bad.append(f"{name}: COLUMN MISMATCH spark={list(a.columns)} oracle={list(b.columns)}")
