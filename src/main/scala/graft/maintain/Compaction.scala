@@ -57,6 +57,18 @@ object Compaction {
     * materialization (RESTORE-hygiene, pre-export cleanup). */
   val DefaultDvDebtThreshold: Double = 0.05
 
+  /** Concurrent bin rewrites per pass. Bins are independent rewrite units
+    * (the plan never puts one segment in two bins), but each costs the
+    * driver a boundary-sample job, a commit, and a journal write — run
+    * sequentially, a 200-bin pass at production file counts serializes
+    * minutes of per-bin fixed cost through the driver while the cluster
+    * idles between stages. A bounded pool overlaps bin A's commit with
+    * bin B's scan (the OPTIMIZE-maxThreads lever); OCC swaps rebase on
+    * conflict, so correctness never depends on the pool size. Keep
+    * `maxRetries ≥ binParallelism`: with K concurrent commits, a swap can
+    * lose the version race K−1 times before its turn. */
+  val DefaultBinParallelism: Int = 4
+
   def plan(segments: Seq[SegmentMeta], targetFileSize: Long,
            smallFileThreshold: Double = 0.9, groupFactor: Int = 64,
            dvDebtThreshold: Double = DefaultDvDebtThreshold): Seq[Bin] = {
@@ -111,7 +123,8 @@ object Compaction {
           groupFactor: Int = 64,
           maxRetries: Int = 5,
           where: Option[org.apache.spark.sql.Column] = None,
-          dvDebtThreshold: Double = DefaultDvDebtThreshold): Report = {
+          dvDebtThreshold: Double = DefaultDvDebtThreshold,
+          binParallelism: Int = DefaultBinParallelism): Report = {
     val t0 = System.currentTimeMillis()
     val journal = new LineageJournal(table.root, jobId)
     val done = journal.completedBins()
@@ -138,31 +151,55 @@ object Compaction {
     }
     val bins = plan(inScope, targetFileSize, groupFactor = groupFactor,
       dvDebtThreshold = dvDebtThreshold)
-    var executed = 0; var skipped = 0
-    var rows = 0L; var bytes = 0L; var filesIn = 0; var filesOut = 0
+    val (alreadyDone, pending) = bins.partition(b => done.contains(b.id))
 
-    for (bin <- bins) {
-      if (done.contains(bin.id)) { skipped += 1 }
-      else {
-        val b0 = System.currentTimeMillis()
-        val liveIds = table.state.segments.keySet
-        val inputs = bin.segments.filter(s => liveIds.contains(s.segmentId))
-        if (inputs.size >= 2 || inputs.exists(_.dvCardinality > 0)) {
-          val outFiles = math.max(1, math.ceil(bin.bytes.toDouble / targetFileSize).toInt)
-          val fit = ClusterKey.fit(table.state.liveSegments)
-          val added = rewriteBin(spark, table, inputs, outFiles, curveName, fit, maxRetries)
-          executed += 1
-          rows += inputs.map(_.rowCount).sum
-          bytes += inputs.flatMap(_.fileSize).sum
-          filesIn += inputs.size; filesOut += added.size
-          journal.record(BinRecord(bin.id, inputs.map(_.segmentId), Some(table.version),
-            Some(BinMetrics(inputs.map(_.rowCount).sum, inputs.flatMap(_.fileSize).sum, inputs.size,
-              added.map(_.rowCount).sum, added.flatMap(_.fileSize).sum, added.size,
-              System.currentTimeMillis() - b0))))
-        } else skipped += 1
-      }
+    /** One bin end-to-end; returns its metrics, or None when the bin
+      * degenerated (inputs rewritten by a concurrent job) and was skipped.
+      * Thread-confined except for `table` (whose swap path is OCC-safe and
+      * concurrency-stressed) and the journal (atomic per-bin files). */
+    def execute(bin: Bin): Option[BinMetrics] = {
+      val b0 = System.currentTimeMillis()
+      val liveIds = table.state.segments.keySet
+      val inputs = bin.segments.filter(s => liveIds.contains(s.segmentId))
+      if (inputs.size >= 2 || inputs.exists(_.dvCardinality > 0)) {
+        val outFiles = math.max(1, math.ceil(bin.bytes.toDouble / targetFileSize).toInt)
+        val fit = ClusterKey.fit(table.state.liveSegments)
+        val added = rewriteBin(spark, table, inputs, outFiles, curveName, fit, maxRetries)
+        val m = BinMetrics(inputs.map(_.rowCount).sum, inputs.flatMap(_.fileSize).sum, inputs.size,
+          added.map(_.rowCount).sum, added.flatMap(_.fileSize).sum, added.size,
+          System.currentTimeMillis() - b0)
+        journal.record(BinRecord(bin.id, inputs.map(_.segmentId), Some(table.version), Some(m)))
+        Some(m)
+      } else None
     }
-    Report(jobId, bins.size, executed, skipped, rows, bytes, filesIn, filesOut,
+
+    val threads = math.max(1, math.min(binParallelism, pending.size))
+    val results: Seq[Option[BinMetrics]] =
+      if (threads <= 1) pending.map(execute)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads, r => {
+          val th = new Thread(r, s"graft-compact-$jobId"); th.setDaemon(true); th
+        })
+        try {
+          val futures = pending.map(b => pool.submit(
+            new java.util.concurrent.Callable[Option[BinMetrics]] {
+              override def call(): Option[BinMetrics] = execute(b)
+            }))
+          // await ALL before propagating a failure: in-flight bins own
+          // staged files whose abort paths must run; completed bins are
+          // journaled and will be skipped on the resume retry
+          val tries = futures.map(f => scala.util.Try(f.get()))
+          tries.collectFirst { case scala.util.Failure(e) =>
+            throw Option(e.getCause).getOrElse(e) }
+          tries.map(_.get)
+        } finally pool.shutdown()
+      }
+
+    val ms = results.flatten
+    Report(jobId, bins.size, ms.size,
+      alreadyDone.size + (results.size - ms.size),
+      ms.map(_.rowsIn).sum, ms.map(_.bytesIn).sum,
+      ms.map(_.filesIn).sum, ms.map(_.filesOut).sum,
       System.currentTimeMillis() - t0)
   }
 

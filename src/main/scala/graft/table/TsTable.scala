@@ -26,6 +26,11 @@ final class TsTable private (val root: String, val store: LogStore) {
 
   @volatile private var cachedState: TableState = TableState.rebuild(store)
 
+  /** Serializes intra-process validate+commit critical sections (see
+    * swapSegments) — the in-JVM half of the Delta-style "lock locally,
+    * OCC globally" commit discipline. */
+  private val commitLock = new Object
+
   def state: TableState = cachedState
   def version: Long = cachedState.version
 
@@ -512,39 +517,57 @@ final class TsTable private (val root: String, val store: LogStore) {
     def cleanupAndThrow(e: Throwable): Nothing = { deleteStaged(segs); throw e }
     var attempt = 0
     while (true) {
-      refresh()
-      val st = cachedState
-      val missing = removeIds.filterNot(st.segments.contains)
-      if (missing.nonEmpty)
-        cleanupAndThrow(new IllegalStateException(
-          s"swap aborted: segments already rewritten by a concurrent job: $missing"))
-      // a concurrent MOR delete keeps the segment ID but changes its
-      // deletion vector — committing this rewrite (whose bytes were read
-      // under the OLD DV) would silently resurrect the just-deleted rows,
-      // so the swap verifies the DV pointer it read under, not mere id
-      // presence (the mirror of commitDvAttach's expectedDv guard)
-      val dvRaced = removeIds.filter(id => st.segments(id).dvPath != expectedDv(id))
-      if (dvRaced.nonEmpty)
-        cleanupAndThrow(new IllegalStateException(
-          s"swap aborted: segments re-DV'd by a concurrent DELETE/MERGE: $dvRaced"))
-      // a CHECK added since this rewrite validated must re-gate it (the
-      // staged rows could predate the constraint); unchanged checks skip
-      try {
-        if (st.tableMeta.map(_.checks).getOrElse(Nil) != checksValidated)
-          enforceChecks(spark, segs.map(s => (s"$root/${s.path}", s.stats, s.rowCount)))
-      } catch { case e: Throwable => cleanupAndThrow(e) }
-      val actions: Seq[LogAction] =
-        removeIds.map(LogAction.RemoveSegment) ++ segs.map(LogAction.AddSegment) ++
-          (if (recomputeCoverage) coverageActionFor(st, removeIds, segs).toSeq else Nil)
-      try {
-        val v = store.commitWithExpectedVersion(st.version, actions)
-        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
-        return segs
-      } catch {
-        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
-          attempt += 1
-        case e: Throwable => cleanupAndThrow(e)
+      // Intra-process writers serialize the (cheap, driver-side)
+      // validate+commit critical section on this table instance: parallel
+      // compaction bins otherwise storm the version counter and can blow
+      // a per-swap retry budget on pure self-races (observed: 12 bins
+      // through a 4-thread pool losing 5 straight CommitFileExists races).
+      // Cross-process writers still go through OCC below — the lock is an
+      // optimization for the common one-driver case, never a correctness
+      // dependency. The expensive rewrite job already ran OUTSIDE the
+      // lock; the rare re-gate of a concurrently-added CHECK is the only
+      // data-touching work that can run under it.
+      val committed: Boolean = commitLock.synchronized {
+        refresh()
+        val st = cachedState
+        val missing = removeIds.filterNot(st.segments.contains)
+        if (missing.nonEmpty)
+          cleanupAndThrow(new IllegalStateException(
+            s"swap aborted: segments already rewritten by a concurrent job: $missing"))
+        // a concurrent MOR delete keeps the segment ID but changes its
+        // deletion vector — committing this rewrite (whose bytes were read
+        // under the OLD DV) would silently resurrect the just-deleted rows,
+        // so the swap verifies the DV pointer it read under, not mere id
+        // presence (the mirror of commitDvAttach's expectedDv guard)
+        val dvRaced = removeIds.filter(id => st.segments(id).dvPath != expectedDv(id))
+        if (dvRaced.nonEmpty)
+          cleanupAndThrow(new IllegalStateException(
+            s"swap aborted: segments re-DV'd by a concurrent DELETE/MERGE: $dvRaced"))
+        // a CHECK added since this rewrite validated must re-gate it (the
+        // staged rows could predate the constraint); unchanged checks skip
+        try {
+          if (st.tableMeta.map(_.checks).getOrElse(Nil) != checksValidated)
+            enforceChecks(spark, segs.map(s => (s"$root/${s.path}", s.stats, s.rowCount)))
+        } catch { case e: Throwable => cleanupAndThrow(e) }
+        val actions: Seq[LogAction] =
+          removeIds.map(LogAction.RemoveSegment) ++ segs.map(LogAction.AddSegment) ++
+            (if (recomputeCoverage) coverageActionFor(st, removeIds, segs).toSeq else Nil)
+        try {
+          val v = store.commitWithExpectedVersion(st.version, actions)
+          cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
+          true
+        } catch {
+          case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
+            attempt += 1
+            false
+          case e: Throwable => cleanupAndThrow(e)
+        }
       }
+      if (committed) return segs
+      // a cross-process writer won the version race (the in-process lock
+      // already serializes local writers): back off with jitter so K
+      // lock-stepped drivers don't re-collide on every retry round
+      Thread.sleep(5L + scala.util.Random.nextInt(25 * attempt))
     }
     throw new IllegalStateException("unreachable")
   }

@@ -43,6 +43,34 @@ class MaintenanceSpec extends SparkFunSuite {
     assert(seg.stats.contains("source"))
   }
 
+  test("concurrent bin execution: many bins through a 4-thread pool, OCC commits all land") {
+    val root = tmpDir("compact-parallel")
+    val t = TsTable.create(root, tokenMeta("zorder"))
+    // groupFactor=1 with a 2.5×-mean-file cap packs pairs (pair sums
+    // ~2×mean always fit; triples ~3×mean never do) → ~12 two-file bins
+    // from 24 files, all racing commits through the 4-thread pool. The
+    // 2.5× slack absorbs per-file size variance so no bin degenerates to
+    // a filtered singleton and the multi-bin assertion cannot flake.
+    t.append(TokenGen.generate(spark, 2400, numFiles = 24))
+    val before = tokenChecksum(t.scan(spark))
+    val vBefore = t.version
+    val inBytes = t.state.liveSegments.flatMap(_.fileSize).sum
+    val perFile = inBytes / 24
+    val report = Compaction.run(spark, t, targetFileSize = perFile * 5 / 2,
+      groupFactor = 1, jobId = "job-par", binParallelism = 4)
+    assert(report.binsPlanned >= 4, s"wanted a real multi-bin pass, got ${report.binsPlanned}")
+    assert(report.binsExecuted == report.binsPlanned)
+    // one OCC commit per bin, every one landed despite version races
+    assert(t.version == vBefore + report.binsExecuted)
+    val after = tokenChecksum(t.scan(spark))
+    assert(after.length == before.length)
+    before.zip(after).foreach { case (b, a) => assert(b == a) }
+    // the journal has every bin; a resume retry skips the whole pass
+    val r2 = Compaction.run(spark, t, targetFileSize = perFile * 5 / 2,
+      groupFactor = 1, jobId = "job-par", binParallelism = 4)
+    assert(r2.binsExecuted == 0)
+  }
+
   test("compaction is resumable: second run with same jobId skips completed bins") {
     val root = tmpDir("compact-resume")
     val t = TsTable.create(root, tokenMeta("zorder"))
