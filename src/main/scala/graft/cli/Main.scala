@@ -22,6 +22,7 @@ import graft.table.TsTable
   *   compact --table ROOT [--target-file-size BYTES] [--job-id ID]
   *           [--where "SQL predicate"]   (stats-scoped: only matching files)
   *           [--dv-debt-threshold R]     (materialize DVs at ≥ R masked; 0 = all)
+  *           [--bin-parallelism K]       (concurrent bin rewrites; default 4)
   *   expire  --table ROOT --keep-from VERSION
   *   delete  --table ROOT --where "SQL predicate" [--mor]
   *           (--mor = merge-on-read: deletion-vector sidecars, no rewrite)
@@ -127,7 +128,9 @@ object Main {
         jobId = opt(args, "job-id").getOrElse(java.util.UUID.randomUUID().toString.take(8)),
         where = opt(args, "where").map(org.apache.spark.sql.functions.expr),
         dvDebtThreshold = opt(args, "dv-debt-threshold").map(_.toDouble)
-          .getOrElse(Compaction.DefaultDvDebtThreshold))
+          .getOrElse(Compaction.DefaultDvDebtThreshold),
+        binParallelism = opt(args, "bin-parallelism").map(_.toInt)
+          .getOrElse(Compaction.DefaultBinParallelism))
       println(s"compacted: bins=${rep.binsExecuted}/${rep.binsPlanned} rows=${rep.rowsRewritten} " +
         s"filesIn=${rep.filesIn} filesOut=${rep.filesOut} ms=${rep.millis} jobId=${rep.jobId}")
 
