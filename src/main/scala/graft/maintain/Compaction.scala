@@ -164,11 +164,14 @@ object Compaction {
       if (inputs.size >= 2 || inputs.exists(_.dvCardinality > 0)) {
         val outFiles = math.max(1, math.ceil(bin.bytes.toDouble / targetFileSize).toInt)
         val fit = ClusterKey.fit(table.state.liveSegments)
-        val added = rewriteBin(spark, table, inputs, outFiles, curveName, fit, maxRetries)
+        // the journal records the version THIS bin's swap committed at —
+        // under concurrent bins `table.version` may already have advanced
+        // past it by the time we get here
+        val (added, swapV) = rewriteBin(spark, table, inputs, outFiles, curveName, fit, maxRetries)
         val m = BinMetrics(inputs.map(_.rowCount).sum, inputs.flatMap(_.fileSize).sum, inputs.size,
           added.map(_.rowCount).sum, added.flatMap(_.fileSize).sum, added.size,
           System.currentTimeMillis() - b0)
-        journal.record(BinRecord(bin.id, inputs.map(_.segmentId), Some(table.version), Some(m)))
+        journal.record(BinRecord(bin.id, inputs.map(_.segmentId), Some(swapV), Some(m)))
         Some(m)
       } else None
     }
@@ -177,8 +180,11 @@ object Compaction {
     val results: Seq[Option[BinMetrics]] =
       if (threads <= 1) pending.map(execute)
       else {
+        val poolSeq = new java.util.concurrent.atomic.AtomicInteger
         val pool = java.util.concurrent.Executors.newFixedThreadPool(threads, r => {
-          val th = new Thread(r, s"graft-compact-$jobId"); th.setDaemon(true); th
+          // per-thread index so a thread dump correlates stacks to bins
+          val th = new Thread(r, s"graft-compact-$jobId-${poolSeq.getAndIncrement()}")
+          th.setDaemon(true); th
         })
         try {
           val futures = pending.map(b => pool.submit(
@@ -211,7 +217,7 @@ object Compaction {
     * efficiency 8→32 cores before this). Target ≥ 3 read waves per core. */
   private def rewriteBin(spark: SparkSession, table: TsTable, inputs: Seq[SegmentMeta],
                          outFiles: Int, curve: String, fit: ClusterKey.Fit,
-                         maxRetries: Int): Seq[SegmentMeta] = {
+                         maxRetries: Int): (Seq[SegmentMeta], Long) = {
     val totalBytes = math.max(inputs.flatMap(_.fileSize).sum, 1L)
     withSizedReadSplits(spark, totalBytes, inputs.size) { scoped =>
       // merge-on-read deletes materialize here: inputs are read

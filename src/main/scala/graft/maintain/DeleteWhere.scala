@@ -146,10 +146,10 @@ object DeleteWhere {
     // commit as the Remove/Add actions — no crash window can leave a
     // stale snapshot rejecting appends into the vacated range
     val repairCov = table.timeSpec.isDefined
-    val newSegs: Seq[SegmentMeta] =
-      if (partial.isEmpty) {
-        table.commitRemovals(removeIds, recomputeCoverage = repairCov); Nil
-      } else {
+    val (newSegs, committedV) =
+      if (partial.isEmpty)
+        (Nil, table.commitRemovals(removeIds, recomputeCoverage = repairCov))
+      else {
         // `hit` (not just the rewritten partials): the swap must abort if
         // ANY removed file was concurrently re-DV'd or rewritten
         table.swapSegments(
@@ -159,7 +159,7 @@ object DeleteWhere {
       }
 
     Report(candidates.size, untouched.size + cleanCandidates.size, newSegs.size,
-      rowsDeleted, totalLive - rowsDeleted, table.version, fullyMatched.size)
+      rowsDeleted, totalLive - rowsDeleted, committedV, fullyMatched.size)
   }
 
   /** Merge-on-read DELETE (see object doc): ONE column-pruned pass over

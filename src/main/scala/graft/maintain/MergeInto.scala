@@ -105,7 +105,7 @@ object MergeInto {
     // read→anti-join→union, so without a cache the whole merge pipeline
     // executes once for the sample pass and again for the write pass.
     // Persist for the two passes, then release.
-    val added = Compaction.withSizedReadSplits(spark, candBytes, candidates.size) { scoped =>
+    val (added, mergedV) = Compaction.withSizedReadSplits(spark, candBytes, candidates.size) { scoped =>
       // the candidate read is created on the scoped session: split sizing
       // binds to the relation's session, so the tuned maxPartitionBytes
       // applies here and ONLY here (upd keeps the caller's session/conf)
@@ -133,7 +133,7 @@ object MergeInto {
     val survivors = outRows - updCount
     val updated = targetRows - survivors
     val inserted = updCount - updated
-    Report(candidates.size, added.size, updated, inserted, survivors, table.version)
+    Report(candidates.size, added.size, updated, inserted, survivors, mergedV)
   }
 
   /** Merge-on-read MERGE (upsert): identical semantics to [[merge]] —

@@ -73,13 +73,13 @@ object UpdateWhere {
     }
 
     val repairCov = table.timeSpec.isDefined
-    val newSegs = table.swapSegments(
+    val (newSegs, committedV) = table.swapSegments(
       liveRows(table.segmentScan(spark, hit), hit)
         .select(projected.toIndexedSeq: _*),
       hit, recomputeCoverage = repairCov)
 
     Report(candidates.size, untouched.size + clean.size, newSegs.size,
-      rowsUpdated, table.version)
+      rowsUpdated, committedV)
   }
 
   /** Merge-on-read UPDATE: the matched rows are masked with

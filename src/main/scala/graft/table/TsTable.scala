@@ -27,12 +27,53 @@ final class TsTable private (val root: String, val store: LogStore) {
   @volatile private var cachedState: TableState = TableState.rebuild(store)
 
   /** Serializes intra-process validate+commit critical sections (see
-    * swapSegments) — the in-JVM half of the Delta-style "lock locally,
+    * occLoop) — the in-JVM half of the Delta-style "lock locally,
     * OCC globally" commit discipline. */
   private val commitLock = new Object
 
   def state: TableState = cachedState
   def version: Long = cachedState.version
+
+  /** The shared OCC commit loop EVERY writer verb goes through. `body`
+    * validates against the refreshed snapshot, assembles actions, and
+    * commits via [[commitAndAdvance]] (throw to abort; retryable commit
+    * races surface as Conflict/CommitFileExists). The whole
+    * validate+commit section runs under [[commitLock]], so in-JVM writers
+    * (e.g. 4 concurrent compaction bins + an append + a MOR delete on one
+    * table instance) serialize instead of burning each other's OCC retry
+    * budgets on pure self-races. Cross-process losers rebase-retry with
+    * jittered backoff OUTSIDE the lock. Slow abort cleanup (staged-file
+    * deletion) belongs in the CALLER's catch, outside the lock. */
+  private def occLoop(maxRetries: Int)(body: TableState => Long): Long = {
+    var attempt = 0
+    while (true) {
+      val res: Option[Long] = commitLock.synchronized {
+        refresh()
+        try Some(body(cachedState))
+        catch {
+          case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
+            attempt += 1; None
+        }
+      }
+      res match {
+        case Some(v) => return v
+        case None => Thread.sleep(5L + scala.util.Random.nextInt(25 * attempt))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Commit `actions` over snapshot `st` and advance the cached state.
+    * The monotonic guard makes the assignment safe even if a future
+    * caller commits outside [[commitLock]]: a slow writer's post-commit
+    * assignment can never regress a newer snapshot already visible to
+    * readers. Returns the committed version. */
+  private def commitAndAdvance(st: TableState, actions: Seq[LogAction]): Long = {
+    val v = store.commitWithExpectedVersion(st.version, actions)
+    val ns = actions.foldLeft(st)(_ apply _).copy(version = v)
+    if (ns.version > cachedState.version) cachedState = ns
+    v
+  }
 
   /** Reload state only if CURRENT advanced (reference table.rs:205-251). */
   def refresh(): Boolean = {
@@ -328,54 +369,44 @@ final class TsTable private (val root: String, val store: LogStore) {
     // with a check added since, and must re-gate the (now-moved) files
     val checksValidated = cachedState.tableMeta.map(_.checks).getOrElse(Nil)
 
-    var attempt = 0
-    while (true) {
-      val st = cachedState
-      if (st.tableMeta.map(_.checks).getOrElse(Nil) != checksValidated) {
-        try enforceChecks(spark, segs.map(s => (s"$root/${s.path}", s.stats, s.rowCount)))
-        catch { case e: Throwable => deleteStaged(segs); throw e }
-      }
-      // authoritative idempotency check against the snapshot we commit on.
-      // A replay detected here (e.g. two drivers raced the same batch and
-      // this one lost the OCC commit) must delete the data files it already
-      // moved into data/ — no commit references them, and Expire only
-      // reclaims segments the log has seen, so they would leak forever.
-      txn.foreach { case (app, batch) =>
-        if (st.txns.get(app).exists(_ >= batch)) {
-          segs.foreach { seg =>
-            Files.deleteIfExists(Paths.get(stripScheme(s"$root/${seg.path}")))
-            seg.coveragePath.foreach(cp =>
-              Files.deleteIfExists(Paths.get(stripScheme(s"$root/$cp"))))
-          }
-          return st.version
-        }
-      }
-      try {
-        return commitAppend(spark, st, segs, diskSchema, tsExtras, txn)
-      } catch {
-        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
-          attempt += 1
-          refresh() // rebase and re-validate against the new snapshot
-        case e: Throwable =>
-          // Non-retryable rejection (CoverageOverlap / SchemaMismatch /
-          // EntityIdentity / uncovered-segments precondition) or retry
-          // budget exhausted: no commit references the files already moved
-          // into data/, and Expire's orphan scan only reclaims segments
-          // the log has seen — without this cleanup every rejected append
-          // would leak its full data size forever (round-2 finding).
-          // Mirrors the txn-replay cleanup above.
-          segs.foreach { seg =>
-            Files.deleteIfExists(Paths.get(stripScheme(s"$root/${seg.path}")))
-            seg.coveragePath.foreach(cp =>
-              Files.deleteIfExists(Paths.get(stripScheme(s"$root/$cp"))))
-          }
-          throw e
-      }
+    def deleteSegFiles(): Unit = segs.foreach { seg =>
+      Files.deleteIfExists(Paths.get(stripScheme(s"$root/${seg.path}")))
+      seg.coveragePath.foreach(cp =>
+        Files.deleteIfExists(Paths.get(stripScheme(s"$root/$cp"))))
     }
-    throw new IllegalStateException("unreachable")
+    try {
+      occLoop(maxRetries) { st =>
+        if (st.tableMeta.map(_.checks).getOrElse(Nil) != checksValidated)
+          enforceChecks(spark, segs.map(s => (s"$root/${s.path}", s.stats, s.rowCount)))
+        // authoritative idempotency check against the snapshot we commit
+        // on; the sentinel unwinds to the cleanup below, OUTSIDE the lock
+        txn.foreach { case (app, batch) =>
+          if (st.txns.get(app).exists(_ >= batch)) throw TxnReplayed(st.version)
+        }
+        commitAppend(spark, st, segs, diskSchema, tsExtras, txn)
+      }
+    } catch {
+      case TxnReplayed(v) =>
+        // A replay (e.g. two drivers raced the same batch and this one
+        // lost the OCC commit) must delete the data files it already
+        // moved into data/ — no commit references them, and Expire only
+        // reclaims segments the log has seen, so they would leak forever.
+        deleteSegFiles()
+        v
+      case e: Throwable =>
+        // Non-retryable rejection (CoverageOverlap / SchemaMismatch /
+        // EntityIdentity / uncovered-segments precondition) or retry
+        // budget exhausted: same leak rule as above (round-2 finding).
+        deleteSegFiles()
+        throw e
+    }
 
     } finally heartbeat.stop()
   }
+
+  /** Unwinds append's txn-idempotency early exit out of [[occLoop]] so the
+    * already-moved files are deleted outside the commit lock. */
+  private final case class TxnReplayed(version: Long) extends RuntimeException
 
   private def commitAppend(
       spark: SparkSession,
@@ -503,37 +534,28 @@ final class TsTable private (val root: String, val store: LogStore) {
     * (same policy as append's pre-commit sidecar writes). */
   private[graft] def swapSegments(df: DataFrame, removed: Seq[SegmentMeta],
                                   maxRetries: Int = 3,
-                                  recomputeCoverage: Boolean = false): Seq[SegmentMeta] = {
+                                  recomputeCoverage: Boolean = false): (Seq[SegmentMeta], Long) = {
     val spark = df.sparkSession
     val checksValidated = cachedState.tableMeta.map(_.checks).getOrElse(Nil)
     val removeIds = removed.map(_.segmentId)
     val expectedDv = removed.map(s => s.segmentId -> s.dvPath).toMap
     val segs = stageSegments(df)
     // same orphan rule as append: the rewritten files were moved into
-    // data/ above, so every abort path below (lost race on a removed
-    // segment, retry budget exhausted) must delete them + their sidecars
-    // before propagating — no commit references them and Expire's orphan
-    // scan only reclaims log-seen segments
-    def cleanupAndThrow(e: Throwable): Nothing = { deleteStaged(segs); throw e }
-    var attempt = 0
-    while (true) {
-      // Intra-process writers serialize the (cheap, driver-side)
-      // validate+commit critical section on this table instance: parallel
-      // compaction bins otherwise storm the version counter and can blow
-      // a per-swap retry budget on pure self-races (observed: 12 bins
-      // through a 4-thread pool losing 5 straight CommitFileExists races).
-      // Cross-process writers still go through OCC below — the lock is an
-      // optimization for the common one-driver case, never a correctness
-      // dependency. The expensive rewrite job already ran OUTSIDE the
-      // lock; the rare re-gate of a concurrently-added CHECK is the only
-      // data-touching work that can run under it.
-      val committed: Boolean = commitLock.synchronized {
-        refresh()
-        val st = cachedState
+    // data/ above, so every abort path (lost race on a removed segment,
+    // retry budget exhausted, rejected re-gate) must delete them + their
+    // sidecars before propagating — no commit references them and
+    // Expire's orphan scan only reclaims log-seen segments. The cleanup
+    // runs in the catch below, OUTSIDE the commit lock, so a large
+    // aborting swap never stalls other writers' sub-ms commits.
+    try {
+      // The expensive rewrite job already ran OUTSIDE the lock; the rare
+      // re-gate of a concurrently-added CHECK is the only data-touching
+      // work that can run under it.
+      val v = occLoop(maxRetries) { st =>
         val missing = removeIds.filterNot(st.segments.contains)
         if (missing.nonEmpty)
-          cleanupAndThrow(new IllegalStateException(
-            s"swap aborted: segments already rewritten by a concurrent job: $missing"))
+          throw new IllegalStateException(
+            s"swap aborted: segments already rewritten by a concurrent job: $missing")
         // a concurrent MOR delete keeps the segment ID but changes its
         // deletion vector — committing this rewrite (whose bytes were read
         // under the OLD DV) would silently resurrect the just-deleted rows,
@@ -541,35 +563,19 @@ final class TsTable private (val root: String, val store: LogStore) {
         // presence (the mirror of commitDvAttach's expectedDv guard)
         val dvRaced = removeIds.filter(id => st.segments(id).dvPath != expectedDv(id))
         if (dvRaced.nonEmpty)
-          cleanupAndThrow(new IllegalStateException(
-            s"swap aborted: segments re-DV'd by a concurrent DELETE/MERGE: $dvRaced"))
+          throw new IllegalStateException(
+            s"swap aborted: segments re-DV'd by a concurrent DELETE/MERGE: $dvRaced")
         // a CHECK added since this rewrite validated must re-gate it (the
         // staged rows could predate the constraint); unchanged checks skip
-        try {
-          if (st.tableMeta.map(_.checks).getOrElse(Nil) != checksValidated)
-            enforceChecks(spark, segs.map(s => (s"$root/${s.path}", s.stats, s.rowCount)))
-        } catch { case e: Throwable => cleanupAndThrow(e) }
+        if (st.tableMeta.map(_.checks).getOrElse(Nil) != checksValidated)
+          enforceChecks(spark, segs.map(s => (s"$root/${s.path}", s.stats, s.rowCount)))
         val actions: Seq[LogAction] =
           removeIds.map(LogAction.RemoveSegment) ++ segs.map(LogAction.AddSegment) ++
             (if (recomputeCoverage) coverageActionFor(st, removeIds, segs).toSeq else Nil)
-        try {
-          val v = store.commitWithExpectedVersion(st.version, actions)
-          cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
-          true
-        } catch {
-          case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
-            attempt += 1
-            false
-          case e: Throwable => cleanupAndThrow(e)
-        }
+        commitAndAdvance(st, actions)
       }
-      if (committed) return segs
-      // a cross-process writer won the version race (the in-process lock
-      // already serializes local writers): back off with jitter so K
-      // lock-stepped drivers don't re-collide on every retry round
-      Thread.sleep(5L + scala.util.Random.nextInt(25 * attempt))
-    }
-    throw new IllegalStateException("unreachable")
+      (segs, v)
+    } catch { case e: Throwable => deleteStaged(segs); throw e }
   }
 
   /** Write `df` as new committed-ready segments under data/ (staging dir,
@@ -729,29 +735,15 @@ final class TsTable private (val root: String, val store: LogStore) {
     * over; throw to abort, None for a no-op), commit one UpdateTableMeta,
     * rebase-retry on conflicts. */
   private def commitMetaUpdate(maxRetries: Int = 3)
-                              (f: (TableState, TableMeta) => Option[TableMeta]): Long = {
-    var attempt = 0
-    while (true) {
-      refresh()
-      val st = cachedState
+                              (f: (TableState, TableMeta) => Option[TableMeta]): Long =
+    occLoop(maxRetries) { st =>
       val m = st.tableMeta.getOrElse(throw new IllegalStateException(
         "no table metadata yet — create the table first"))
       f(st, m) match {
-        case None => return st.version
-        case Some(nm) =>
-          val actions: Seq[LogAction] = Seq(LogAction.UpdateTableMeta(nm))
-          try {
-            val v = store.commitWithExpectedVersion(st.version, actions)
-            cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
-            return v
-          } catch {
-            case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
-              attempt += 1
-          }
+        case None     => st.version
+        case Some(nm) => commitAndAdvance(st, Seq(LogAction.UpdateTableMeta(nm)))
       }
     }
-    throw new IllegalStateException("unreachable")
-  }
 
   /** Drop a CHECK constraint (metadata-only). */
   def dropCheck(name: String, maxRetries: Int = 3): Long =
@@ -795,25 +787,19 @@ final class TsTable private (val root: String, val store: LogStore) {
     }
   }
 
-  /** Parquet reader pinned to the MANIFEST schema. Every maintenance job
-    * that reads table segments directly (compaction, DELETE, MERGE,
-    * UPDATE) must use this instead of bare spark.read.parquet: after an
-    * ADD COLUMN the live set mixes old-footer and new-footer files, and a
-    * footer-inferred read can adopt an OLD file's schema — silently
-    * DROPPING the evolved column from a rewrite. Pinning also fills NULL
-    * for the evolved column on old files and skips the footer-sample job. */
-  private[graft] def segmentReader(spark: SparkSession): org.apache.spark.sql.DataFrameReader =
-    cachedState.tableMeta.flatMap(_.schema).fold(spark.read)(spark.read.schema)
-
   /** Manifest-backed PHYSICAL scan over an explicit segment subset — the
     * read every maintenance job (compaction bin, MERGE/DELETE/UPDATE
-    * candidates) should use instead of `segmentReader(...).parquet(paths)`:
+    * candidates) must use instead of a bare `spark.read.parquet(paths)`:
     * the manifest already knows each file's path and size, so the scan
     * plans with ZERO filesystem listing (a bare parquet read of a 161-file
     * bin was paying two ~1 s distributed listing jobs per rewrite — pure
     * scheduler overhead at any scale, and a real object-store LIST storm
-    * at 100 TB). Schema is pinned to the manifest like [[segmentReader]];
-    * rows are physical (no DV filter) — callers layer
+    * at 100 TB). Schema is pinned to the MANIFEST, never footer-inferred:
+    * after an ADD COLUMN the live set mixes old- and new-footer files, and
+    * a footer-inferred read can adopt an OLD file's schema — silently
+    * DROPPING the evolved column from a rewrite; pinning also NULL-fills
+    * it on old files and skips the footer-sample job. Rows are physical
+    * (no DV filter) — callers layer
     * [[DeletionVectors.liveRowFilter]] exactly as before. */
   private[graft] def segmentScan(spark: SparkSession, segs: Seq[SegmentMeta]): DataFrame = {
     require(segs.nonEmpty, "segmentScan over an empty segment set")
@@ -846,52 +832,26 @@ final class TsTable private (val root: String, val store: LogStore) {
   /** Watermark-only commit for an empty streaming batch: the (app, batch)
     * txn advances with no segments, so a replay of the empty batch is
     * still recognized as already-applied. */
-  private[graft] def commitTxnOnly(app: String, batch: Long, maxRetries: Int = 3): Long = {
-    var attempt = 0
-    while (true) {
-      refresh()
-      val st = cachedState
-      if (st.txns.get(app).exists(_ >= batch)) return st.version
-      val actions: Seq[LogAction] = Seq(LogAction.SetTxn(app, batch))
-      try {
-        val v = store.commitWithExpectedVersion(st.version, actions)
-        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
-        return v
-      } catch {
-        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
-          attempt += 1
-      }
+  private[graft] def commitTxnOnly(app: String, batch: Long, maxRetries: Int = 3): Long =
+    occLoop(maxRetries) { st =>
+      if (st.txns.get(app).exists(_ >= batch)) st.version
+      else commitAndAdvance(st, Seq(LogAction.SetTxn(app, batch)))
     }
-    throw new IllegalStateException("unreachable")
-  }
 
   /** Metadata-only removal commit (DELETE WHERE whose candidates all
     * matched): RemoveSegment actions (plus an atomic coverage recommit for
     * time-series tables), OCC with rebase-retry; aborts if a concurrent
     * job already rewrote one of the segments. */
   private[graft] def commitRemovals(removeIds: Seq[String], maxRetries: Int = 3,
-                                    recomputeCoverage: Boolean = false): Long = {
-    var attempt = 0
-    while (true) {
-      refresh()
-      val st = cachedState
+                                    recomputeCoverage: Boolean = false): Long =
+    occLoop(maxRetries) { st =>
       val missing = removeIds.filterNot(st.segments.contains)
       if (missing.nonEmpty)
         throw new IllegalStateException(
           s"remove aborted: segments already rewritten by a concurrent job: $missing")
-      val actions: Seq[LogAction] = removeIds.map(LogAction.RemoveSegment) ++
-        (if (recomputeCoverage) coverageActionFor(st, removeIds, Nil).toSeq else Nil)
-      try {
-        val v = store.commitWithExpectedVersion(st.version, actions)
-        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
-        return v
-      } catch {
-        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
-          attempt += 1
-      }
+      commitAndAdvance(st, removeIds.map(LogAction.RemoveSegment) ++
+        (if (recomputeCoverage) coverageActionFor(st, removeIds, Nil).toSeq else Nil))
     }
-    throw new IllegalStateException("unreachable")
-  }
 
   /** Merge-on-read DELETE commit: upsert `upserts` (same segment ids, new
     * dvPath/dvCardinality/coveragePath) and drop `removeIds` (files whose
@@ -913,10 +873,7 @@ final class TsTable private (val root: String, val store: LogStore) {
                                     sparkForChecks: Option[SparkSession] = None): Long = {
     val affected = upserts.map(_.segmentId) ++ removeIds
     val checksValidated = cachedState.tableMeta.map(_.checks).getOrElse(Nil)
-    var attempt = 0
-    while (true) {
-      refresh()
-      val st = cachedState
+    occLoop(maxRetries) { st =>
       // re-gate appended segments if a CHECK landed since they were staged
       // (upserts/removes reference rows that were already committed-valid)
       if (adds.nonEmpty && sparkForChecks.isDefined &&
@@ -931,21 +888,12 @@ final class TsTable private (val root: String, val store: LogStore) {
       if (rebased.nonEmpty)
         throw new IllegalStateException(
           s"DV attach aborted: segments re-DV'd by a concurrent DELETE: $rebased")
-      val actions: Seq[LogAction] =
+      commitAndAdvance(st,
         (removeIds ++ upserts.map(_.segmentId)).map(LogAction.RemoveSegment) ++
           (upserts ++ adds).map(LogAction.AddSegment) ++
           (if (recomputeCoverage)
-            coverageActionFor(st, affected, upserts ++ adds).toSeq else Nil)
-      try {
-        val v = store.commitWithExpectedVersion(st.version, actions)
-        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
-        return v
-      } catch {
-        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
-          attempt += 1
-      }
+            coverageActionFor(st, affected, upserts ++ adds).toSeq else Nil))
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** RESTORE commit: make the live set equal `targetSegs` (an earlier
@@ -965,29 +913,17 @@ final class TsTable private (val root: String, val store: LogStore) {
     val targetById = targetSegs.map(s => s.segmentId -> s).toMap
     require(targetById.size == targetSegs.size,
       "target snapshot has duplicate segment ids — corrupt manifest?")
-    var attempt = 0
-    while (true) {
-      refresh()
-      val st = cachedState
+    occLoop(maxRetries) { st =>
       val live = st.liveSegments
       val liveById = live.map(s => s.segmentId -> s).toMap
       val removes = live.filterNot(s => targetById.get(s.segmentId).contains(s))
         .map(_.segmentId)
       val adds = targetSegs.filterNot(s => liveById.get(s.segmentId).contains(s))
-      if (removes.isEmpty && adds.isEmpty) return st.version // already there
-      val actions: Seq[LogAction] =
+      if (removes.isEmpty && adds.isEmpty) st.version // already there
+      else commitAndAdvance(st,
         removes.map(LogAction.RemoveSegment) ++ adds.map(LogAction.AddSegment) ++
-          (if (recomputeCoverage) coverageActionFor(st, removes, adds).toSeq else Nil)
-      try {
-        val v = store.commitWithExpectedVersion(st.version, actions)
-        cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
-        return v
-      } catch {
-        case _: ConflictException | _: CommitFileExistsException if attempt < maxRetries =>
-          attempt += 1
-      }
+          (if (recomputeCoverage) coverageActionFor(st, removes, adds).toSeq else Nil))
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** Coverage snapshot for the state AFTER removing `removeIds` and adding

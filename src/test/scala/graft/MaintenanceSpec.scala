@@ -65,6 +65,20 @@ class MaintenanceSpec extends SparkFunSuite {
     val after = tokenChecksum(t.scan(spark))
     assert(after.length == before.length)
     before.zip(after).foreach { case (b, a) => assert(b == a) }
+    // lineage contract: each journal record carries THE version its own
+    // swap committed at — under concurrent bins table.version keeps
+    // advancing, so the record must hold the commit whose RemoveSegment
+    // set is exactly that bin's inputs (not whatever version was current
+    // when the thread got around to journaling)
+    val records = new LineageJournal(root, "job-par").readAll()
+    assert(records.size == report.binsExecuted)
+    records.foreach { r =>
+      val v = r.committedVersion.getOrElse(fail(s"bin ${r.binId} has no version"))
+      val removed = t.store.readCommit(v).actions
+        .collect { case graft.log.LogAction.RemoveSegment(id) => id }.toSet
+      assert(removed == r.inputSegments.toSet,
+        s"bin ${r.binId} journaled v$v but that commit removed $removed, not ${r.inputSegments.toSet}")
+    }
     // the journal has every bin; a resume retry skips the whole pass
     val r2 = Compaction.run(spark, t, targetFileSize = perFile * 5 / 2,
       groupFactor = 1, jobId = "job-par", binParallelism = 4)
