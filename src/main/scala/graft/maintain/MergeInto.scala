@@ -68,9 +68,21 @@ object MergeInto {
       .toSet
   }
 
+  /** `txn` = (appId, batchId) streaming-upsert watermark: lands as a
+    * SetTxn action in the SAME commit as the merge, and a replayed batch
+    * (same app, batchId ≤ watermark) is skipped inside the OCC loop — the
+    * exactly-once discipline of [[graft.streaming.StreamingIngest]],
+    * applied to upserts (see [[graft.streaming.StreamingUpsert]]). */
   def merge(spark: SparkSession, table: TsTable, updates: DataFrame,
-            key: String = "doc_id", targetFileSize: Long = 512L * 1024 * 1024): Report = {
+            key: String = "doc_id", targetFileSize: Long = 512L * 1024 * 1024,
+            txn: Option[(String, Long)] = None): Report = {
     table.refresh()
+    // cheap pre-skip for an already-applied batch (the authoritative
+    // check re-runs inside the commit loop — no crash window)
+    txn.foreach { case (app, batch) =>
+      if (table.state.txns.get(app).exists(_ >= batch))
+        return Report(0, 0, 0, 0, 0, table.version)
+    }
     val live = table.state.liveSegments
     val curve = table.clusterSpec.map(_.curve).getOrElse("none")
 
@@ -81,8 +93,13 @@ object MergeInto {
     val candidates = selectCandidates(spark, table, upd, updCount, key, live)
 
     // --- 2. rewrite -------------------------------------------------------
-    if (candidates.isEmpty && updCount == 0)
-      return Report(0, 0, 0, 0, 0, table.version)
+    if (candidates.isEmpty && updCount == 0) {
+      // an EMPTY streamed batch still advances the watermark, so its
+      // replay after recovery is recognized as already-applied
+      val v = txn.map { case (app, batch) => table.commitTxnOnly(app, batch) }
+        .getOrElse(table.version)
+      return Report(0, 0, 0, 0, 0, v)
+    }
 
     val candBytes = candidates.flatMap(_.fileSize).sum
 
@@ -105,7 +122,7 @@ object MergeInto {
     // read→anti-join→union, so without a cache the whole merge pipeline
     // executes once for the sample pass and again for the write pass.
     // Persist for the two passes, then release.
-    val (added, mergedV) = Compaction.withSizedReadSplits(spark, candBytes, candidates.size) { scoped =>
+    val (added, mergedV) = try Compaction.withSizedReadSplits(spark, candBytes, candidates.size) { scoped =>
       // the candidate read is created on the scoped session: split sizing
       // binds to the relation's session, so the tuned maxPartitionBytes
       // applies here and ONLY here (upd keeps the caller's session/conf)
@@ -124,8 +141,12 @@ object MergeInto {
       val cached = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val clustered = Compaction.clusterSorted(cached, curve, outFiles, ClusterKey.fit(live))
-        table.swapSegments(clustered, candidates)
+        table.swapSegments(clustered, candidates, txn = txn)
       } finally cached.unpersist(false)
+    } catch {
+      // replayed streaming batch: the swap already deleted its staged
+      // files; report the batch as applied at the watermark's version
+      case TsTable.TxnReplayed(v) => return Report(0, 0, 0, 0, 0, v)
     }
 
     // report math from metadata only: out = survivors + updCount
@@ -154,8 +175,15 @@ object MergeInto {
     * trade as [[DeleteWhere.deleteMor]]. */
   def mergeMor(spark: SparkSession, table: TsTable, updates: DataFrame,
                key: String = "doc_id",
-               targetFileSize: Long = 512L * 1024 * 1024): Report = {
+               targetFileSize: Long = 512L * 1024 * 1024,
+               txn: Option[(String, Long)] = None): Report = {
     table.refresh()
+    // cheap pre-skip for an already-applied streamed batch (authoritative
+    // check re-runs inside the commit loop — see [[merge]])
+    txn.foreach { case (app, batch) =>
+      if (table.state.txns.get(app).exists(_ >= batch))
+        return Report(0, 0, 0, 0, table.state.liveSegments.map(_.liveRowCount).sum, table.version)
+    }
     val live = table.state.liveSegments
     val curve = table.clusterSpec.map(_.curve).getOrElse("none")
     // the update set is consumed four times (count, candidate refinement,
@@ -165,8 +193,12 @@ object MergeInto {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val updCount = upd.count()
-    if (updCount == 0)
-      return Report(0, 0, 0, 0, live.map(_.liveRowCount).sum, table.version)
+    if (updCount == 0) {
+      // an empty streamed batch still advances the watermark (see merge)
+      val v = txn.map { case (app, batch) => table.commitTxnOnly(app, batch) }
+        .getOrElse(table.version)
+      return Report(0, 0, 0, 0, live.map(_.liveRowCount).sum, v)
+    }
 
     // pin the update set to the TABLE schema (order + types) BEFORE any
     // side effect: the COW path gets this via unionByName with the
@@ -225,14 +257,19 @@ object MergeInto {
         case Some(p) =>
           table.commitDvAttach(p.upserts, p.removeIds, p.expectedDv,
             recomputeCoverage = table.timeSpec.isDefined, adds = newSegs,
-            sparkForChecks = Some(spark))
+            sparkForChecks = Some(spark), txn = txn)
         case None =>
           // pure insert: no matched rows anywhere — commit just the adds
           table.commitDvAttach(Nil, Nil, Map.empty,
             recomputeCoverage = table.timeSpec.isDefined, adds = newSegs,
-            sparkForChecks = Some(spark))
+            sparkForChecks = Some(spark), txn = txn)
       }
     } catch {
+      // replayed streaming batch: delete this attempt's unreferenced
+      // segments + sidecars and report the batch as already-applied
+      case TsTable.TxnReplayed(v) =>
+        cleanup(newSegs)
+        return Report(0, 0, 0, 0, live.map(_.liveRowCount).sum, v)
       case e: Throwable => cleanup(newSegs); throw e
     }
 

@@ -381,12 +381,12 @@ final class TsTable private (val root: String, val store: LogStore) {
         // authoritative idempotency check against the snapshot we commit
         // on; the sentinel unwinds to the cleanup below, OUTSIDE the lock
         txn.foreach { case (app, batch) =>
-          if (st.txns.get(app).exists(_ >= batch)) throw TxnReplayed(st.version)
+          if (st.txns.get(app).exists(_ >= batch)) throw TsTable.TxnReplayed(st.version)
         }
         commitAppend(spark, st, segs, diskSchema, tsExtras, txn)
       }
     } catch {
-      case TxnReplayed(v) =>
+      case TsTable.TxnReplayed(v) =>
         // A replay (e.g. two drivers raced the same batch and this one
         // lost the OCC commit) must delete the data files it already
         // moved into data/ — no commit references them, and Expire only
@@ -403,10 +403,6 @@ final class TsTable private (val root: String, val store: LogStore) {
 
     } finally heartbeat.stop()
   }
-
-  /** Unwinds append's txn-idempotency early exit out of [[occLoop]] so the
-    * already-moved files are deleted outside the commit lock. */
-  private final case class TxnReplayed(version: Long) extends RuntimeException
 
   private def commitAppend(
       spark: SparkSession,
@@ -534,7 +530,8 @@ final class TsTable private (val root: String, val store: LogStore) {
     * (same policy as append's pre-commit sidecar writes). */
   private[graft] def swapSegments(df: DataFrame, removed: Seq[SegmentMeta],
                                   maxRetries: Int = 3,
-                                  recomputeCoverage: Boolean = false): (Seq[SegmentMeta], Long) = {
+                                  recomputeCoverage: Boolean = false,
+                                  txn: Option[(String, Long)] = None): (Seq[SegmentMeta], Long) = {
     val spark = df.sparkSession
     val checksValidated = cachedState.tableMeta.map(_.checks).getOrElse(Nil)
     val removeIds = removed.map(_.segmentId)
@@ -552,6 +549,11 @@ final class TsTable private (val root: String, val store: LogStore) {
       // re-gate of a concurrently-added CHECK is the only data-touching
       // work that can run under it.
       val v = occLoop(maxRetries) { st =>
+        // streaming-upsert idempotency (mirrors append): a replayed batch
+        // unwinds to the cleanup catch below, outside the commit lock
+        txn.foreach { case (app, batch) =>
+          if (st.txns.get(app).exists(_ >= batch)) throw TsTable.TxnReplayed(st.version)
+        }
         val missing = removeIds.filterNot(st.segments.contains)
         if (missing.nonEmpty)
           throw new IllegalStateException(
@@ -571,7 +573,8 @@ final class TsTable private (val root: String, val store: LogStore) {
           enforceChecks(spark, segs.map(s => (s"$root/${s.path}", s.stats, s.rowCount)))
         val actions: Seq[LogAction] =
           removeIds.map(LogAction.RemoveSegment) ++ segs.map(LogAction.AddSegment) ++
-            (if (recomputeCoverage) coverageActionFor(st, removeIds, segs).toSeq else Nil)
+            (if (recomputeCoverage) coverageActionFor(st, removeIds, segs).toSeq else Nil) ++
+            txn.map { case (app, batch) => LogAction.SetTxn(app, batch) }.toSeq
         commitAndAdvance(st, actions)
       }
       (segs, v)
@@ -870,10 +873,16 @@ final class TsTable private (val root: String, val store: LogStore) {
                                     maxRetries: Int = 3,
                                     recomputeCoverage: Boolean = false,
                                     adds: Seq[SegmentMeta] = Nil,
-                                    sparkForChecks: Option[SparkSession] = None): Long = {
+                                    sparkForChecks: Option[SparkSession] = None,
+                                    txn: Option[(String, Long)] = None): Long = {
     val affected = upserts.map(_.segmentId) ++ removeIds
     val checksValidated = cachedState.tableMeta.map(_.checks).getOrElse(Nil)
     occLoop(maxRetries) { st =>
+      // streaming-upsert idempotency (mirrors append): a replayed batch
+      // unwinds to the CALLER's cleanup catch, outside the commit lock
+      txn.foreach { case (app, batch) =>
+        if (st.txns.get(app).exists(_ >= batch)) throw TsTable.TxnReplayed(st.version)
+      }
       // re-gate appended segments if a CHECK landed since they were staged
       // (upserts/removes reference rows that were already committed-valid)
       if (adds.nonEmpty && sparkForChecks.isDefined &&
@@ -892,7 +901,8 @@ final class TsTable private (val root: String, val store: LogStore) {
         (removeIds ++ upserts.map(_.segmentId)).map(LogAction.RemoveSegment) ++
           (upserts ++ adds).map(LogAction.AddSegment) ++
           (if (recomputeCoverage)
-            coverageActionFor(st, affected, upserts ++ adds).toSeq else Nil))
+            coverageActionFor(st, affected, upserts ++ adds).toSeq else Nil) ++
+          txn.map { case (app, batch) => LogAction.SetTxn(app, batch) }.toSeq)
     }
   }
 
@@ -1127,6 +1137,13 @@ final class TsTable private (val root: String, val store: LogStore) {
 }
 
 object TsTable {
+  /** Unwinds a writer verb's txn-idempotency early exit out of
+    * [[TsTable.occLoop]] so staged-file cleanup runs outside the commit
+    * lock. Carries the version the watermark was already at — the verb
+    * (append, MERGE) catches this, deletes its unreferenced files, and
+    * reports the batch as already-applied. */
+  private[graft] final case class TxnReplayed(version: Long) extends RuntimeException
+
   /** Bootstrap: verify version==0, commit v1 = UpdateTableMeta
     * (reference table.rs:156-202). */
   def create(root: String, meta: TableMeta): TsTable = {
