@@ -428,6 +428,40 @@ object SparkEntry {
       t.scan(s).select("event_id", "user_id", "event_type", "value")
     }),
 
+    // STREAMING CDC UPSERT end-to-end, oracle-gated: documents land as the
+    // base table, then a revision set (every 10th doc re-texted, plus new
+    // ids) is streamed through the merge-on-read upsert sink file-by-file
+    // (3 micro-batches, each one exactly-once MERGE commit: DV masks +
+    // new segments + SetTxn watermark). The scan reads through the DV'd
+    // snapshot; the oracle recomputes the post-upsert state in pure SQL,
+    // so a double-applied or lost batch surfaces as a hash mismatch
+    "q63_stream_upsert" -> ((s, dir) => {
+      val root = TempRoots.create("graft-supsert")
+      val t = TsTable.create(root, TableMeta("documents",
+        TableKind.Clustered(ClusterSpec(Seq("source", "n_chars", "doc_id"), "zorder")),
+        None, None))
+      val docs = tbl(s, dir, "documents")
+      t.append(docs.repartition(4))
+      val rev = docs.where(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(lit("rev2:"), col("text")))
+        .withColumn("n_chars", col("n_chars") + 5)
+        .unionByName(docs.where(col("doc_id") % 97 === 3)
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+          .withColumn("source", lit("revised")))
+      val src = Files.createTempDirectory("graft-supsert-src").toString
+      val ckpt = Files.createTempDirectory("graft-supsert-ckpt").toString
+      rev.repartition(3).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      graft.streaming.StreamingUpsert.applyAvailable(stream, t, ckpt)
+      t.refresh()
+      Seq(src, ckpt).foreach { d =>
+        try deleteTree(java.nio.file.Paths.get(d)) catch { case _: Exception => () }
+      }
+      t.scan(s).select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // coverage analytics closed forms (ref §2.2 C5–C7, table/coverage.rs:
     // 279-360) THROUGH the engine: coverage_ratio, max_gap and the newest
     // fully-covered 3-bucket window over [min(ts), max(ts)] at 1 m buckets,
@@ -976,6 +1010,18 @@ object SparkEntry {
 
       "q18_stream_ingest" ->
         "SELECT event_id, user_id, event_type, value FROM events",
+
+      // post-upsert state in closed form: matched keys carry the revision,
+      // unmatched survive untouched, the shifted-id rows insert
+      "q63_stream_upsert" ->
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 10 = 0 THEN 'rev2:' || text ELSE text END AS text,
+          |  lang, source,
+          |  CASE WHEN doc_id % 10 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+          |FROM documents
+          |UNION ALL
+          |SELECT doc_id + 10000000 AS doc_id, text, lang, 'revised' AS source, n_chars
+          |FROM documents WHERE doc_id % 97 = 3""".stripMargin,
 
       // q16: minute-bucket gaps-and-islands over the raw events; bucket
       // ids are epochSeconds div 60 (all post-epoch). expected = the

@@ -85,41 +85,90 @@ object ClusterKey {
   def stringCoord(c: Column, e: StrEnc = StrEnc.identity): Column =
     ofExpr(StringPrefixBits(toExpr(c), e.skip, e.pmin, e.pmax))
 
+  /** One fitted curve dimension: how a cluster column becomes a
+    * [0, 2^21) coordinate. */
+  sealed trait CoordSpec { def column: String; def toCoord: Column }
+  /** Order-preserving fitted string window. */
+  final case class StrCoord(column: String, enc: StrEnc) extends CoordSpec {
+    def toCoord: Column = stringCoord(col(column), enc)
+  }
+  /** Range-normalized numeric (integral or floating manifest stats). */
+  final case class NumCoord(column: String, lo: Long, hi: Long) extends CoordSpec {
+    def toCoord: Column = numericCoord(col(column), lo, hi)
+  }
+  /** Hash coordinate — the type-agnostic fallback when no usable range
+    * stats exist (boolean/binary column, exotic types): equal values
+    * still cluster together, cross-value order is hash order. */
+  final case class CatCoord(column: String) extends CoordSpec {
+    def toCoord: Column = categoricalCoord(col(column))
+  }
+
+  /** The north rule's token-table cluster columns — the shape every bench
+    * and gate token table uses; other `--cluster-by` specs fit the same
+    * way, per column. */
+  val TokenColumns: Seq[String] = Seq("source", "n_tok", "doc_id")
+
   /** Encoding parameters fitted from manifest stats — computed driver-side
     * for free before a rewrite; without fitting, domains with a shared
     * prefix ("doc-%012d") or narrow byte ranges (ASCII digits) collapse
     * into a sliver of the coordinate space and the curve degenerates. */
-  final case class Fit(src: StrEnc, doc: StrEnc, nTokLo: Long, nTokHi: Long)
-  object Fit { val default: Fit = Fit(StrEnc.identity, StrEnc.identity, 64L, 2048L) }
+  final case class Fit(coords: Seq[CoordSpec])
+  object Fit {
+    val default: Fit = Fit(Seq(StrCoord("source", StrEnc.identity),
+      NumCoord("n_tok", 64L, 2048L), StrCoord("doc_id", StrEnc.identity)))
+  }
 
-  /** Fit the curve encodings from per-file stats in the manifest. */
-  def fit(segments: Seq[graft.meta.SegmentMeta]): Fit = {
+  /** Fit the curve encodings for the table's cluster columns from per-file
+    * stats in the manifest. Works for ANY `--cluster-by` spec: string
+    * stats → order-preserving fitted window, numeric stats →
+    * range-normalized coordinate, no stats (empty table, unstatted type)
+    * → the legacy token-shape defaults for the token columns and a hash
+    * coordinate otherwise. */
+  def fit(segments: Seq[graft.meta.SegmentMeta],
+          columns: Seq[String] = TokenColumns): Fit = {
     import graft.meta.StatVal
-    def strRange(colName: String): Option[(String, String)] = {
-      val mins = segments.flatMap(_.stats.get(colName).flatMap(_.min)).collect { case StatVal.S(v) => v }
-      val maxs = segments.flatMap(_.stats.get(colName).flatMap(_.max)).collect { case StatVal.S(v) => v }
-      if (mins.isEmpty || maxs.isEmpty) None else Some((mins.min, maxs.max))
-    }
-    def longRange(colName: String): Option[(Long, Long)] = {
-      val mins = segments.flatMap(_.stats.get(colName).flatMap(_.min)).collect { case StatVal.L(v) => v }
-      val maxs = segments.flatMap(_.stats.get(colName).flatMap(_.max)).collect { case StatVal.L(v) => v }
-      if (mins.isEmpty || maxs.isEmpty) None else Some((mins.min, maxs.max))
-    }
-    val src = strRange("source").map((StrEnc.fromRange _).tupled).getOrElse(StrEnc.identity)
-    val doc = strRange("doc_id").map((StrEnc.fromRange _).tupled).getOrElse(StrEnc.identity)
-    val (lo, hi) = longRange("n_tok").getOrElse((64L, 2048L))
-    Fit(src, doc, lo, hi)
+    Fit(columns.map { c =>
+      val mn = segments.flatMap(_.stats.get(c).flatMap(_.min))
+      val mx = segments.flatMap(_.stats.get(c).flatMap(_.max))
+      val (smn, smx) = (mn.collect { case StatVal.S(v) => v }, mx.collect { case StatVal.S(v) => v })
+      val (lmn, lmx) = (mn.collect { case StatVal.L(v) => v }, mx.collect { case StatVal.L(v) => v })
+      val (dmn, dmx) = (mn.collect { case StatVal.D(v) => v }, mx.collect { case StatVal.D(v) => v })
+      if (smn.nonEmpty && smx.nonEmpty) StrCoord(c, StrEnc.fromRange(smn.min, smx.max))
+      else if (lmn.nonEmpty && lmx.nonEmpty) NumCoord(c, lmn.min, lmx.max)
+      else if (dmn.nonEmpty && dmx.nonEmpty)
+        NumCoord(c, math.floor(dmn.min).toLong, math.ceil(dmx.max).toLong)
+      else c match {
+        // legacy token-shape defaults: an empty token table lays out
+        // exactly as before per-column fitting existed
+        case "n_tok" => NumCoord(c, 64L, 2048L)
+        case "source" | "doc_id" => StrCoord(c, StrEnc.identity)
+        case _ => CatCoord(c)
+      }
+    })
   }
 
-  /** The clustering key for the token table: (source, n_tok, doc_id) per
-    * the north rule, as a single LongType sort column. String coordinates
-    * are ORDER-PRESERVING (fitted prefix windows, not hashes) so per-file
-    * min/max STRING stats line up with curve order and per-source scans
-    * prune files after clustering. */
-  def tokenTableKey(curve: String, f: Fit = Fit.default): Column = {
-    val src = stringCoord(col("source"), f.src)
-    val ntk = numericCoord(col("n_tok"), f.nTokLo, f.nTokHi)
-    val doc = stringCoord(col("doc_id"), f.doc)
-    ofExpr(CurveKey3(toExpr(src), toExpr(ntk), toExpr(doc), hilbert = curve == "hilbert"))
+  /** Convenience: fit against a table's own cluster spec and live set. */
+  def fitFor(table: graft.table.TsTable): Fit =
+    fit(table.state.liveSegments,
+      table.clusterSpec.map(_.columns).getOrElse(TokenColumns))
+
+  /** The clustering key — the spec'd columns interleaved into one
+    * LongType sort column. The first three columns are the curve
+    * dimensions; fewer than three pad with a constant, columns beyond the
+    * third are dropped from the key (standard Z-order practice — leading
+    * dimensions dominate locality). String
+    * coordinates are ORDER-PRESERVING (fitted prefix windows, not hashes)
+    * so per-file min/max STRING stats line up with curve order and
+    * per-dimension scans prune files after clustering. */
+  def curveKey(curve: String, f: Fit = Fit.default): Column = {
+    val cs = f.coords.take(3).map(_.toCoord).padTo(3, lit(0L))
+    ofExpr(CurveKey3(toExpr(cs(0)), toExpr(cs(1)), toExpr(cs(2)), hilbert = curve == "hilbert"))
   }
+
+  /** Range-partition tie-break salt: hash of the FINEST (last) cluster
+    * column, so heavy curve-key collisions (hot source × narrow numeric
+    * dim) still spread across range buckets. A suffix of the sort order —
+    * never perturbs curve locality. */
+  def saltCol(f: Fit = Fit.default): Column =
+    pmod(xxhash64(col(f.coords.last.column)), lit(1024L))
 }

@@ -163,7 +163,7 @@ object Compaction {
       val inputs = bin.segments.filter(s => liveIds.contains(s.segmentId))
       if (inputs.size >= 2 || inputs.exists(_.dvCardinality > 0)) {
         val outFiles = math.max(1, math.ceil(bin.bytes.toDouble / targetFileSize).toInt)
-        val fit = ClusterKey.fit(table.state.liveSegments)
+        val fit = ClusterKey.fitFor(table)
         // the journal records the version THIS bin's swap committed at —
         // under concurrent bins `table.version` may already have advanced
         // past it by the time we get here
@@ -246,8 +246,8 @@ object Compaction {
           // listing job per rewrite); column pruning still keeps the
           // sample scan narrow
           val sample = raw
-            .select(ClusterKey.tokenTableKey(curve, fit).as("k"),
-              pmod(xxhash64(col("doc_id")), lit(1024L)).as("s"))
+            .select(ClusterKey.curveKey(curve, fit).as("k"),
+              ClusterKey.saltCol(fit).as("s"))
             .sample(withReplacement = false, fraction, seed = 42L)
             .collect()
             .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
@@ -279,8 +279,8 @@ object Compaction {
                                               fit: ClusterKey.Fit, bk: Array[Long],
                                               bs: Array[Long], labels: Array[Int]): DataFrame = {
     import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
-    df.withColumn("__ckey", coalesce(ClusterKey.tokenTableKey(curve, fit), lit(Long.MinValue)))
-      .withColumn("__salt", coalesce(pmod(xxhash64(col("doc_id")), lit(1024L)), lit(0L)))
+    df.withColumn("__ckey", coalesce(ClusterKey.curveKey(curve, fit), lit(Long.MinValue)))
+      .withColumn("__salt", coalesce(ClusterKey.saltCol(fit), lit(0L)))
       .withColumn("__lbl", ofExpr(RangeBucketLabel(
         toExpr(col("__ckey")), toExpr(col("__salt")),
         bk.toSeq, bs.toSeq, labels.toSeq)))
@@ -338,14 +338,15 @@ object Compaction {
   def clusterSorted(df: DataFrame, curve: String, outFiles: Int,
                     fit: ClusterKey.Fit = ClusterKey.Fit.default): DataFrame = curve match {
     case "zorder" | "hilbert" =>
-      df.withColumn("__ckey", ClusterKey.tokenTableKey(curve, fit))
-        .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(1024L)))
+      df.withColumn("__ckey", ClusterKey.curveKey(curve, fit))
+        .withColumn("__salt", ClusterKey.saltCol(fit))
         .repartitionByRange(outFiles, col("__ckey"), col("__salt"))
         .sortWithinPartitions(col("__ckey"), col("__salt"))
         .drop("__ckey", "__salt")
     case "lexico" =>
-      df.repartitionByRange(outFiles, col("source"), col("n_tok"), col("doc_id"))
-        .sortWithinPartitions(col("source"), col("n_tok"), col("doc_id"))
+      val cols = fit.coords.map(c => col(c.column))
+      df.repartitionByRange(outFiles, cols: _*)
+        .sortWithinPartitions(cols: _*)
     case _ =>
       df.repartition(outFiles)
   }

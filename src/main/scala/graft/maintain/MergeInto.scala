@@ -140,7 +140,7 @@ object MergeInto {
         }
       val cached = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val clustered = Compaction.clusterSorted(cached, curve, outFiles, ClusterKey.fit(live))
+        val clustered = Compaction.clusterSorted(cached, curve, outFiles, ClusterKey.fitFor(table))
         table.swapSegments(clustered, candidates, txn = txn)
       } finally cached.unpersist(false)
     } catch {
@@ -252,7 +252,7 @@ object MergeInto {
       val outFiles = math.max(1, math.min(spark.sparkContext.defaultParallelism,
         math.ceil(updBytesEst.toDouble / targetFileSize).toInt * 4))
       newSegs = table.stageSegments(
-        Compaction.clusterSorted(pinned, curve, outFiles, ClusterKey.fit(live)))
+        Compaction.clusterSorted(pinned, curve, outFiles, ClusterKey.fitFor(table)))
       plan match {
         case Some(p) =>
           table.commitDvAttach(p.upserts, p.removeIds, p.expectedDv,

@@ -143,7 +143,7 @@ object UpdateWhere {
         .where(matchesCond)
         .select(projected.toIndexedSeq: _*)
       newSegs = table.stageSegments(
-        Compaction.clusterSorted(matchedRows, curve, outFiles, ClusterKey.fit(live)))
+        Compaction.clusterSorted(matchedRows, curve, outFiles, ClusterKey.fitFor(table)))
       table.commitDvAttach(plan.upserts, plan.removeIds, plan.expectedDv,
         recomputeCoverage = table.timeSpec.isDefined, adds = newSegs,
         sparkForChecks = Some(spark))

@@ -18,6 +18,40 @@ class MaintenanceSpec extends SparkFunSuite {
     df.select(col("doc_id"), col("n_tok"), col("source"), hash(col("tokens")).as("th"))
       .orderBy("doc_id").collect()
 
+  test("generic --cluster-by columns: zorder compaction + MERGE on a non-token table") {
+    // the curve key must fit the TABLE's cluster spec, not the token
+    // shape: bigint key, no n_tok column anywhere (regression: this
+    // failed with UNRESOLVED_COLUMN n_tok before per-spec fitting)
+    val root = tmpDir("compact-generic")
+    val t = TsTable.create(root, TableMeta("docs",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_chars", "doc_id"), "zorder")), None, None))
+    val docs = spark.range(0, 2000).select(
+      col("id").as("doc_id"),
+      concat(lit("text-"), col("id")).as("text"),
+      (col("id") % 97 + 10).cast("long").as("n_chars"),
+      concat(lit("s"), pmod(col("id"), lit(5))).as("source"))
+    t.append(docs.repartition(8))
+    val before = t.scan(spark).orderBy("doc_id").collect()
+
+    val rep = Compaction.run(spark, t, targetFileSize = 512L * 1024 * 1024)
+    assert(rep.binsExecuted >= 1)
+    val after = t.scan(spark).orderBy("doc_id").collect()
+    assert(before.length == after.length)
+    before.zip(after).foreach { case (b, a) => assert(b == a) }
+    // per-file stats on the spec'd columns survive for pruning
+    val seg = t.state.liveSegments.head
+    assert(seg.stats.contains("source") && seg.stats.contains("n_chars"))
+
+    // MERGE over the generic shape: 100 updates + 10 inserts
+    val upd = docs.where(col("doc_id") < 100)
+      .unionByName(docs.where(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      .withColumn("text", lit("updated"))
+    MergeInto.merge(spark, t, upd, key = "doc_id")
+    assert(t.scan(spark).count() == 2010)
+    assert(t.scan(spark).where(col("text") === "updated").count() == 110)
+  }
+
   test("compaction: fewer files, byte-identical rows, snapshot isolation held") {
     val root = tmpDir("compact")
     val t = TsTable.create(root, tokenMeta("zorder"))
