@@ -32,6 +32,24 @@ import graft.table.TsTable
   */
 object StreamingUpsert {
 
+  /** A merge aborts (commits NOTHING) when a concurrent maintenance job
+    * rewrote or re-DV'd its candidates mid-flight; retrying recomputes
+    * from a fresh snapshot, so bounded in-sink retries keep a transient
+    * compaction race from failing the whole streaming query. Anything
+    * else (or exhaustion) propagates — Spark's own query restart replays
+    * the batch into the exactly-once watermark. */
+  private[graft] def retryingAborts[A](attempts: Int)(op: => A): A = {
+    var last: Throwable = null
+    for (i <- 1 to attempts) {
+      try return op
+      catch {
+        case e: IllegalStateException if Option(e.getMessage).exists(_.contains("aborted")) =>
+          last = e; Thread.sleep(50L * i)
+      }
+    }
+    throw last
+  }
+
   /** Attach a graft-table upsert sink to a streaming DataFrame of revised
     * rows (full table schema, key-unique per batch after dedup). Caller
     * starts the query (so tests can use Trigger.AvailableNow with
@@ -45,8 +63,10 @@ object StreamingUpsert {
         // empty batches still advance the watermark inside mergeMor/merge
         // (commitTxnOnly), mirroring the append sink — no pre-flight job
         val txn = Some((app, batchId))
-        if (mor) MergeInto.mergeMor(batch.sparkSession, table, batch, key, txn = txn)
-        else MergeInto.merge(batch.sparkSession, table, batch, key, txn = txn)
+        retryingAborts(5) {
+          if (mor) MergeInto.mergeMor(batch.sparkSession, table, batch, key, txn = txn)
+          else MergeInto.merge(batch.sparkSession, table, batch, key, txn = txn)
+        }
         ()
       }
   }

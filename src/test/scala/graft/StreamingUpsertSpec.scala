@@ -107,6 +107,28 @@ class StreamingUpsertSpec extends SparkFunSuite {
     assert(t.state.txns(app) == 1L)
   }
 
+  test("sink retries transient maintenance aborts, propagates everything else") {
+    var calls = 0
+    val got = StreamingUpsert.retryingAborts(5) {
+      calls += 1
+      if (calls < 3) throw new IllegalStateException(
+        "swap aborted: segments already rewritten by a concurrent job: seg-x")
+      42
+    }
+    assert(got == 42 && calls == 3)
+    // exhaustion rethrows the LAST abort
+    val e = intercept[IllegalStateException](StreamingUpsert.retryingAborts(2) {
+      throw new IllegalStateException("DV attach aborted: segments re-DV'd by a concurrent DELETE: s")
+    })
+    assert(e.getMessage.contains("aborted"))
+    // non-abort failures are never swallowed or retried
+    var once = 0
+    intercept[RuntimeException](StreamingUpsert.retryingAborts(5) {
+      once += 1; throw new RuntimeException("boom")
+    })
+    assert(once == 1)
+  }
+
   test("in-loop replay unwinds outside the lock: swap deletes its staging, DV attach defers to caller") {
     import spark.implicits._
     val root = tmpDir("upsert-replay")
