@@ -71,6 +71,41 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark) // tok_sum in the scan sections
 
+    // Host-health probes INSIDE the official artifact: a shared-VM window
+    // can shave 25 %+ off the headline (observed across rounds); the
+    // memcpy bandwidth and the all-cores arithmetic rate at the bench's
+    // own thread count disambiguate "engine regressed" from "host was
+    // degraded" without needing an adjacent run. Idle-host reference on
+    // this box: membw ~140-150 GB/s and cpu ~2.6-3.0 Gops/s at 32
+    // threads; materially lower readings mark a contended window.
+    val membwGbps = ScalingBench.memProbe(cpus.toInt, cpus.toInt)._1
+    val cpuGops = {
+      ScalingBench.probeRate(cpus.toInt, 20000000L) // JIT+turbo warmup
+      ScalingBench.probeRate(cpus.toInt, 80000000L) / 1e9
+    }
+    // sequential fsync'd write — the bench's sections are write-heavy
+    // (ingest/compact/merge each write GBs), and disk steal is the one
+    // contention the cpu/membw probes can't see (observed: healthy cpu +
+    // membw probes in a window where dd-style writes ran at 73 % of the
+    // box's 673 MB/s wall, exactly the headline shortfall). Idle
+    // reference: ~650-680 MB/s.
+    val diskWMbps = {
+      val f = java.nio.file.Files.createTempFile("graft-bench-disk", ".probe")
+      val ch = java.nio.channels.FileChannel.open(f, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        // 1 MB chunks deliberately: this box's writeback path serves
+        // 8 MB-chunk + fdatasync streams at ~1/10th the throughput
+        // (measured 44 vs 410 MB/s side by side) — dd-equivalent 1 MB
+        // writes probe the wall the engine's parquet writers actually see
+        val buf = java.nio.ByteBuffer.allocateDirect(1024 * 1024)
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < 512) { buf.clear(); while (buf.hasRemaining) ch.write(buf); i += 1 }
+        ch.force(false)
+        512.0 / ((System.nanoTime() - t0) / 1e9)
+      } finally { ch.close(); java.nio.file.Files.deleteIfExists(f) }
+    }
+
     val wall0 = System.nanoTime()
 
     // all trial samples per section (insertion-ordered for the JSON)
@@ -204,7 +239,7 @@ object Bench {
     val totalMin = samples.values.map(_.min).sum
     val totalMed = samples.values.map(median).sum
     val json =
-      s"""{"metric":"maintenance_throughput","value":${f"$throughput%.1f"},"unit":"seq/sec","ts":"$ts","total_sec":${f"$totalMin%.1f"},"total_sec_median":${f"$totalMed%.1f"},"wall_sec":${f"$wallSec%.1f"},"trials":$trials,"rows":$rows,"cpus":$cpus,"queries":$qs,"queries_median":$qMed,"sf":"$sfDir"}"""
+      s"""{"metric":"maintenance_throughput","value":${f"$throughput%.1f"},"unit":"seq/sec","ts":"$ts","total_sec":${f"$totalMin%.1f"},"total_sec_median":${f"$totalMed%.1f"},"wall_sec":${f"$wallSec%.1f"},"trials":$trials,"rows":$rows,"cpus":$cpus,"host_membw_gbps":${f"$membwGbps%.1f"},"host_cpu_gops":${f"$cpuGops%.2f"},"host_disk_wmbps":${f"$diskWMbps%.0f"},"queries":$qs,"queries_median":$qMed,"sf":"$sfDir"}"""
     println(json)
     // machine-readable copies: sbt [info]-prefixes stdout lines, so a log
     // scraper can miss the line above — the file is the reliable channel;

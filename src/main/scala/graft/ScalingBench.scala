@@ -69,7 +69,7 @@ object ScalingBench {
     x
   }
 
-  private def probeRate(threads: Int, itersPerThread: Long): Double = {
+  private[graft] def probeRate(threads: Int, itersPerThread: Long): Double = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     try {
       val t0 = System.nanoTime()
