@@ -50,6 +50,15 @@ class MaintenanceSpec extends SparkFunSuite {
     MergeInto.merge(spark, t, upd, key = "doc_id")
     assert(t.scan(spark).count() == 2010)
     assert(t.scan(spark).where(col("text") === "updated").count() == 110)
+
+    // 2-column spec: the curve pads its third dimension with a constant
+    val root2 = tmpDir("compact-generic2")
+    val t2 = TsTable.create(root2, TableMeta("docs2",
+      TableKind.Clustered(ClusterSpec(Seq("source", "doc_id"), "hilbert")), None, None))
+    t2.append(docs.repartition(6))
+    val rep2 = Compaction.run(spark, t2, targetFileSize = 512L * 1024 * 1024)
+    assert(rep2.binsExecuted >= 1)
+    assert(t2.scan(spark).count() == 2000)
   }
 
   test("compaction: fewer files, byte-identical rows, snapshot isolation held") {
