@@ -90,6 +90,9 @@ object Bench {
     // box's 673 MB/s wall, exactly the headline shortfall). Idle
     // reference: ~650-680 MB/s.
     val diskWMbps = {
+      // probe file lives in java.io.tmpdir — the SAME volume as every
+      // bench table root and staged input (all createTempDirectory), so
+      // the reading bounds the writes the engine actually performs
       val f = java.nio.file.Files.createTempFile("graft-bench-disk", ".probe")
       val ch = java.nio.channels.FileChannel.open(f, java.nio.file.StandardOpenOption.WRITE)
       try {

@@ -136,7 +136,10 @@ object ScalingBench {
     }
     rate(nHi, 8) // page-in + JIT warmup, discarded
     val rLo = rate(nLo, 48)
-    val rHi = rate(nHi, 48)
+    // Bench calls memProbe(cpus, cpus) for a single reading: skip the
+    // second identical multi-GB sweep rather than measure the same rate
+    // twice right before the timed sections
+    val rHi = if (nHi == nLo) rLo else rate(nHi, 48)
     (rLo / 1e9, rHi / 1e9, (rHi / rLo) / (nHi.toDouble / nLo))
   }
 

@@ -62,11 +62,18 @@ object ClusterKey {
     * categorical dimension. */
   def categoricalCoord(c: Column): Column = pmod(xxhash64(c), lit(MaxCoord + 1))
 
-  /** Numeric coordinate range-normalized from [lo, hi] to [0, 2^21). */
-  def numericCoord(c: Column, lo: Long, hi: Long): Column = {
-    val span = math.max(hi - lo, 1L)
-    least(greatest((c.cast("long") - lit(lo)) * lit(MaxCoord) / lit(span), lit(0L)), lit(MaxCoord))
-      .cast("long")
+  /** Numeric coordinate range-normalized from [lo, hi] to [0, 2^21).
+    * The scaling runs in DOUBLE space deliberately: long-space
+    * (v-lo)*MaxCoord overflows for spans wider than ~2^42 (epoch-micros
+    * over a year is 3e13; snowflake ids are 2^63-ish) — under Spark 4's
+    * default ANSI mode that fails EVERY rewrite of such a table — and a
+    * long-truncating input cast collapses sub-integer ranges (double
+    * quality scores in [0,1]) to a single point. A double's 53 mantissa
+    * bits are far more than the 21 the coordinate keeps. */
+  def numericCoord(c: Column, lo: Double, hi: Double): Column = {
+    val span = if (hi > lo) hi - lo else 1.0
+    least(greatest((c.cast("double") - lit(lo)) * lit(MaxCoord.toDouble) / lit(span), lit(0.0)),
+      lit(MaxCoord.toDouble)).cast("long")
   }
 
   /** Fitted encoding for one string column: skip the longest common
@@ -93,7 +100,7 @@ object ClusterKey {
     def toCoord: Column = stringCoord(col(column), enc)
   }
   /** Range-normalized numeric (integral or floating manifest stats). */
-  final case class NumCoord(column: String, lo: Long, hi: Long) extends CoordSpec {
+  final case class NumCoord(column: String, lo: Double, hi: Double) extends CoordSpec {
     def toCoord: Column = numericCoord(col(column), lo, hi)
   }
   /** Hash coordinate — the type-agnostic fallback when no usable range
@@ -115,7 +122,7 @@ object ClusterKey {
   final case class Fit(coords: Seq[CoordSpec])
   object Fit {
     val default: Fit = Fit(Seq(StrCoord("source", StrEnc.identity),
-      NumCoord("n_tok", 64L, 2048L), StrCoord("doc_id", StrEnc.identity)))
+      NumCoord("n_tok", 64.0, 2048.0), StrCoord("doc_id", StrEnc.identity)))
   }
 
   /** Fit the curve encodings for the table's cluster columns from per-file
@@ -134,16 +141,19 @@ object ClusterKey {
       val (lmn, lmx) = (mn.collect { case StatVal.L(v) => v }, mx.collect { case StatVal.L(v) => v })
       val (dmn, dmx) = (mn.collect { case StatVal.D(v) => v }, mx.collect { case StatVal.D(v) => v })
       if (smn.nonEmpty && smx.nonEmpty) StrCoord(c, StrEnc.fromRange(smn.min, smx.max))
-      else if (lmn.nonEmpty && lmx.nonEmpty) NumCoord(c, lmn.min, lmx.max)
-      else if (dmn.nonEmpty && dmx.nonEmpty)
-        NumCoord(c, math.floor(dmn.min).toLong, math.ceil(dmx.max).toLong)
-      else c match {
-        // legacy token-shape defaults: an empty token table lays out
+      else if (lmn.nonEmpty && lmx.nonEmpty) NumCoord(c, lmn.min.toDouble, lmx.max.toDouble)
+      else if (dmn.nonEmpty && dmx.nonEmpty) NumCoord(c, dmn.min, dmx.max)
+      else if (columns == TokenColumns) c match {
+        // legacy token-shape defaults: an empty TOKEN table lays out
         // exactly as before per-column fitting existed
-        case "n_tok" => NumCoord(c, 64L, 2048L)
-        case "source" | "doc_id" => StrCoord(c, StrEnc.identity)
-        case _ => CatCoord(c)
+        case "n_tok" => NumCoord(c, 64.0, 2048.0)
+        case _ => StrCoord(c, StrEnc.identity)
       }
+      // custom spec with no stats yet (first write into an empty table):
+      // the type-agnostic hash coordinate — a name-keyed guess here
+      // (StrCoord on a column that turns out LONG) would crash the first
+      // batch's codegen with a UTF8String/Long mismatch
+      else CatCoord(c)
     })
   }
 

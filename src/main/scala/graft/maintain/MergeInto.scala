@@ -90,16 +90,19 @@ object MergeInto {
     val upd = updates.dropDuplicates(key)
     val updCount = upd.count() // the only job over the (small) update set
 
-    val candidates = selectCandidates(spark, table, upd, updCount, key, live)
-
     // --- 2. rewrite -------------------------------------------------------
-    if (candidates.isEmpty && updCount == 0) {
+    if (updCount == 0) {
       // an EMPTY streamed batch still advances the watermark, so its
-      // replay after recovery is recognized as already-applied
+      // replay after recovery is recognized as already-applied. Checked
+      // BEFORE candidate selection: zero keys can match nothing, and
+      // stat-less segments (always candidates, soundly) must not be
+      // rewritten by a heartbeat batch
       val v = txn.map { case (app, batch) => table.commitTxnOnly(app, batch) }
         .getOrElse(table.version)
       return Report(0, 0, 0, 0, 0, v)
     }
+
+    val candidates = selectCandidates(spark, table, upd, updCount, key, live)
 
     val candBytes = candidates.flatMap(_.fileSize).sum
 
@@ -328,24 +331,41 @@ object MergeInto {
                                updCount: Long, key: String,
                                live: Seq[SegmentMeta]): Seq[SegmentMeta] = {
     // --- 1a. stats-based candidate selection (per-file [min,max]) --------
-    val ranges: Seq[(String, String, String)] = live.flatMap { seg =>
-      seg.stats.get(key) match {
-        case Some(graft.meta.ColStats(Some(StatVal.S(mn)), Some(StatVal.S(mx)), _)) =>
-          Some((seg.segmentId, mn, mx))
-        case _ => None
-      }
-    }
-    val withStats = ranges.iterator.map(_._1).toSet // O(live), not O(live²)
+    // Ranges are collected PER STAT TYPE: a table merged on a numeric key
+    // carries StatVal.L/D stats, and matching only the string arm would
+    // classify every live segment stat-less — zero pruning, so every
+    // micro-batch of a streaming upsert on a numeric key would pay a
+    // full-table rewrite/scan instead of batch-proportional cost.
+    val sRanges = live.flatMap { seg => seg.stats.get(key) match {
+      case Some(graft.meta.ColStats(Some(StatVal.S(mn)), Some(StatVal.S(mx)), _)) =>
+        Some((seg.segmentId, mn, mx))
+      case _ => None
+    } }
+    val lRanges = live.flatMap { seg => seg.stats.get(key) match {
+      case Some(graft.meta.ColStats(Some(StatVal.L(mn)), Some(StatVal.L(mx)), _)) =>
+        Some((seg.segmentId, mn, mx))
+      case _ => None
+    } }
+    val dRanges = live.flatMap { seg => seg.stats.get(key) match {
+      case Some(graft.meta.ColStats(Some(StatVal.D(mn)), Some(StatVal.D(mx)), _)) =>
+        Some((seg.segmentId, mn, mx))
+      case _ => None
+    } }
+    val withStats = (sRanges.iterator.map(_._1) ++ lRanges.iterator.map(_._1) ++
+      dRanges.iterator.map(_._1)).toSet // O(live), not O(live²)
     val statless = live.filterNot(s => withStats(s.segmentId)).map(_.segmentId)
 
     import spark.implicits._
     val keysDf = upd.select(col(key)).distinct()
-    val rangesDf = ranges.toDF("segment_id", "kmin", "kmax")
     // broadcast the file ranges (manifest-sized), shuffle only the keys
-    val hitIds = keysDf
+    def rangeHitIds(rangesDf: DataFrame): Set[String] = keysDf
       .join(broadcast(rangesDf),
         col(key) >= col("kmin") && col(key) <= col("kmax"), "inner")
       .select("segment_id").distinct().as[String].collect().toSet
+    val hitIds =
+      (if (sRanges.nonEmpty) rangeHitIds(sRanges.toDF("segment_id", "kmin", "kmax")) else Set.empty[String]) ++
+      (if (lRanges.nonEmpty) rangeHitIds(lRanges.toDF("segment_id", "kmin", "kmax")) else Set.empty[String]) ++
+      (if (dRanges.nonEmpty) rangeHitIds(dRanges.toDF("segment_id", "kmin", "kmax")) else Set.empty[String])
 
     // --- 1b. refinement: range stats are void after space-curve
     // clustering (interleaved keys make every file span the keyspace), so

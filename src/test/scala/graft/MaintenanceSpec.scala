@@ -584,4 +584,106 @@ class MaintenanceSpec extends SparkFunSuite {
     val (qk, _) = RangeBuckets.boundsFromSample(sample, 4)
     assert(qk.toSeq == Seq(26L, 51L, 76L)) // values at sorted indices 25/50/75
   }
+
+  test("numericCoord: wide spans don't overflow; sub-integer doubles don't collapse") {
+    import spark.implicits._
+    // epoch-micros-over-a-year span (~3.2e13 > 2^42): long-space scaling
+    // overflowed (v-lo)*MaxCoord and ANSI mode failed the whole rewrite
+    val yearMicros = 365L * 24 * 3600 * 1000000L
+    val tsCoords = Seq(0L, yearMicros / 2, yearMicros).toDF("v")
+      .select(ClusterKey.numericCoord(col("v"), 0.0, yearMicros.toDouble).as("c"))
+      .as[Long].collect().toSeq
+    assert(tsCoords == tsCoords.sorted && tsCoords.distinct.size == 3, s"got $tsCoords")
+    assert(tsCoords.head == 0L && tsCoords.last == SpaceCurve.MaxCoord)
+
+    // a double quality-score dimension in [0,1]: the old long-truncating
+    // input cast mapped every value below 1.0 to coordinate 0
+    val sc = Seq(0.1, 0.5, 0.9).toDF("v")
+      .select(ClusterKey.numericCoord(col("v"), 0.0, 1.0).as("c")).as[Long].collect().toSeq
+    assert(sc == sc.sorted && sc.distinct.size == 3, s"scores collapsed: $sc")
+
+    // the full Long domain stays in range (snowflake-style ids)
+    val wc = Seq(Long.MinValue, 0L, Long.MaxValue).toDF("v")
+      .select(ClusterKey.numericCoord(col("v"),
+        Long.MinValue.toDouble, Long.MaxValue.toDouble).as("c")).as[Long].collect().toSeq
+    assert(wc == wc.sorted && wc.distinct.size == 3 &&
+      wc.forall(c => c >= 0L && c <= SpaceCurve.MaxCoord), s"got $wc")
+  }
+
+  test("cluster on an epoch-micros column: compaction succeeds across a >2^42 span") {
+    val root = tmpDir("compact-widespan")
+    val t = TsTable.create(root, TableMeta("evts",
+      TableKind.Clustered(ClusterSpec(Seq("source", "ts_us", "doc_id"), "zorder")), None, None))
+    val yearMicros = 365L * 24 * 3600 * 1000000L
+    val df = spark.range(0, 2000).select(
+      concat(lit("d"), col("id")).as("doc_id"),
+      (col("id") * (yearMicros / 2000)).as("ts_us"),
+      concat(lit("s"), pmod(col("id"), lit(4))).as("source"))
+    t.append(df.repartition(8))
+    val rep = Compaction.run(spark, t, targetFileSize = 512L * 1024 * 1024)
+    assert(rep.binsExecuted >= 1)
+    assert(t.scan(spark).count() == 2000)
+    // the fitted ts_us dimension still separates early from late rows:
+    // with >1 output file, per-file min/max on ts_us must prune at least
+    // one file for a half-range predicate — unless everything fit one file
+    val live = t.state.liveSegments
+    if (live.size > 1) {
+      val halves = live.count { s =>
+        s.stats.get("ts_us").flatMap(_.min).exists {
+          case StatVal.L(v) => v > yearMicros / 2; case _ => false
+        }
+      }
+      assert(halves >= 1, "ts_us clustering produced no late-half file")
+    }
+  }
+
+  test("merge on a NUMERIC key: stats-range pruning selects only matching files") {
+    val root = tmpDir("merge-numkey")
+    val t = TsTable.create(root, TableMeta("docs",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_chars", "doc_id"), "zorder")), None, None))
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("doc_id"), concat(lit("text-"), col("id")).as("text"),
+      (col("id") % 97 + 10).cast("long").as("n_chars"),
+      concat(lit("s"), pmod(col("id"), lit(5))).as("source"))
+    // three disjoint-range segments (separate appends, one file each)
+    t.append(docs(0, 1000).coalesce(1))
+    t.append(docs(1000, 2000).coalesce(1))
+    t.append(docs(2000, 3000).coalesce(1))
+    val live = t.state.liveSegments.size
+    assert(live >= 3)
+
+    // LONG-key ranges carry StatVal.L stats: matching only the string arm
+    // classified every segment stat-less and rewrote the whole table
+    val upd = docs(0, 50).withColumn("text", lit("updated"))
+    val rep = MergeInto.merge(spark, t, upd, key = "doc_id")
+    assert(rep.candidates < live,
+      s"numeric-key pruning ineffective: ${rep.candidates} of $live candidates")
+    assert(t.scan(spark).where(col("text") === "updated").count() == 50)
+    assert(t.scan(spark).count() == 3000)
+
+    // an EMPTY batch must touch nothing — checked before candidate
+    // selection, so even stat-less segments are never rewritten by a
+    // streamed heartbeat batch
+    t.refresh()
+    val pathsBefore = t.state.liveSegments.map(_.path).toSet
+    val vBefore = t.version
+    val rep0 = MergeInto.merge(spark, t, upd.where(lit(false)), key = "doc_id")
+    assert(rep0.filesOut == 0 && rep0.candidates == 0, s"empty batch did work: $rep0")
+    t.refresh()
+    assert(t.version == vBefore && t.state.liveSegments.map(_.path).toSet == pathsBefore)
+  }
+
+  test("first write into an EMPTY custom-spec clustered table with a LONG key") {
+    // empty-table fit has no stats; the fallback must be type-agnostic for
+    // custom specs — a name-keyed StrCoord guess on a LONG doc_id crashed
+    // the first batch's codegen with a UTF8String/Long mismatch
+    val root = tmpDir("merge-empty-longkey")
+    val t = TsTable.create(root, TableMeta("docs",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_chars", "doc_id"), "zorder")), None, None))
+    val docs = spark.range(0, 100).select(
+      col("id").as("doc_id"), concat(lit("t"), col("id")).as("text"),
+      (col("id") % 7 + 1).as("n_chars"), lit("s0").as("source"))
+    val rep = MergeInto.merge(spark, t, docs, key = "doc_id")
+    assert(rep.inserted == 100 && t.scan(spark).count() == 100)
+  }
 }
