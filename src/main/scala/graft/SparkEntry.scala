@@ -327,6 +327,76 @@ object SparkEntry {
         expr(tokSum).as("tok_sum"))
     }),
 
+    // write-audit-publish: evens committed on main; a BAD branch (odd ids
+    // with out-of-bounds n_tok) is rejected by the CHECK at its branch
+    // append and dropped; the GOOD branch lands the odd half invisibly
+    // (main must still scan evens-only mid-flight) and publishes as ONE
+    // atomic squash commit — the final scan must equal ALL documents, and
+    // any isolation leak (odd rows visible early, bad rows ever visible,
+    // lost evens) hash-mismatches against the closed form
+    "q64_branch_wap" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir,
+        filter = Some("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0"))
+      t.addCheck(s, "tok_bounds", "n_tok BETWEEN 64 AND 2048")
+      val evens = t.scan(s).count()
+
+      val bad = t.createBranch("wap-bad")
+      try bad.append(tokenDf(s, dir)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1")
+        .withColumn("n_tok", lit(-7)).repartition(2))
+      catch { case _: graft.table.CheckViolationException => () }
+      t.dropBranch("wap-bad")
+
+      val good = t.createBranch("wap-good")
+      good.append(tokenDf(s, dir)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1").repartition(4))
+      t.refresh()
+      require(t.scan(s).count() == evens,
+        "branch isolation broken: main saw unpublished branch rows")
+      t.publishBranch("wap-good")
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
+        expr(tokSum).as("tok_sum"))
+    }),
+
+    // DROP COLUMN: metadata-only narrowing — old files keep the column's
+    // bytes but every scan hides it at once; post-drop appends carry the
+    // narrowed schema and a compaction rewrite (mixed old/new footers)
+    // must neither resurrect the column nor choke on its absence. Result
+    // = canonical 4-column shape over all three row sets
+    "q66_drop_column" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir,
+        filter = Some("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0"))
+      t.addColumn("quality", org.apache.spark.sql.types.IntegerType)
+      t.append(tokenDf(s, dir)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1")
+        .withColumn("quality",
+          expr("CAST(CAST(substring(doc_id, 5) AS BIGINT) % 100 AS INT)"))
+        .repartition(4))
+      t.dropColumn("quality")
+      t.append(tokenDf(s, dir, factor = 31, idOffset = 10000000L)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 97 = 10000000 % 97")
+        .repartition(2))
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
+        expr(tokSum).as("tok_sum"))
+    }),
+
+    // files metadata table: two single-file appends (evens, odds) make
+    // the manifest's per-file row counts and doc_id/n_tok footer stats a
+    // closed form — the gate proves the `files` surface reports EXACTLY
+    // what a group-by over the data computes, without touching the data
+    "q65_files_meta" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir, nFiles = 1,
+        filter = Some("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0"))
+      t.append(tokenDf(s, dir)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1").coalesce(1))
+      t.files(s).select(col("row_count"),
+        expr("stats['doc_id']['min']").as("min_doc"),
+        expr("stats['doc_id']['max']").as("max_doc"),
+        expr("CAST(stats['n_tok']['min'] AS INT)").as("min_tok"),
+        expr("CAST(stats['n_tok']['max'] AS INT)").as("max_tok"))
+    }),
+
     // CHECK constraint gate: the violating batch (odd ids, n_tok driven
     // out of bounds) must be rejected WHOLE — only the catch of the typed
     // violation lets the query proceed, and the scan must equal the
@@ -969,6 +1039,36 @@ object SparkEntry {
            |  ${tokSumOracle("doc_id", 31)} AS tok_sum
            |FROM documents
            |WHERE doc_id % 2 = 0""".stripMargin,
+
+      // every document exactly once: evens from main + odds via the
+      // published branch; the rejected branch left no trace
+      "q64_branch_wap" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents""".stripMargin,
+
+      // all documents plus the post-drop insert set, canonical 4 columns
+      // (the dropped `quality` column must be invisible everywhere)
+      "q66_drop_column" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents
+           |UNION ALL
+           |SELECT 'doc-' || lpad(CAST(doc_id + 10000000 AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + (doc_id + 10000000) % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("(doc_id + 10000000)", 31)} AS tok_sum
+           |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
+
+      // one row per file (= per parity class), its count and stat bounds
+      "q65_files_meta" ->
+        s"""SELECT COUNT(*) AS row_count,
+           |  min('doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS min_doc,
+           |  max('doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS max_doc,
+           |  CAST(min(64 + doc_id % 1985) AS INT) AS min_tok,
+           |  CAST(max(64 + doc_id % 1985) AS INT) AS max_tok
+           |FROM documents GROUP BY doc_id % 2""".stripMargin,
 
       // evens-only: the rejected batch left no trace (same form as q55)
       "q61_check_gate" ->

@@ -35,11 +35,21 @@ import graft.table.TsTable
   *   diff    --table ROOT --from V [--to V] [--key COL] [--max-rows N]
   *           [--output PATH --format csv|jsonl]
   *   tag     --table ROOT [--name N [--version V] | --drop N]  (list if bare)
+  *   branch  --table ROOT [--create N [--at V] | --publish N [--keep] |
+  *           --drop N]  (list if bare; write-audit-publish: scope any
+  *           append/query/compact/delete/update/merge/history/analyze to a
+  *           branch with --branch N, then `branch --publish N` lands the
+  *           audited writes on main as ONE atomic squash commit)
   *   alter   --table ROOT --add-column NAME:TYPE   (nullable; old rows NULL)
+  *           | --drop-column NAME  (metadata-only; files keep bytes until
+  *             the next compaction rewrites them without the column)
   *           | --add-check NAME:"SQL predicate"    (ingest quality gate)
   *           | --drop-check NAME
   *   analyze --table ROOT [--target-file-size BYTES]
   *           (manifest-only health report: small-file/DV debt, clustering)
+  *   files   --table ROOT [--branch N] [--max-rows N]
+  *           [--output PATH --format csv|jsonl]   (per-file manifest rows)
+  *   refs    --table ROOT   (tags + branches with base/head versions)
   *   history --table ROOT [--max-rows N]
   *   coverage --table ROOT --start ISO --end ISO
   */
@@ -53,6 +63,16 @@ object Main {
     args.contains(s"--$name")
   private def multi(args: Array[String], name: String): Seq[String] =
     args.sliding(2).collect { case Array(k, v) if k == s"--$name" => v }.toSeq
+
+  /** Open the table, optionally scoped to a branch (`--branch NAME`) — the
+    * write/audit half of WAP from the CLI: every verb that takes this
+    * helper (append/query/compact/delete/update/merge/history/analyze)
+    * then runs against the branch log, invisible to main until
+    * `branch --publish`. */
+  private def openTable(args: Array[String]): TsTable = {
+    val t = TsTable.open(req(args, "table"))
+    opt(args, "branch").map(t.branch).getOrElse(t)
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: create|append|query|compact|expire|merge|coverage ...")
@@ -86,13 +106,13 @@ object Main {
       println(s"created table at $root")
 
     case "append" =>
-      val t = TsTable.open(req(args, "table"))
+      val t = openTable(args)
       val v = t.appendParquetFile(spark, req(args, "parquet"))
       println(s"appended; table at version $v")
 
     case "query" =>
       val t0 = System.nanoTime()
-      val t = TsTable.open(req(args, "table"))
+      val t = openTable(args)
       // --at-version / --at-tag pin a historical snapshot (time travel)
       val scan = (opt(args, "at-version"), opt(args, "at-tag")) match {
         case (Some(v), _) => t.scanAt(spark, v.toLong)
@@ -122,7 +142,7 @@ object Main {
         println(f"time: ${(System.nanoTime() - t0) / 1e9}%.3f s")
 
     case "compact" =>
-      val t = TsTable.open(req(args, "table"))
+      val t = openTable(args)
       val rep = Compaction.run(spark, t,
         targetFileSize = opt(args, "target-file-size").map(_.toLong).getOrElse(512L * 1024 * 1024),
         jobId = opt(args, "job-id").getOrElse(java.util.UUID.randomUUID().toString.take(8)),
@@ -141,7 +161,7 @@ object Main {
         s"commitsDropped=${rep.commitsDropped}")
 
     case "delete" =>
-      val t = TsTable.open(req(args, "table"))
+      val t = openTable(args)
       val cond = org.apache.spark.sql.functions.expr(req(args, "where"))
       val rep =
         if (flag(args, "mor")) DeleteWhere.deleteMor(spark, t, cond)
@@ -150,7 +170,7 @@ object Main {
         s"kept=${rep.filesKept} rewritten=${rep.filesOut} dv=${rep.dvAttached} -> v${rep.version}")
 
     case "update" =>
-      val t = TsTable.open(req(args, "table"))
+      val t = openTable(args)
       val sets = multi(args, "set").map { kv =>
         val Array(k, v) = kv.split("=", 2)
         k.trim -> org.apache.spark.sql.functions.expr(v)
@@ -163,7 +183,7 @@ object Main {
         s"kept=${rep.filesKept} rewritten=${rep.filesOut} -> v${rep.version}")
 
     case "merge" =>
-      val t = TsTable.open(req(args, "table"))
+      val t = openTable(args)
       val updates = spark.read.parquet(req(args, "updates"))
       val key = opt(args, "key").getOrElse("doc_id")
       if (flag(args, "delete")) {
@@ -212,21 +232,26 @@ object Main {
         System.out, preload)
 
     case "alter" =>
-      val t = TsTable.open(req(args, "table"))
-      (opt(args, "add-column"), opt(args, "add-check"), opt(args, "drop-check")) match {
-        case (Some(spec), _, _) =>
+      val t = openTable(args)
+      (opt(args, "add-column"), opt(args, "drop-column"),
+        opt(args, "add-check"), opt(args, "drop-check")) match {
+        case (Some(spec), _, _, _) =>
           val Array(cn, ct) = spec.split(":", 2)
           val v = t.addColumn(cn.trim,
             org.apache.spark.sql.types.DataType.fromDDL(ct.trim))
           println(s"added column ${cn.trim} (${ct.trim}) -> v$v")
-        case (_, Some(spec), _) =>
+        case (_, Some(cn), _, _) =>
+          val v = t.dropColumn(cn.trim)
+          println(s"dropped column ${cn.trim} -> v$v")
+        case (_, _, Some(spec), _) =>
           val Array(cn, pred) = spec.split(":", 2)
           val v = t.addCheck(spark, cn.trim, pred.trim)
           println(s"added check ${cn.trim} (${pred.trim}) -> v$v")
-        case (_, _, Some(cn)) =>
+        case (_, _, _, Some(cn)) =>
           val v = t.dropCheck(cn.trim)
           println(s"dropped check ${cn.trim} -> v$v")
-        case _ => sys.error("alter needs --add-column, --add-check, or --drop-check")
+        case _ => sys.error(
+          "alter needs --add-column, --drop-column, --add-check, or --drop-check")
       }
 
     case "tag" =>
@@ -242,13 +267,47 @@ object Main {
           t.tags.toSeq.sortBy(_._1).foreach { case (n, v) => println(s"$n\tv$v") }
       }
 
-    case "analyze" =>
+    case "branch" =>
       val t = TsTable.open(req(args, "table"))
+      (opt(args, "create"), opt(args, "publish"), opt(args, "drop")) match {
+        case (Some(n), _, _) =>
+          val b = t.createBranch(n, opt(args, "at").map(_.toLong))
+          println(s"created branch '$n' at v${b.version}")
+        case (_, Some(n), _) =>
+          val v = t.publishBranch(n, dropAfter = !flag(args, "keep"))
+          println(s"published branch '$n' -> v$v" +
+            (if (flag(args, "keep")) " (branch kept)" else ""))
+        case (_, _, Some(n)) =>
+          if (t.dropBranch(n)) println(s"dropped branch '$n'")
+          else println(s"no such branch: '$n'")
+        case _ =>
+          t.branches.foreach { n =>
+            val b = t.branch(n)
+            println(s"$n\tbase=v${graft.log.BranchLog.open(t.store.tableRoot, n).base}\thead=v${b.version}")
+          }
+      }
+
+    case "analyze" =>
+      val t = openTable(args)
       println(graft.maintain.Analyze.analyze(t,
         opt(args, "target-file-size").map(_.toLong).getOrElse(512L * 1024 * 1024)).render)
 
-    case "history" =>
+    case "files" =>
+      val t = openTable(args)
+      // stats map -> JSON so the csv sink can carry it
+      val df = t.files(spark).orderBy("path")
+        .withColumn("stats", org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.col("stats")))
+      output(df, opt(args, "output"), opt(args, "format").getOrElse("csv"),
+        opt(args, "max-rows").map(_.toInt))
+
+    case "refs" =>
       val t = TsTable.open(req(args, "table"))
+      print(org.apache.spark.sql.graft.Bridge.showString(
+        t.refs(spark).orderBy("type", "name"), 1000, truncate = 0))
+
+    case "history" =>
+      val t = openTable(args)
       val n = opt(args, "max-rows").map(_.toInt).getOrElse(20)
       print(org.apache.spark.sql.graft.Bridge.showString(
         t.history(spark, limit = math.max(n, 1)), n, truncate = 0))

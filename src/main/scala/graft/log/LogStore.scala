@@ -32,9 +32,12 @@ final case class CorruptLogException(msg: String) extends RuntimeException(msg)
   * All of this is DRIVER-side metadata IO — tiny JSON files. Data-plane work
   * is Spark jobs; at 1000 executors the log is never a shuffle participant.
   */
-final class LogStore(val tableRoot: Path) {
+class LogStore(val tableRoot: Path) {
   val logDir: Path = tableRoot.resolve("_timeseries_log")
-  private val currentFile: Path = logDir.resolve("CURRENT")
+  /** Where this log's head pointer lives — a branch overlay ([[BranchLog]])
+    * redirects it into the branch directory while sharing the main log's
+    * committed prefix. */
+  protected def currentFile: Path = logDir.resolve("CURRENT")
 
   def commitPath(version: Long): Path = logDir.resolve(f"$version%010d.json")
   def checkpointPath(version: Long): Path = logDir.resolve(f"$version%010d.ckpt.json")
@@ -105,7 +108,7 @@ final class LogStore(val tableRoot: Path) {
     * can become durable before the temp file's DATA does, leaving an
     * empty CURRENT after power loss — an unopenable table. */
   private def writeCurrentAtomic(version: Long): Unit = {
-    val tmp = Files.createTempFile(logDir, ".CURRENT", ".tmp")
+    val tmp = Files.createTempFile(currentFile.getParent, ".CURRENT", ".tmp")
     val ch = java.nio.channels.FileChannel.open(tmp, StandardOpenOption.WRITE)
     try {
       ch.write(java.nio.ByteBuffer.wrap(s"$version\n".getBytes("UTF-8")))

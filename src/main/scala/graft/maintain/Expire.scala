@@ -52,6 +52,16 @@ object Expire {
     val taggedBelow: Seq[Long] =
       table.tags.values.filter(_ < keepFromVersion).toSeq.distinct.sorted
 
+    // live branches are promises too: their fork state must stay
+    // replayable (base checkpoint + file retention, like a tag) and every
+    // file a branch commit added must survive the sweep until the branch
+    // is published or dropped
+    val branchLogs: Seq[graft.log.BranchLog] =
+      graft.log.BranchLog.list(store.tableRoot)
+        .map(n => graft.log.BranchLog.open(store.tableRoot, n))
+    val branchBasesBelow: Seq[Long] =
+      branchLogs.map(_.base).filter(_ < keepFromVersion).distinct.sorted
+
     def writeCheckpoint(state: TableState, atVersion: Long): Unit = {
       val p = store.checkpointPath(atVersion)
       if (!Files.exists(p)) {
@@ -104,7 +114,37 @@ object Expire {
             s"drop the tag(s) to unblock expire (${e.getMessage})", e)
       }
     }
-    val tagLiveIds: Set[String] = tagStates.flatMap(_.segments.keySet).toSet
+    // branch fork states, rebuilt with the same before-drop discipline as
+    // tags (a branch whose fork history is gone can never publish — the
+    // caller must drop or publish it first)
+    val branchBaseStates: Seq[TableState] = branchBasesBelow.map { bv =>
+      try TableState.rebuildAt(store, bv)
+      catch { case e: Exception =>
+        val names = branchLogs.collect { case bl if bl.base == bv => s"'${bl.branch}'" }.mkString(", ")
+        throw new IllegalStateException(
+          s"branch(es) $names forked at v$bv whose history is no longer replayable; " +
+            s"publish or drop the branch(es) to unblock expire (${e.getMessage})", e)
+      }
+    }
+    // branch HEAD states and every path a branch commit added — the
+    // branch's own lineage must survive the sweep whole
+    val branchHeadStates: Seq[TableState] = branchLogs.map { bl =>
+      TableState.rebuildAt(bl, bl.currentVersion())
+    }
+    val branchAddPaths: Set[String] = branchLogs.flatMap { bl =>
+      (bl.base + 1 to bl.currentVersion()).flatMap { bv =>
+        if (!Files.exists(bl.commitPath(bv))) Nil
+        else bl.readCommit(bv).actions.flatMap {
+          case graft.log.LogAction.AddSegment(s) =>
+            Seq(s.path) ++ s.coveragePath.toSeq ++ s.dvPath.toSeq
+          case _ => Nil
+        }
+      }
+    }.toSet
+
+    val tagLiveIds: Set[String] = tagStates.flatMap(_.segments.keySet).toSet ++
+      branchBaseStates.flatMap(_.segments.keySet) ++
+      branchHeadStates.flatMap(_.segments.keySet)
     val orphans = (seen -- wmState.segments.keySet -- tagLiveIds)
       .values.toSeq.sortBy(_.path)
 
@@ -122,7 +162,8 @@ object Expire {
     //    checkpoints < watermark (replay of an untagged version now starts
     //    at the watermark checkpoint; a tagged one at its own)
     taggedBelow.zip(tagStates).foreach { case (tv, stV) => writeCheckpoint(stV, tv) }
-    val keepCkpt = taggedBelow.toSet
+    branchBasesBelow.zip(branchBaseStates).foreach { case (bv, stV) => writeCheckpoint(stV, bv) }
+    val keepCkpt = taggedBelow.toSet ++ branchBasesBelow
     var dropped = 0
     v = startV
     while (v < keepFromVersion) {
@@ -176,10 +217,13 @@ object Expire {
     //    data/ contains EXACTLY the retained-state files plus in-grace
     //    writer output.
     val referenced = scala.collection.mutable.Set.empty[String]
-    (wmState.segments.values ++ tagStates.flatMap(_.segments.values)).foreach { s =>
+    (wmState.segments.values ++ tagStates.flatMap(_.segments.values) ++
+      branchBaseStates.flatMap(_.segments.values) ++
+      branchHeadStates.flatMap(_.segments.values)).foreach { s =>
       referenced += s.path; s.coveragePath.foreach(referenced += _)
       s.dvPath.foreach(referenced += _)
     }
+    referenced ++= branchAddPaths
     v = keepFromVersion + 1
     while (v <= current) {
       if (Files.exists(store.commitPath(v))) {

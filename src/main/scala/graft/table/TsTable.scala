@@ -154,6 +154,50 @@ final class TsTable private (val root: String, val store: LogStore) {
       "rows_added", "meta_updated", "coverage_updated", "txn")
   }
 
+  /** One row per live data file — the Iceberg `files` / Delta DESCRIBE
+    * DETAIL metadata table, manifest-only (no filesystem or data IO, so
+    * it costs the same on a 100 TB table as on a test fixture). Column
+    * stats surface as `stats[col] -> (min, max, null_count)` in canonical
+    * string form (exact for longs/strings/bools; Double.toString for
+    * doubles), ready for SQL over the table's own layout: small-file
+    * histograms, clustering drift, DV debt. */
+  def files(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def render(v: StatVal): String = v match {
+      case StatVal.L(x) => x.toString
+      case StatVal.D(x) => x.toString
+      case StatVal.S(x) => x
+      case StatVal.B(x) => x.toString
+    }
+    refresh()
+    cachedState.liveSegments.map { s =>
+      (s.segmentId, s.path, s.format, s.rowCount, s.liveRowCount,
+        s.fileSize.getOrElse(-1L), s.dvPath.orNull, s.dvCardinality,
+        s.coveragePath.orNull,
+        s.stats.map { case (c, cs) =>
+          c -> Map(
+            "min" -> cs.min.map(render).orNull,
+            "max" -> cs.max.map(render).orNull,
+            "null_count" -> cs.nullCount.toString)
+        })
+    }.toDF("segment_id", "path", "format", "row_count", "live_rows",
+      "size_bytes", "dv_path", "dv_cardinality", "coverage_path", "stats")
+  }
+
+  /** Named refs — tags and branches — as one DataFrame (Iceberg `refs`
+    * metadata table): tags pin base == head; a branch spans its fork
+    * point to its current head. Driver-side metadata only. */
+  def refs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    refresh()
+    val tagRows = tags.toSeq.sortBy(_._1).map { case (n, v) => (n, "tag", v, v) }
+    val brRows = branches.map { n =>
+      val bl = BranchLog.open(store.tableRoot, n)
+      (n, "branch", bl.base, bl.currentVersion())
+    }
+    (tagRows ++ brRows).toDF("name", "type", "base_version", "head_version")
+  }
+
   private[graft] def scanState(spark: SparkSession, st: TableState): DataFrame = {
     val live = st.liveSegments
     val schema = st.tableMeta.flatMap(_.schema).getOrElse {
@@ -721,6 +765,108 @@ final class TsTable private (val root: String, val store: LogStore) {
     scanAt(spark, v)
   }
 
+  // ------------------------------------------------------------ branches
+
+  /** Create a branch forked at `at` (default: the current version) and
+    * return a writable handle on it — the write-audit-publish (WAP)
+    * entry point. Every writer verb on the returned handle (append,
+    * MERGE, DELETE/UPDATE, compaction, streaming ingest) commits to the
+    * branch log under `_branches/<name>/`, invisible to main readers;
+    * data files share the table's `data/` root (UUID names never
+    * collide) and [[graft.maintain.Expire]] retains them while the
+    * branch lives. Audit = any read/CHECK against the branch handle;
+    * publish = [[publishBranch]]; abandon = [[dropBranch]]. */
+  def createBranch(name: String, at: Option[Long] = None): TsTable = {
+    requireMainHandle("createBranch")
+    refresh()
+    val v = at.getOrElse(version)
+    require(v >= 1 && v <= version, s"branch fork point v$v out of range [1, $version]")
+    // same replayability guard as tags: forking at a version expiration
+    // already reclaimed would wedge every later expire
+    try TableState.rebuildAt(store, v)
+    catch { case e: Exception =>
+      throw new IllegalArgumentException(
+        s"cannot branch at v$v: its history was already reclaimed by snapshot " +
+          s"expiration (${e.getMessage})", e)
+    }
+    BranchLog.create(store.tableRoot, name, v)
+    branch(name)
+  }
+
+  /** Writable handle on an existing branch. */
+  def branch(name: String): TsTable = {
+    requireMainHandle("branch")
+    new TsTable(root, BranchLog.open(store.tableRoot, name))
+  }
+
+  def branches: Seq[String] = BranchLog.list(store.tableRoot)
+
+  /** The branch this handle writes to, if it is a branch handle. */
+  def branchName: Option[String] = store match {
+    case b: BranchLog => Some(b.branch); case _ => None
+  }
+
+  /** Delete a branch and its commit files. Data files the branch added
+    * become unreferenced and are reclaimed by the next expire sweep
+    * (age-guarded, like any crashed-writer debris). */
+  def dropBranch(name: String): Boolean = {
+    requireMainHandle("dropBranch")
+    BranchLog.drop(store.tableRoot, name)
+  }
+
+  /** Publish a branch onto main as ONE atomic squash commit — the
+    * fast-forward half of WAP. The net effect between the branch's fork
+    * state and its head (segment removes/upserts/adds, meta, coverage
+    * pointer, txn watermarks) lands in a single OCC commit, so main
+    * readers flip from pre-branch to post-branch state atomically and a
+    * publish racing another writer either wins wholly or not at all.
+    * Fast-forward only: if main advanced past the fork point the publish
+    * fails (re-branch from the new head and replay) — a cross-writer
+    * rebase would silently re-order snapshot history. Changed segments
+    * (e.g. a DV attached on the branch) are emitted as Remove+Add like
+    * every data-change commit, so a streaming tail of main skips them
+    * rather than re-delivering rows. */
+  def publishBranch(name: String, maxRetries: Int = 5, dropAfter: Boolean = true): Long = {
+    requireMainHandle("publishBranch")
+    val bl = BranchLog.open(store.tableRoot, name)
+    val head = bl.currentVersion()
+    val headState = TableState.rebuildAt(bl, head)
+    val baseState = TableState.rebuildAt(store, bl.base)
+    val committed = occLoop(maxRetries) { st =>
+      if (st.version != bl.base)
+        throw new IllegalStateException(
+          s"non-fast-forward publish: branch '$name' forked at v${bl.base} but main " +
+            s"is at v${st.version}; re-branch from the new head and replay")
+      val b = Seq.newBuilder[LogAction]
+      baseState.segments.keysIterator.filterNot(headState.segments.contains)
+        .toSeq.sorted.foreach(id => b += LogAction.RemoveSegment(id))
+      headState.liveSegments.foreach { s =>
+        baseState.segments.get(s.segmentId) match {
+          case Some(old) if old == s => () // untouched on the branch
+          case Some(_) => b += LogAction.RemoveSegment(s.segmentId); b += LogAction.AddSegment(s)
+          case None => b += LogAction.AddSegment(s)
+        }
+      }
+      headState.tableMeta.filterNot(baseState.tableMeta.contains)
+        .foreach(m => b += LogAction.UpdateTableMeta(m))
+      headState.tableCoverage.filterNot(baseState.tableCoverage.contains)
+        .foreach(c => b += LogAction.UpdateTableCoverage(c.bucketSpec, c.coveragePath))
+      headState.txns.toSeq.sortBy(_._1).foreach { case (app, batch) =>
+        if (baseState.txns.get(app).forall(_ < batch)) b += LogAction.SetTxn(app, batch)
+      }
+      val actions = b.result()
+      if (actions.isEmpty) st.version else commitAndAdvance(st, actions)
+    }
+    if (dropAfter) dropBranch(name)
+    committed
+  }
+
+  private def requireMainHandle(op: String): Unit = store match {
+    case b: BranchLog => throw new IllegalStateException(
+      s"$op must run on the main table handle, not branch '${b.branch}' (nested branches are not supported)")
+    case _ => ()
+  }
+
   private def updateTags(name: String, f: Long => Option[Long], maxRetries: Int,
                          mustExist: Boolean = false): Long =
     commitMetaUpdate(maxRetries) { (st, m) =>
@@ -829,6 +975,41 @@ final class TsTable private (val root: String, val store: LogStore) {
       require(!sch.fieldNames.contains(name), s"column '$name' already exists")
       val evolved = StructType(sch.fields :+
         org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+      Some(m.copy(schemaJson = Some(evolved.json)))
+    }
+
+  /** Schema evolution: DROP COLUMN as a metadata-only commit. Files keep
+    * the column physically (no rewrite — dropping a column from a 100 TB
+    * table costs one log write) but every scan and maintenance read pins
+    * the MANIFEST schema, so the column vanishes everywhere at once;
+    * a later compaction rewrites files without it as a side effect.
+    * Appends after the commit must carry the narrowed schema. Refused
+    * for columns the table's identity depends on (time index, entity,
+    * cluster columns) and for columns a CHECK constraint still
+    * references (drop the check first). */
+  def dropColumn(name: String, maxRetries: Int = 3): Long =
+    commitMetaUpdate(maxRetries) { (_, m) =>
+      val sch = m.schema.getOrElse(throw new IllegalStateException(
+        "no schema adopted yet — append once before evolving the schema"))
+      require(sch.fieldNames.contains(name), s"no such column: '$name'")
+      m.kind match {
+        case TableKind.TimeSeries(s) =>
+          require(name != s.timestampColumn, s"cannot drop the time-index column '$name'")
+          require(!s.entityColumns.contains(name), s"cannot drop entity column '$name'")
+        case TableKind.Clustered(s) =>
+          require(!s.columns.contains(name), s"cannot drop cluster column '$name'")
+      }
+      // conservative word-boundary test: a check MIGHT reference the
+      // column → refuse (false positives only cost an explicit drop-check)
+      val word = java.util.regex.Pattern.compile(
+        "\\b" + java.util.regex.Pattern.quote(name) + "\\b",
+        java.util.regex.Pattern.CASE_INSENSITIVE)
+      m.checks.find { case (_, sql) => word.matcher(sql).find() }.foreach { case (cn, sql) =>
+        throw new IllegalStateException(
+          s"cannot drop '$name': CHECK '$cn' ($sql) references it — drop the check first")
+      }
+      val evolved = StructType(sch.fields.filterNot(_.name == name))
+      require(evolved.fields.nonEmpty, "cannot drop the last column")
       Some(m.copy(schemaJson = Some(evolved.json)))
     }
 

@@ -138,6 +138,50 @@ class CliSpec extends SparkFunSuite {
     assert(t2.scan(spark).where("source LIKE '%-u'").count() == 0)
   }
 
+  test("branch verb: create, --branch-scoped append+query, publish, list, drop") {
+    val root = tmpDir("cli-branch")
+    run("create", "--table", root, "--cluster-by", "source,n_tok,doc_id")
+    val pq = tmpDir("cli-branch-pq")
+    graft.data.TokenGen.generate(spark, 100).coalesce(1).write.mode("overwrite").parquet(pq)
+    val f = {
+      val it = Files.list(Paths.get(pq)).iterator()
+      var found: String = null
+      while (it.hasNext && found == null) {
+        val p = it.next(); if (p.toString.endsWith(".parquet")) found = p.toString
+      }
+      found
+    }
+    run("append", "--table", root, "--parquet", f)
+
+    run("branch", "--table", root, "--create", "wap")
+    val pq2 = tmpDir("cli-branch-pq2")
+    graft.data.TokenGen.generate(spark, 40, idStart = 5000L)
+      .coalesce(1).write.mode("overwrite").parquet(pq2)
+    val f2 = {
+      val it = Files.list(Paths.get(pq2)).iterator()
+      var found: String = null
+      while (it.hasNext && found == null) {
+        val p = it.next(); if (p.toString.endsWith(".parquet")) found = p.toString
+      }
+      found
+    }
+    // write + maintenance scoped to the branch; main stays at 100 rows
+    run("append", "--table", root, "--parquet", f2, "--branch", "wap")
+    run("compact", "--table", root, "--branch", "wap",
+      "--target-file-size", (8L * 1024 * 1024).toString)
+    assert(TsTable.open(root).scan(spark).count() == 100)
+    assert(TsTable.open(root).branch("wap").scan(spark).count() == 140)
+
+    run("branch", "--table", root)                    // list (smoke)
+    run("branch", "--table", root, "--publish", "wap")
+    val t = TsTable.open(root)
+    assert(t.scan(spark).count() == 140 && t.branches.isEmpty)
+
+    run("branch", "--table", root, "--create", "dead")
+    run("branch", "--table", root, "--drop", "dead")
+    assert(TsTable.open(root).branches.isEmpty)
+  }
+
   test("create rejects invalid bucket specs with a friendly error") {
     val e = intercept[IllegalArgumentException] {
       run("create", "--table", tmpDir("cli-bad"),

@@ -52,4 +52,45 @@ class SchemaEvolutionSpec extends SparkFunSuite {
     assert(t.scanAt(spark, pre).schema.fieldNames.length == 4)
     assert(t.scan(spark).schema.fieldNames.length == 5)
   }
+
+  test("DROP COLUMN: metadata-only narrowing; guards; post-drop appends and rewrites") {
+    val t = TsTable.create(tmpDir("evo-drop"), tokenMeta)
+    t.append(TokenGen.generate(spark, 100, numFiles = 2))
+    t.addColumn("quality", IntegerType)
+    t.append(TokenGen.generate(spark, 50, idStart = 9000L)
+      .withColumn("quality", lit(3)))
+    val pre = t.version
+
+    // guards: identity columns, check-referenced columns, unknown, last
+    intercept[IllegalArgumentException] { t.dropColumn("doc_id") }   // cluster col
+    intercept[IllegalArgumentException] { t.dropColumn("nope") }
+    t.addCheck(spark, "q_bound", "quality IS NULL OR quality < 100")
+    intercept[IllegalStateException] { t.dropColumn("quality") }     // check references it
+    t.dropCheck("q_bound")
+
+    t.dropColumn("quality")
+    assert(t.scan(spark).schema.fieldNames.toSeq ==
+      Seq("doc_id", "tokens", "n_tok", "source"))
+    assert(t.scan(spark).count() == 150)
+    // pre-drop snapshot still carries the column (time travel unaffected)
+    assert(t.scanAt(spark, pre).schema.fieldNames.contains("quality"))
+    assert(t.scanAt(spark, pre).where(col("quality") === 3).count() == 50)
+
+    // post-drop append: narrowed schema is the enforced schema; the wide
+    // one is now rejected
+    intercept[Exception] {
+      t.append(TokenGen.generate(spark, 10, idStart = 9500L).withColumn("quality", lit(1)))
+    }
+    t.append(TokenGen.generate(spark, 10, idStart = 9500L))
+    assert(t.scan(spark).count() == 160)
+
+    // compaction over mixed wide/narrow files rewrites WITHOUT the column
+    Compaction.run(spark, t, targetFileSize = 8L * 1024 * 1024)
+    assert(t.scan(spark).count() == 160)
+    assert(!t.scan(spark).schema.fieldNames.contains("quality"))
+    // and the rewritten files physically shed it (footer-derived schema)
+    val widest = t.files(spark).select("path").collect().map(_.getString(0))
+      .map(p => spark.read.parquet(s"${t.root}/$p").schema.fieldNames.length).max
+    assert(widest == 4, "post-compaction files must not carry the dropped column")
+  }
 }
