@@ -40,6 +40,9 @@ object Expire {
     * LIVE writer's staging dir is at most minutes old. */
   def expire(table: TsTable, keepFromVersion: Long,
              stagingGraceMs: Long = 60L * 60 * 1000): Report = {
+    require(table.branchName.isEmpty,
+      s"expire must run on the main table handle, not branch '${table.branchName.getOrElse("")}' — " +
+        "a branch-scoped expire would drop main-log commits shared with other readers")
     val store = table.store
     val current = store.currentVersion()
     require(keepFromVersion >= 1 && keepFromVersion <= current,

@@ -127,6 +127,7 @@ class BranchSpec extends SparkFunSuite {
     val t = TsTable.create(tmpDir("br-nest"), tokenMeta)
     t.append(TokenGen.generate(spark, 10))
     val b = t.createBranch("one")
+    intercept[IllegalArgumentException] { Expire.expire(b, b.version) } // shared main log
     intercept[IllegalStateException] { b.createBranch("two") }
     intercept[IllegalStateException] { b.branch("one") }
     intercept[IllegalStateException] { b.publishBranch("one") }
