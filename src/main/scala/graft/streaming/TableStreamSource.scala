@@ -339,9 +339,17 @@ final class GraftSourceProvider extends StreamSourceProvider with StreamSinkProv
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
-    val table = TsTable.open(root(parameters))
-    val st = parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.toLong }
-      .map(v => graft.log.TableState.rebuildAt(table.store, v))
+    val main = TsTable.open(root(parameters))
+    // branch-scoped read (WAP audit via plain spark.read); time travel by
+    // version or tag composes with it (the branch shares main's prefix)
+    val table = parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("branch") => v }
+      .map(main.branch).getOrElse(main)
+    val pinned = parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.toLong }
+      .orElse(parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("tag") =>
+        table.tags.getOrElse(v, throw new IllegalArgumentException(
+          s"no such tag: '$v' (have: ${table.tags.keys.toSeq.sorted.mkString(", ")})"))
+      })
+    val st = pinned.map(v => graft.log.TableState.rebuildAt(table.store, v))
       .getOrElse(table.state)
     // the DSv1 relation contract returns a bare BaseRelation — there is no
     // hook to attach the deletion-vector filter, so a MOR-deleted snapshot

@@ -43,6 +43,12 @@ class BranchSpec extends SparkFunSuite {
     assert(b.scan(spark).count() == baseRows + 100)
     val want = b.scan(spark).orderBy("doc_id").collect().toSeq
 
+    // the datasource surface sees the same split: bare load = main,
+    // option("branch") = the audited fork
+    assert(spark.read.format("graft-table").load(t.root).count() == baseRows)
+    assert(spark.read.format("graft-table").option("branch", "wap")
+      .load(t.root).count() == baseRows + 100)
+
     val v = t.publishBranch("wap")
     assert(v == baseV + 1, s"squash publish must be ONE commit (got v$v over base v$baseV)")
     assert(t.scan(spark).orderBy("doc_id").collect().toSeq == want)
