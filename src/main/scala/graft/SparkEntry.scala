@@ -381,6 +381,26 @@ object SparkEntry {
         expr(tokSum).as("tok_sum"))
     }),
 
+    // cluster-spec evolution (sort-order evolution): evens are clustered
+    // under the creation spec, then ALTER CLUSTER BY re-keys the table
+    // (metadata-only), odds land, and a second compaction with a larger
+    // target re-clusters EVERYTHING under the new spec/curve. Every row
+    // must survive both re-clusterings byte-identically — any row lost,
+    // duplicated, or token-mutated by the curve swap hash-mismatches
+    "q67_cluster_evolution" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir,
+        filter = Some("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0"))
+      Compaction.run(s, t, targetFileSize = 4L * 1024 * 1024)
+      t.alterClusterBy(Seq("n_tok", "doc_id", "source"), "hilbert")
+      t.append(tokenDf(s, dir)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1").repartition(4))
+      // larger target ⇒ the first pass's outputs are small again ⇒ the
+      // old-spec files are re-clustered too, not just the fresh odds
+      Compaction.run(s, t, targetFileSize = 16L * 1024 * 1024)
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
+        expr(tokSum).as("tok_sum"))
+    }),
+
     // files metadata table: two single-file appends (evens, odds) make
     // the manifest's per-file row counts and doc_id/n_tok footer stats a
     // closed form — the gate proves the `files` surface reports EXACTLY
@@ -1060,6 +1080,14 @@ object SparkEntry {
            |  CAST(64 + (doc_id + 10000000) % 1985 AS INT) AS n_tok,
            |  ${tokSumOracle("(doc_id + 10000000)", 31)} AS tok_sum
            |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
+
+      // every document exactly once, re-clustered twice (zorder → hilbert
+      // under a permuted column spec) — identical row set to q64's form
+      "q67_cluster_evolution" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents""".stripMargin,
 
       // one row per file (= per parity class), its count and stat bounds
       "q65_files_meta" ->

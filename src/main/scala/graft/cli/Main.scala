@@ -45,6 +45,8 @@ import graft.table.TsTable
   *             the next compaction rewrites them without the column)
   *           | --add-check NAME:"SQL predicate"    (ingest quality gate)
   *           | --drop-check NAME
+  *           | --cluster-by C1,C2,C3 [--curve zorder|hilbert|lexico|none]
+  *             (metadata-only sort-order evolution; next compact re-clusters)
   *   analyze --table ROOT [--target-file-size BYTES]
   *           (manifest-only health report: small-file/DV debt, clustering)
   *   files   --table ROOT [--branch N] [--max-rows N]
@@ -234,24 +236,32 @@ object Main {
     case "alter" =>
       val t = openTable(args)
       (opt(args, "add-column"), opt(args, "drop-column"),
-        opt(args, "add-check"), opt(args, "drop-check")) match {
-        case (Some(spec), _, _, _) =>
+        opt(args, "add-check"), opt(args, "drop-check"),
+        opt(args, "cluster-by")) match {
+        case (Some(spec), _, _, _, _) =>
           val Array(cn, ct) = spec.split(":", 2)
           val v = t.addColumn(cn.trim,
             org.apache.spark.sql.types.DataType.fromDDL(ct.trim))
           println(s"added column ${cn.trim} (${ct.trim}) -> v$v")
-        case (_, Some(cn), _, _) =>
+        case (_, Some(cn), _, _, _) =>
           val v = t.dropColumn(cn.trim)
           println(s"dropped column ${cn.trim} -> v$v")
-        case (_, _, Some(spec), _) =>
+        case (_, _, Some(spec), _, _) =>
           val Array(cn, pred) = spec.split(":", 2)
           val v = t.addCheck(spark, cn.trim, pred.trim)
           println(s"added check ${cn.trim} (${pred.trim}) -> v$v")
-        case (_, _, _, Some(cn)) =>
+        case (_, _, _, Some(cn), _) =>
           val v = t.dropCheck(cn.trim)
           println(s"dropped check ${cn.trim} -> v$v")
+        case (_, _, _, _, Some(cols)) =>
+          // curve defaults to the table's current one; metadata-only —
+          // the next `compact` re-clusters under the new spec
+          val curve = opt(args, "curve")
+            .orElse(t.clusterSpec.map(_.curve)).getOrElse("zorder")
+          val v = t.alterClusterBy(cols.split(',').toSeq.map(_.trim), curve)
+          println(s"cluster spec -> ($cols) $curve -> v$v")
         case _ => sys.error(
-          "alter needs --add-column, --drop-column, --add-check, or --drop-check")
+          "alter needs --add-column, --drop-column, --add-check, --drop-check, or --cluster-by [--curve]")
       }
 
     case "tag" =>

@@ -1013,6 +1013,37 @@ final class TsTable private (val root: String, val store: LogStore) {
       Some(m.copy(schemaJson = Some(evolved.json)))
     }
 
+  /** Clustering evolution: ALTER CLUSTER BY as a metadata-only commit
+    * (Iceberg sort-order-evolution analog). Existing files keep their old
+    * layout and old-key footer blooms — scans stay correct because stats
+    * pruning reads per-file min/max of whatever column is filtered and
+    * MERGE bloom refinement answers "maybe" for files without a bloom on
+    * the new key (KeyBloom missing-bloom ⇒ true, sound). The NEXT
+    * compaction re-clusters under the new spec: curve fitting, salting,
+    * and write-time blooms all read the live meta, so one log write
+    * re-routes every future maintenance job — re-clustering a 100 TB
+    * table is then incremental (predicate-scoped `compact --where` can
+    * migrate hot slices first). Refused for time-series tables, whose
+    * layout identity IS the time index. */
+  def alterClusterBy(columns: Seq[String], curve: String, maxRetries: Int = 3): Long =
+    commitMetaUpdate(maxRetries) { (_, m) =>
+      m.kind match {
+        case TableKind.TimeSeries(_) =>
+          throw new IllegalStateException(
+            "time-series tables cluster by their time index; ALTER CLUSTER BY applies to clustered tables")
+        case TableKind.Clustered(old) =>
+          require(columns.nonEmpty, "cluster spec needs at least one column")
+          require(columns.distinct.size == columns.size,
+            s"duplicate cluster columns: ${columns.mkString(",")}")
+          val sch = m.schema.getOrElse(throw new IllegalStateException(
+            "no schema adopted yet — append once before evolving the cluster spec"))
+          columns.foreach(c => require(sch.fieldNames.contains(c),
+            s"no such column: '$c'"))
+          val next = ClusterSpec(columns, curve) // validates the curve name
+          if (next == old) None else Some(m.copy(kind = TableKind.Clustered(next)))
+      }
+    }
+
   /** Watermark-only commit for an empty streaming batch: the (app, batch)
     * txn advances with no segments, so a replay of the empty batch is
     * still recognized as already-applied. */

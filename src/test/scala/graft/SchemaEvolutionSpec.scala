@@ -93,4 +93,54 @@ class SchemaEvolutionSpec extends SparkFunSuite {
       .map(p => spark.read.parquet(s"${t.root}/$p").schema.fieldNames.length).max
     assert(widest == 4, "post-compaction files must not carry the dropped column")
   }
+
+  test("ALTER CLUSTER BY: metadata-only spec swap; guards; next compaction re-clusters") {
+    val t = TsTable.create(tmpDir("evo-cluster"), tokenMeta)
+    t.append(TokenGen.generate(spark, 2000, numFiles = 16))
+    // small first target ⇒ several ~1 MB outputs, all of which qualify as
+    // "small" for the post-alter pass's larger target
+    Compaction.run(spark, t, targetFileSize = 1L * 1024 * 1024)
+    val checksum = t.scan(spark)
+      .agg(expr("bit_xor(xxhash64(doc_id, tokens))")).first.getLong(0)
+    val vPre = t.version
+
+    // guards: unknown column, duplicates, bad curve, time-series identity
+    intercept[IllegalArgumentException] { t.alterClusterBy(Seq("nope"), "zorder") }
+    intercept[IllegalArgumentException] { t.alterClusterBy(Seq("n_tok", "n_tok"), "zorder") }
+    intercept[IllegalArgumentException] { t.alterClusterBy(Seq("n_tok"), "wiggly") }
+    val ts = TsTable.create(tmpDir("evo-cluster-ts"), TableMeta("evts",
+      TableKind.TimeSeries(TimeIndexSpec("ts", Nil, TimeBucket.parse("1m"), None)),
+      None, None))
+    intercept[IllegalStateException] { ts.alterClusterBy(Seq("ts"), "zorder") }
+    // a same-spec alter is a no-op: no commit burned
+    assert(t.alterClusterBy(Seq("source", "n_tok", "doc_id"), "zorder") == vPre)
+
+    val v = t.alterClusterBy(Seq("n_tok", "source", "doc_id"), "hilbert")
+    assert(v > vPre && t.version == v)
+    assert(t.clusterSpec.contains(ClusterSpec(Seq("n_tok", "source", "doc_id"), "hilbert")))
+    // the alter itself touches no data (metadata-only commit)
+    assert(t.scan(spark).count() == 2000)
+
+    // next compaction re-clusters under the new spec: small target forces
+    // multiple outputs, and with n_tok leading the per-file n_tok ranges
+    // must separate the halves (same locality assert the zorder fixture
+    // uses); rows and token bytes survive the re-cluster exactly
+    val rep = Compaction.run(spark, t, targetFileSize = 4L * 1024 * 1024,
+      groupFactor = 256)
+    assert(rep.binsExecuted >= 1, "re-cluster pass must rewrite")
+    assert(t.scan(spark).count() == 2000)
+    assert(t.scan(spark)
+      .agg(expr("bit_xor(xxhash64(doc_id, tokens))")).first.getLong(0) == checksum)
+    val live = t.state.liveSegments
+    if (live.size > 1) {
+      val mid = 64 + 1985 / 2
+      val separated = live.count { s =>
+        s.stats.get("n_tok").exists { st =>
+          st.min.exists { case graft.meta.StatVal.L(v) => v > mid; case _ => false } ||
+          st.max.exists { case graft.meta.StatVal.L(v) => v < mid; case _ => false }
+        }
+      }
+      assert(separated >= 1, "n_tok-leading hilbert produced no half-separated file")
+    }
+  }
 }
