@@ -401,6 +401,25 @@ object SparkEntry {
         expr(tokSum).as("tok_sum"))
     }),
 
+    // RENAME COLUMN (column mapping): evens land under the original name,
+    // the rename is one metadata commit (files keep the frozen physical
+    // name), odds land under the NEW logical name, a MOR delete filters
+    // through the alias projection, and the compaction rewrite mixes
+    // pre-/post-rename files. Any mapping slip (NULL-filled renamed
+    // column, resurrected name, wrong rows deleted) hash-mismatches
+    "q68_rename_column" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir,
+        filter = Some("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0"))
+      t.renameColumn("tokens", "token_ids")
+      t.append(tokenDf(s, dir)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1")
+        .withColumnRenamed("tokens", "token_ids").repartition(4))
+      graft.maintain.DeleteWhere.deleteMor(s, t, col("n_tok") > 1500)
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
+        expr("aggregate(token_ids, 0L, (acc, x) -> acc + CAST(x AS BIGINT))").as("tok_sum"))
+    }),
+
     // files metadata table: two single-file appends (evens, odds) make
     // the manifest's per-file row counts and doc_id/n_tok footer stats a
     // closed form — the gate proves the `files` surface reports EXACTLY
@@ -1088,6 +1107,15 @@ object SparkEntry {
            |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
            |  ${tokSumOracle("doc_id", 31)} AS tok_sum
            |FROM documents""".stripMargin,
+
+      // every document whose n_tok survived the MOR delete, re-keyed
+      // through the rename — same row set regardless of column names
+      "q68_rename_column" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents
+           |WHERE 64 + doc_id % 1985 <= 1500""".stripMargin,
 
       // one row per file (= per parity class), its count and stat bounds
       "q65_files_meta" ->

@@ -47,6 +47,8 @@ import graft.table.TsTable
   *           | --drop-check NAME
   *           | --cluster-by C1,C2,C3 [--curve zorder|hilbert|lexico|none]
   *             (metadata-only sort-order evolution; next compact re-clusters)
+  *           | --rename-column OLD:NEW  (metadata-only column mapping; files
+  *             keep the frozen physical name, scans alias to the new one)
   *   analyze --table ROOT [--target-file-size BYTES]
   *           (manifest-only health report: small-file/DV debt, clustering)
   *   files   --table ROOT [--branch N] [--max-rows N]
@@ -237,31 +239,36 @@ object Main {
       val t = openTable(args)
       (opt(args, "add-column"), opt(args, "drop-column"),
         opt(args, "add-check"), opt(args, "drop-check"),
-        opt(args, "cluster-by")) match {
-        case (Some(spec), _, _, _, _) =>
+        opt(args, "cluster-by"), opt(args, "rename-column")) match {
+        case (Some(spec), _, _, _, _, _) =>
           val Array(cn, ct) = spec.split(":", 2)
           val v = t.addColumn(cn.trim,
             org.apache.spark.sql.types.DataType.fromDDL(ct.trim))
           println(s"added column ${cn.trim} (${ct.trim}) -> v$v")
-        case (_, Some(cn), _, _, _) =>
+        case (_, Some(cn), _, _, _, _) =>
           val v = t.dropColumn(cn.trim)
           println(s"dropped column ${cn.trim} -> v$v")
-        case (_, _, Some(spec), _, _) =>
+        case (_, _, Some(spec), _, _, _) =>
           val Array(cn, pred) = spec.split(":", 2)
           val v = t.addCheck(spark, cn.trim, pred.trim)
           println(s"added check ${cn.trim} (${pred.trim}) -> v$v")
-        case (_, _, _, Some(cn), _) =>
+        case (_, _, _, Some(cn), _, _) =>
           val v = t.dropCheck(cn.trim)
           println(s"dropped check ${cn.trim} -> v$v")
-        case (_, _, _, _, Some(cols)) =>
+        case (_, _, _, _, Some(cols), _) =>
           // curve defaults to the table's current one; metadata-only —
           // the next `compact` re-clusters under the new spec
           val curve = opt(args, "curve")
             .orElse(t.clusterSpec.map(_.curve)).getOrElse("zorder")
           val v = t.alterClusterBy(cols.split(',').toSeq.map(_.trim), curve)
           println(s"cluster spec -> ($cols) $curve -> v$v")
+        case (_, _, _, _, _, Some(spec)) =>
+          val Array(from, to) = spec.split(":", 2)
+          val v = t.renameColumn(from.trim, to.trim)
+          println(s"renamed column ${from.trim} -> ${to.trim} -> v$v")
         case _ => sys.error(
-          "alter needs --add-column, --drop-column, --add-check, --drop-check, or --cluster-by [--curve]")
+          "alter needs --add-column, --drop-column, --add-check, --drop-check, " +
+            "--cluster-by [--curve], or --rename-column OLD:NEW")
       }
 
     case "tag" =>

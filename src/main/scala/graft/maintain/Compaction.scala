@@ -146,7 +146,7 @@ object Compaction {
           .getOrElse(Seq(org.apache.spark.sql.graft.Bridge.toExpr(cond)))
         table.state.liveSegments.filter { seg =>
           !resolved.exists(c =>
-            graft.scan.StatsPruning.eval(c, seg.stats, seg.rowCount) == graft.scan.StatsPruning.AlwaysFalse)
+            graft.scan.StatsPruning.eval(c, table.logicalStats(seg), seg.rowCount) == graft.scan.StatsPruning.AlwaysFalse)
         }
     }
     val bins = plan(inScope, targetFileSize, groupFactor = groupFactor,

@@ -71,9 +71,11 @@ object DeleteWhere {
         s"got: ${resolved.filterNot(_.deterministic).mkString(", ")}")
     val (candidates, untouched) = live.partition { seg =>
       // a file is a candidate unless SOME conjunct is provably false for
-      // every row (conjunction semantics: one false conjunct kills it)
+      // every row (conjunction semantics: one false conjunct kills it);
+      // logicalStats: the predicate names are logical, the sidecar keys
+      // physical (identity unless a column was renamed)
       !resolved.exists(c =>
-        StatsPruning.eval(c, seg.stats, seg.rowCount) == StatsPruning.AlwaysFalse)
+        StatsPruning.eval(c, table.logicalStats(seg), seg.rowCount) == StatsPruning.AlwaysFalse)
     }
     (resolved, candidates, untouched)
   }
@@ -90,7 +92,9 @@ object DeleteWhere {
   private[maintain] def matchCounts(spark: SparkSession, table: TsTable,
                                     candidates: Seq[SegmentMeta], matchesCond: Column)
       : (Map[String, Long], Seq[SegmentMeta], Seq[SegmentMeta]) = {
-    val base = table.segmentScan(spark, candidates)
+    // toLogical: the user predicate names logical columns; the segment
+    // read is physical (identity unless a column was renamed)
+    val base = table.toLogical(table.segmentScan(spark, candidates))
     val matchedPerFile: Map[String, Long] =
       DeletionVectors.liveRowFilter(table.root, candidates).map(base.where).getOrElse(base)
         .where(matchesCond)
@@ -153,7 +157,7 @@ object DeleteWhere {
         // `hit` (not just the rewritten partials): the swap must abort if
         // ANY removed file was concurrently re-DV'd or rewritten
         table.swapSegments(
-          liveRows(table.segmentScan(spark, partial), partial)
+          liveRows(table.toLogical(table.segmentScan(spark, partial)), partial)
             .where(keep), hit,
           recomputeCoverage = repairCov)
       }
@@ -208,7 +212,10 @@ object DeleteWhere {
   private[maintain] def morBase(spark: SparkSession, table: TsTable,
                                 candidates: Seq[SegmentMeta])
                                (project: DataFrame => DataFrame): DataFrame = {
-    val base0 = project(table.segmentScan(spark, candidates))
+    // toLogical: `project` carries user predicates / merge keys under
+    // logical names (identity unless a column was renamed); _metadata
+    // still resolves through the alias projection
+    val base0 = project(table.toLogical(table.segmentScan(spark, candidates)))
     DeletionVectors.predicate(table.root, candidates, col("__f"), col("__i"))
       .map(base0.where).getOrElse(base0)
   }

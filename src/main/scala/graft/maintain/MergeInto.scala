@@ -58,10 +58,11 @@ object MergeInto {
     * holds no update key) and, unlike blooms, zero false positives at any
     * key-set size. */
   private[graft] def refineCandidatesExact(spark: SparkSession, updKeys: DataFrame,
-      key: String, files: Seq[(String, String)]): Set[String] = {
+      key: String, files: Seq[(String, String)],
+      physKey: Option[String] = None): Set[String] = {
     val byPath = files.map { case (p, id) => graft.meta.PathNorm.canonical(p) -> id }.toMap
     spark.read.parquet(files.map(_._1): _*)
-      .select(col(key), input_file_name().as("__file"))
+      .select(col(physKey.getOrElse(key)).as(key), input_file_name().as("__file"))
       .join(updKeys, Seq(key), "left_semi")
       .select("__file").distinct().collect()
       .iterator.flatMap(r => byPath.get(graft.meta.PathNorm.canonical(r.getString(0))))
@@ -135,7 +136,7 @@ object MergeInto {
           // merge-on-read deletes: candidates are read live-rows-only, so
           // the rewrite materializes any DV away (outputs carry none) and
           // deleted rows can never resurrect through a MERGE
-          val raw = table.segmentScan(scoped, candidates)
+          val raw = table.toLogical(table.segmentScan(scoped, candidates))
           graft.table.DeletionVectors.liveRowFilter(table.root, candidates)
             .map(raw.where).getOrElse(raw)
             .join(upd.select(col(key)), Seq(key), "left_anti")
@@ -330,23 +331,27 @@ object MergeInto {
   private def selectCandidates(spark: SparkSession, table: TsTable, upd: DataFrame,
                                updCount: Long, key: String,
                                live: Seq[SegmentMeta]): Seq[SegmentMeta] = {
+    // stats sidecars, footer blooms, and raw candidate files are keyed by
+    // the frozen PHYSICAL column name; `key` is logical (identical unless
+    // the merge key was renamed)
+    val physKey = table.colMap.getOrElse(key, key)
     // --- 1a. stats-based candidate selection (per-file [min,max]) --------
     // Ranges are collected PER STAT TYPE: a table merged on a numeric key
     // carries StatVal.L/D stats, and matching only the string arm would
     // classify every live segment stat-less — zero pruning, so every
     // micro-batch of a streaming upsert on a numeric key would pay a
     // full-table rewrite/scan instead of batch-proportional cost.
-    val sRanges = live.flatMap { seg => seg.stats.get(key) match {
+    val sRanges = live.flatMap { seg => seg.stats.get(physKey) match {
       case Some(graft.meta.ColStats(Some(StatVal.S(mn)), Some(StatVal.S(mx)), _)) =>
         Some((seg.segmentId, mn, mx))
       case _ => None
     } }
-    val lRanges = live.flatMap { seg => seg.stats.get(key) match {
+    val lRanges = live.flatMap { seg => seg.stats.get(physKey) match {
       case Some(graft.meta.ColStats(Some(StatVal.L(mn)), Some(StatVal.L(mx)), _)) =>
         Some((seg.segmentId, mn, mx))
       case _ => None
     } }
-    val dRanges = live.flatMap { seg => seg.stats.get(key) match {
+    val dRanges = live.flatMap { seg => seg.stats.get(physKey) match {
       case Some(graft.meta.ColStats(Some(StatVal.D(mn)), Some(StatVal.D(mx)), _)) =>
         Some((seg.segmentId, mn, mx))
       case _ => None
@@ -384,13 +389,13 @@ object MergeInto {
     //    the semi-join shuffle/broadcast by size.
     val rangeHits = live.filter(s => hitIds.contains(s.segmentId))
     val bloomHits: Set[String] = table.bloomKeyColumn match {
-      case Some(bloomCol) if bloomCol == key && rangeHits.nonEmpty && updCount > 0 =>
+      case Some(bloomCol) if bloomCol == physKey && rangeHits.nonEmpty && updCount > 0 =>
         val files = rangeHits.map(s => (s"${table.root}/${s.path}", s.segmentId))
         if (updCount <= BloomKeyCap) {
           val keys: Array[Any] = upd.select(col(key)).collect().map(_.get(0))
           KeyBloom.filterMayContain(spark.sparkContext.hadoopConfiguration,
             files, bloomCol, keys).toSet
-        } else refineCandidatesExact(spark, upd.select(col(key)), key, files)
+        } else refineCandidatesExact(spark, upd.select(col(key)), key, files, Some(physKey))
       case _ => hitIds
     }
 

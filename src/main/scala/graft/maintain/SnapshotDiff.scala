@@ -68,9 +68,14 @@ object SnapshotDiff {
       if (addedPaths.isEmpty)
         return post.where(lit(false)).withColumn("_change_type", lit("insert"))
       // appended segments never carry deletion vectors, and with zero
-      // removes in the range none can have been attached since
-      return spark.read.schema(post.schema).parquet(addedPaths: _*)
-        .select(cols.map(col).toIndexedSeq: _*)
+      // removes in the range none can have been attached since. Files are
+      // written under frozen PHYSICAL names (RENAME COLUMN mapping) —
+      // read physical, alias back to the logical view positionally
+      val postMeta = graft.log.TableState.rebuildAt(table.store, toVersion).tableMeta
+      val physSchema = postMeta.map(_.physicalize(post.schema)).getOrElse(post.schema)
+      return spark.read.schema(physSchema).parquet(addedPaths: _*)
+        .select(cols.zip(physSchema.fieldNames)
+          .map { case (log, phys) => col(phys).as(log) }.toIndexedSeq: _*)
         .withColumn("_change_type", lit("insert"))
     }
 

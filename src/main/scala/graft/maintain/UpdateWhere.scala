@@ -74,7 +74,7 @@ object UpdateWhere {
 
     val repairCov = table.timeSpec.isDefined
     val (newSegs, committedV) = table.swapSegments(
-      liveRows(table.segmentScan(spark, hit), hit)
+      liveRows(table.toLogical(table.segmentScan(spark, hit)), hit)
         .select(projected.toIndexedSeq: _*),
       hit, recomputeCoverage = repairCov)
 
@@ -137,7 +137,7 @@ object UpdateWhere {
     val curve = table.clusterSpec.map(_.curve).getOrElse("none")
     var newSegs: Seq[SegmentMeta] = Nil
     try {
-      val raw = table.segmentScan(spark, candidates)
+      val raw = table.toLogical(table.segmentScan(spark, candidates))
       val matchedRows = DeletionVectors.liveRowFilter(table.root, candidates)
         .map(raw.where).getOrElse(raw)
         .where(matchesCond)

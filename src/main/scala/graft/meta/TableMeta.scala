@@ -90,10 +90,24 @@ final case class TableMeta(
     checks: Seq[(String, String)] = Nil,
     // named snapshots (tag → log version): human-stable time-travel
     // handles; snapshot expiration refuses to reclaim a tagged version
-    tags: Map[String, Long] = Map.empty) {
+    tags: Map[String, Long] = Map.empty,
+    // column mapping (RENAME COLUMN): logical name → physical name as
+    // written in the parquet files. Physical names are FROZEN at column
+    // creation (Delta columnMapping discipline), so a rename is one
+    // metadata commit and no file is ever rewritten for it. Empty for
+    // never-renamed tables — every code path treats that as identity.
+    colMap: Map[String, String] = Map.empty) {
 
   def schema: Option[StructType] =
     schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+
+  /** The on-disk (parquet) schema: the logical schema with renamed
+    * columns swapped to their frozen physical names. */
+  def physicalSchema: Option[StructType] = schema.map(physicalize)
+  def physicalize(s: StructType): StructType =
+    if (colMap.isEmpty) s
+    else StructType(s.fields.map(f => f.copy(name = colMap.getOrElse(f.name, f.name))))
+  def physicalName(logical: String): String = colMap.getOrElse(logical, logical)
 
   def toJson: JsonNode = {
     val n = Json.obj()
@@ -122,6 +136,10 @@ final case class TableMeta(
     if (tags.nonEmpty) {
       val tg = n.putObject("tags")
       tags.toSeq.sortBy(_._1).foreach { case (k, v) => tg.put(k, v) }
+    }
+    if (colMap.nonEmpty) {
+      val cm = n.putObject("column_mapping")
+      colMap.toSeq.sortBy(_._1).foreach { case (k, v) => cm.put(k, v) }
     }
     n
   }
@@ -152,6 +170,10 @@ object TableMeta {
     val tags = Option(n.get("tags"))
       .map(tg => Json.fields(tg).map { case (k, v) => k -> v.asLong() })
       .getOrElse(Map.empty[String, Long])
-    TableMeta(Json.getStr(n, "name"), kind, Json.optStr(n, "schema"), identity, checks, tags)
+    val colMap = Option(n.get("column_mapping"))
+      .map(cm => Json.fields(cm).map { case (k, v) => k -> v.asText() })
+      .getOrElse(Map.empty[String, String])
+    TableMeta(Json.getStr(n, "name"), kind, Json.optStr(n, "schema"), identity, checks,
+      tags, colMap)
   }
 }

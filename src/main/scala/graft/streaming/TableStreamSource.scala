@@ -113,6 +113,11 @@ final class TableStreamSource(
     throw new IllegalStateException(
       s"table at $rootPath has no adopted schema yet (append once before streaming from it)"))
 
+  /** The files' frozen physical names for the declared (logical) schema.
+    * Physical names never change, so the init-time mapping stays valid
+    * for every later batch (identity for never-renamed tables). */
+  private val physSchema: StructType = table.meta.physicalize(schema)
+
   private val skipChangeCommits: Boolean =
     opt("skipChangeCommits").forall(_.toBoolean)
   private val maxVersionsPerTrigger: Option[Long] =
@@ -194,11 +199,14 @@ final class TableStreamSource(
       if (paths.isEmpty)
         Bridge.emptyStreamingBatch(sqlContext.sparkSession, schema)
       else {
-        // explicit schema (no footer merge job) + positional re-select so the
-        // batch's attribute order always matches the declared source schema
-        val raw = sqlContext.sparkSession.read.schema(schema).parquet(paths: _*)
+        // explicit PHYSICAL schema (no footer merge job; renamed columns
+        // live under frozen physical names in the files) + positional
+        // alias re-select so the batch's attribute names and order always
+        // match the declared LOGICAL source schema
+        val raw = sqlContext.sparkSession.read.schema(physSchema).parquet(paths: _*)
         val df = dvFilter.map(raw.where).getOrElse(raw)
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          .select(schema.fieldNames.zip(physSchema.fieldNames)
+            .map { case (log, phys) => col(phys).as(log) }.toIndexedSeq: _*)
         Bridge.streamingBatch(df, schema)
       }
     batch
@@ -334,6 +342,11 @@ final class GraftSourceProvider extends StreamSourceProvider with StreamSinkProv
           "carries merge-on-read deletion vectors and the DSv1 write contract must " +
           "return a scannable relation that cannot apply them; read the table via " +
           "TsTable.scan / the CLI, or run Compaction to materialize the deletes")
+    if (table.state.tableMeta.exists(_.colMap.nonEmpty))
+      throw new UnsupportedOperationException(
+        s"append to ${root(parameters)} committed (v${table.version}), but the table " +
+          "has renamed columns and the bare DSv1 relation cannot apply the " +
+          "logical-name projection; read it via TsTable.scan / the CLI")
     table.relationAt(sqlContext.sparkSession, table.state).get
   }
 
@@ -361,6 +374,13 @@ final class GraftSourceProvider extends StreamSourceProvider with StreamSinkProv
         s"table at ${root(parameters)} carries merge-on-read deletion vectors; " +
           "read it via TsTable.scan / the CLI (DV-aware), or run Compaction to " +
           "materialize the deletes before using format(\"graft-table\") batch reads")
+    // same DSv1 contract gap for RENAME COLUMN: a bare BaseRelation cannot
+    // carry the physical→logical alias projection; pre-rename snapshots
+    // (pinned state with an empty mapping) still read fine
+    if (st.tableMeta.exists(_.colMap.nonEmpty))
+      throw new UnsupportedOperationException(
+        s"table at ${root(parameters)} has renamed columns; read it via " +
+          "TsTable.scan / the CLI (mapping-aware) instead of format(\"graft-table\") batch reads")
     table.relationAt(sqlContext.sparkSession, st).getOrElse(
       throw new IllegalStateException(
         s"table at ${root(parameters)} has no adopted schema yet (append once before reading)"))

@@ -170,11 +170,15 @@ final class TsTable private (val root: String, val store: LogStore) {
       case StatVal.B(x) => x.toString
     }
     refresh()
+    // stats sidecars are keyed by physical name; surface LOGICAL names
+    // (identity for never-renamed tables)
+    val inv = colMap.map(_.swap)
     cachedState.liveSegments.map { s =>
       (s.segmentId, s.path, s.format, s.rowCount, s.liveRowCount,
         s.fileSize.getOrElse(-1L), s.dvPath.orNull, s.dvCardinality,
         s.coveragePath.orNull,
-        s.stats.map { case (c, cs) =>
+        s.stats.map { case (c0, cs) =>
+          val c = inv.getOrElse(c0, c0)
           c -> Map(
             "min" -> cs.min.map(render).orNull,
             "max" -> cs.max.map(render).orNull,
@@ -200,14 +204,22 @@ final class TsTable private (val root: String, val store: LogStore) {
 
   private[graft] def scanState(spark: SparkSession, st: TableState): DataFrame = {
     val live = st.liveSegments
-    val schema = st.tableMeta.flatMap(_.schema).getOrElse {
+    val logSchema = st.tableMeta.flatMap(_.schema).getOrElse {
       if (live.isEmpty)
         return spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], new StructType())
       spark.read.parquet(abs(live.head)).schema
     }
     if (live.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logSchema)
+    // RENAME COLUMN mapping: the relation reads the files' frozen PHYSICAL
+    // names; one alias projection on top restores the logical view. Filters
+    // and column pruning push through the aliases (Catalyst substitutes
+    // them), so TsFileIndex still prunes on physical stats keys and the
+    // parquet scan still sees pushed filters. Identity (zero-cost) for
+    // never-renamed tables.
+    val cmap = st.tableMeta.map(_.colMap).getOrElse(Map.empty)
+    val schema = st.tableMeta.map(_.physicalize(logSchema)).getOrElse(logSchema)
     // merge-on-read deletes: the snapshot splits into two relations so
     // only the DV'd files pay the per-row filter — the clean majority
     // scans exactly as a DV-free table (no _metadata columns, no lookup
@@ -215,15 +227,19 @@ final class TsTable private (val root: String, val store: LogStore) {
     // and column pruning through the union into both branches. A snapshot
     // without DVs plans the single-relation path, zero overhead.
     val (dvSegs, cleanSegs) = live.partition(_.dvPath.isDefined)
-    if (dvSegs.isEmpty)
-      spark.baseRelationToDataFrame(relationFor(spark, live, schema))
-    else {
-      val dvScan = spark.baseRelationToDataFrame(relationFor(spark, dvSegs, schema))
-        .where(DeletionVectors.liveRowFilter(root, dvSegs).get)
-      if (cleanSegs.isEmpty) dvScan
-      else spark.baseRelationToDataFrame(relationFor(spark, cleanSegs, schema))
-        .unionByName(dvScan)
-    }
+    val phys =
+      if (dvSegs.isEmpty)
+        spark.baseRelationToDataFrame(relationFor(spark, live, schema))
+      else {
+        val dvScan = spark.baseRelationToDataFrame(relationFor(spark, dvSegs, schema))
+          .where(DeletionVectors.liveRowFilter(root, dvSegs).get)
+        if (cleanSegs.isEmpty) dvScan
+        else spark.baseRelationToDataFrame(relationFor(spark, cleanSegs, schema))
+          .unionByName(dvScan)
+      }
+    if (cmap.isEmpty) phys
+    else phys.select(logSchema.fieldNames.toIndexedSeq
+      .map(n => col(cmap.getOrElse(n, n)).as(n)): _*)
   }
 
   /** The manifest-backed BaseRelation for a snapshot (None when empty) —
@@ -232,7 +248,10 @@ final class TsTable private (val root: String, val store: LogStore) {
     * `CREATE TEMPORARY VIEW t USING graft-table OPTIONS (path '…')` scan
     * through the same pruned FileIndex as `TsTable.scan`. */
   private[graft] def relationAt(spark: SparkSession, st: TableState): Option[HadoopFsRelation] = {
-    val schema = st.tableMeta.flatMap(_.schema).getOrElse {
+    // physical schema: a bare BaseRelation has no projection hook, so the
+    // DSv1 provider REFUSES renamed tables (same contract gap as DVs) —
+    // pinning physical here keeps the relation self-consistent regardless
+    val schema = st.tableMeta.flatMap(_.physicalSchema).getOrElse {
       if (st.liveSegments.isEmpty) return None // schema not yet adopted
       else spark.read.parquet(st.liveSegments.map(abs).head).schema
     }
@@ -331,8 +350,22 @@ final class TsTable private (val root: String, val store: LogStore) {
     val heartbeat = StagingHeartbeat.start(stagingAbs)
     try {
 
-    // (1) write data files once; all retries below are metadata-only
-    df.write.options(segmentWriteOptions).mode("overwrite").parquet(stagingAbs)
+    // (1) write data files once; all retries below are metadata-only.
+    // toPhysical: appended data arrives under LOGICAL names; files are
+    // written under the frozen physical names (identity unless renamed).
+    // The rename is by-name, so a stale writer still using a PHYSICAL
+    // (pre-rename) column name would pass through it unchanged and land —
+    // gate the logical view by name FIRST (types/order enforce at commit)
+    if (colMap.nonEmpty) {
+      val logicalNames = cachedState.tableMeta.flatMap(_.schema)
+        .map(_.fieldNames.toSet).getOrElse(Set.empty)
+      val off = df.columns.filterNot(logicalNames.contains)
+      if (off.nonEmpty)
+        throw SchemaMismatchException(
+          s"append columns ${off.mkString(", ")} are not in the table's logical schema " +
+            s"(renamed columns must use their CURRENT names: ${colMap.keys.mkString(", ")})")
+    }
+    toPhysical(df).write.options(segmentWriteOptions).mode("overwrite").parquet(stagingAbs)
     val written0 = listParquet(stagingAbs)
 
     // (2) per-file stats from footers only — no data scan. Empty input is
@@ -460,12 +493,15 @@ final class TsTable private (val root: String, val store: LogStore) {
     var metaChanged = false
 
     // schema adopt-or-enforce: dynamic-then-frozen, exact match
-    // (reference append.rs:144-163, schema_compat.rs:96-150)
+    // (reference append.rs:144-163, schema_compat.rs:96-150). The disk
+    // schema is PHYSICAL (staged post-toPhysical); enforce against the
+    // physicalized table schema so renamed columns compare apples-to-apples
+    // (identity when colMap is empty — adoption always happens pre-rename)
     m.schema match {
       case None =>
         m = m.copy(schemaJson = Some(diskSchema.json)); metaChanged = true
       case Some(existing) =>
-        if (existing != diskSchema)
+        if (m.physicalize(existing) != diskSchema)
           throw SchemaMismatchException(
             s"schema mismatch: table has ${existing.simpleString}, append has ${diskSchema.simpleString}")
     }
@@ -639,7 +675,11 @@ final class TsTable private (val root: String, val store: LogStore) {
     // staging tree to a concurrent Expire's crashed-writer reclamation
     val heartbeat = StagingHeartbeat.start(stagingAbs)
     try {
-      df.write.options(segmentWriteOptions).mode("overwrite").parquet(stagingAbs)
+      // toPhysical: rewrite inputs arrive physical (segmentScan) or
+      // logical (a maintenance op that applied user expressions); the
+      // rename is by-name, so a physical frame passes through untouched
+      // and a logical one lands under the files' frozen physical names
+      toPhysical(df).write.options(segmentWriteOptions).mode("overwrite").parquet(stagingAbs)
       val written0 = listParquet(stagingAbs)
       val conf = spark.sparkContext.hadoopConfiguration
       // zero-row part files (a rewrite partition whose every row was
@@ -919,17 +959,23 @@ final class TsTable private (val root: String, val store: LogStore) {
         try scan(spark).where(cond).queryExecution.analyzed.collectFirst {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
         } catch { case _: Exception => None } // schema not adopted yet → row-check all
+      // staged files (and their footer stats) carry PHYSICAL names; the
+      // check predicate is LOGICAL — re-key stats and alias the row scan
+      // (both identity for never-renamed tables)
+      val inv = colMap.map(_.swap)
+      def logStats(stats: Map[String, graft.meta.ColStats]) =
+        if (inv.isEmpty) stats else stats.map { case (k, v) => inv.getOrElse(k, k) -> v }
       val suspects = files.filter { case (_, stats, rc) =>
         resolved match {
           case Some(c) =>
             graft.scan.StatsPruning.eval(
-              org.apache.spark.sql.catalyst.expressions.Not(c), stats, rc) !=
+              org.apache.spark.sql.catalyst.expressions.Not(c), logStats(stats), rc) !=
               graft.scan.StatsPruning.AlwaysFalse
           case None => true
         }
       }
       if (suspects.nonEmpty) {
-        val bad = spark.read.parquet(suspects.map(_._1): _*)
+        val bad = toLogical(spark.read.parquet(suspects.map(_._1): _*))
           .where(not(cond) === lit(true)).count()
         if (bad > 0) throw CheckViolationException(name, sql, bad)
       }
@@ -952,9 +998,39 @@ final class TsTable private (val root: String, val store: LogStore) {
     * [[DeletionVectors.liveRowFilter]] exactly as before. */
   private[graft] def segmentScan(spark: SparkSession, segs: Seq[SegmentMeta]): DataFrame = {
     require(segs.nonEmpty, "segmentScan over an empty segment set")
-    val schema = cachedState.tableMeta.flatMap(_.schema)
+    // PHYSICAL names throughout: maintenance reads feed maintenance
+    // writes, and files are physical end-to-end — a rewrite never has to
+    // know a rename happened. Callers that apply USER expressions
+    // (predicates, SET clauses, merge keys — logical names) sandwich with
+    // toLogical/toPhysical.
+    val schema = cachedState.tableMeta.flatMap(_.physicalSchema)
       .getOrElse(spark.read.parquet(abs(segs.head)).schema)
     spark.baseRelationToDataFrame(relationFor(spark, segs, schema))
+  }
+
+  // ------------------------------------------------- column mapping view
+
+  /** logical → physical column mapping (empty = never renamed). */
+  private[graft] def colMap: Map[String, String] =
+    cachedState.tableMeta.map(_.colMap).getOrElse(Map.empty)
+
+  /** Rename a user-facing (logical) DataFrame to physical names for a
+    * write, or a physical read back to logical for user expressions.
+    * Identity (the same DataFrame object) when no rename ever happened. */
+  private[graft] def toPhysical(df: DataFrame): DataFrame = renameCols(df, colMap)
+  private[graft] def toLogical(df: DataFrame): DataFrame =
+    renameCols(df, colMap.map(_.swap))
+  private def renameCols(df: DataFrame, m: Map[String, String]): DataFrame =
+    if (m.isEmpty) df
+    else m.foldLeft(df) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d }
+
+  /** A segment's footer stats re-keyed to LOGICAL names, for evaluating
+    * user predicates (stats sidecars are keyed physical, like the files). */
+  private[graft] def logicalStats(seg: SegmentMeta): Map[String, graft.meta.ColStats] = {
+    val inv = colMap.map(_.swap)
+    if (inv.isEmpty) seg.stats
+    else seg.stats.map { case (k, v) => inv.getOrElse(k, k) -> v }
   }
 
   /** Schema evolution: ADD COLUMN as a metadata-only commit (one
@@ -973,9 +1049,62 @@ final class TsTable private (val root: String, val store: LogStore) {
       val sch = m.schema.getOrElse(throw new IllegalStateException(
         "no schema adopted yet — append once before evolving the schema"))
       require(!sch.fieldNames.contains(name), s"column '$name' already exists")
+      // a renamed column's frozen physical name still occupies the files —
+      // a new logical column with that name would collide on every write
+      require(!m.colMap.valuesIterator.contains(name),
+        s"'$name' is the physical name of a renamed column; pick another name")
       val evolved = StructType(sch.fields :+
         org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
       Some(m.copy(schemaJson = Some(evolved.json)))
+    }
+
+  /** Schema evolution: RENAME COLUMN as a metadata-only commit, via a
+    * column mapping (Delta columnMapping / Iceberg rename-by-field-id
+    * analog). Physical names are FROZEN at column creation: the files —
+    * past AND future — keep the original name, and every scan restores
+    * the logical view with one alias projection (filters and pruning push
+    * through it), so renaming a column on a 100 TB table costs one log
+    * write and zero data IO forever. Maintenance rewrites stay physical
+    * end-to-end and never need to know. Refused for columns the table's
+    * layout identity depends on (time index, entity, cluster columns) and
+    * for columns a CHECK still references (drop the check first) — the
+    * same conservative guards as DROP COLUMN. Pre-rename snapshots
+    * time-travel under the old name (each snapshot scans via its own
+    * meta). The DSv1 `format("graft-table")` batch relation has no
+    * projection hook and refuses renamed tables loudly, like DV'd ones. */
+  def renameColumn(oldName: String, newName: String, maxRetries: Int = 3): Long =
+    commitMetaUpdate(maxRetries) { (_, m) =>
+      val sch = m.schema.getOrElse(throw new IllegalStateException(
+        "no schema adopted yet — append once before evolving the schema"))
+      require(sch.fieldNames.contains(oldName), s"no such column: '$oldName'")
+      require(newName.nonEmpty && newName != oldName, s"bad target name: '$newName'")
+      require(!sch.fieldNames.contains(newName), s"column '$newName' already exists")
+      require(!(m.colMap - oldName).valuesIterator.contains(newName),
+        s"'$newName' is the physical name of another renamed column")
+      m.kind match {
+        case TableKind.TimeSeries(s) =>
+          require(oldName != s.timestampColumn,
+            s"cannot rename the time-index column '$oldName'")
+          require(!s.entityColumns.contains(oldName),
+            s"cannot rename entity column '$oldName'")
+        case TableKind.Clustered(s) =>
+          require(!s.columns.contains(m.physicalName(oldName)),
+            s"cannot rename cluster column '$oldName'")
+      }
+      val word = java.util.regex.Pattern.compile(
+        "\\b" + java.util.regex.Pattern.quote(oldName) + "\\b",
+        java.util.regex.Pattern.CASE_INSENSITIVE)
+      m.checks.find { case (_, sql) => word.matcher(sql).find() }.foreach { case (cn, sql) =>
+        throw new IllegalStateException(
+          s"cannot rename '$oldName': CHECK '$cn' ($sql) references it — drop the check first")
+      }
+      val evolved = StructType(sch.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      val physical = m.physicalName(oldName) // frozen across chained renames
+      val cmap = (m.colMap - oldName) ++
+        (if (physical == newName) Map.empty[String, String] // renamed back
+         else Map(newName -> physical))
+      Some(m.copy(schemaJson = Some(evolved.json), colMap = cmap))
     }
 
   /** Schema evolution: DROP COLUMN as a metadata-only commit. Files keep
@@ -997,7 +1126,10 @@ final class TsTable private (val root: String, val store: LogStore) {
           require(name != s.timestampColumn, s"cannot drop the time-index column '$name'")
           require(!s.entityColumns.contains(name), s"cannot drop entity column '$name'")
         case TableKind.Clustered(s) =>
-          require(!s.columns.contains(name), s"cannot drop cluster column '$name'")
+          // spec columns are stored under physical names (frozen); map the
+          // logical drop target through the rename mapping before comparing
+          require(!s.columns.contains(m.physicalName(name)),
+            s"cannot drop cluster column '$name'")
       }
       // conservative word-boundary test: a check MIGHT reference the
       // column → refuse (false positives only cost an explicit drop-check)
@@ -1010,7 +1142,7 @@ final class TsTable private (val root: String, val store: LogStore) {
       }
       val evolved = StructType(sch.fields.filterNot(_.name == name))
       require(evolved.fields.nonEmpty, "cannot drop the last column")
-      Some(m.copy(schemaJson = Some(evolved.json)))
+      Some(m.copy(schemaJson = Some(evolved.json), colMap = m.colMap - name))
     }
 
   /** Clustering evolution: ALTER CLUSTER BY as a metadata-only commit
@@ -1039,7 +1171,10 @@ final class TsTable private (val root: String, val store: LogStore) {
             "no schema adopted yet — append once before evolving the cluster spec"))
           columns.foreach(c => require(sch.fieldNames.contains(c),
             s"no such column: '$c'"))
-          val next = ClusterSpec(columns, curve) // validates the curve name
+          // spec columns are stored PHYSICAL (curve fitting and the write
+          // path read stats/files, which are physical); callers pass
+          // logical names — identical unless the column was renamed
+          val next = ClusterSpec(columns.map(m.physicalName), curve) // validates the curve name
           if (next == old) None else Some(m.copy(kind = TableKind.Clustered(next)))
       }
     }
