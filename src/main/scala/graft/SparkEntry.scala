@@ -420,6 +420,23 @@ object SparkEntry {
         expr("aggregate(token_ids, 0L, (acc, x) -> acc + CAST(x AS BIGINT))").as("tok_sum"))
     }),
 
+    // AS OF TIMESTAMP time travel: evens committed first, the commit's
+    // recorded wall-clock captured, odds appended on a strictly later
+    // millisecond — the as-of scan at the captured instant must resolve
+    // to the evens-only snapshot (a boundary slip to the later version
+    // doubles the rows; timestamp→version off-by-one hash-mismatches)
+    "q69_time_travel_ts" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir,
+        filter = Some("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0"))
+      val ts0 = t.store.readCommit(t.store.currentVersion()).timestampMillis
+      // the captured instant must strictly precede the next commit's stamp
+      while (System.currentTimeMillis() <= ts0) Thread.sleep(1)
+      t.append(tokenDf(s, dir)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1").repartition(4))
+      t.scanAsOf(s, ts0).select(col("doc_id"), col("source"), col("n_tok"),
+        expr(tokSum).as("tok_sum"))
+    }),
+
     // files metadata table: two single-file appends (evens, odds) make
     // the manifest's per-file row counts and doc_id/n_tok footer stats a
     // closed form — the gate proves the `files` surface reports EXACTLY
@@ -1116,6 +1133,15 @@ object SparkEntry {
            |  ${tokSumOracle("doc_id", 31)} AS tok_sum
            |FROM documents
            |WHERE 64 + doc_id % 1985 <= 1500""".stripMargin,
+
+      // the evens-only snapshot the captured instant pins (odds appended
+      // strictly after it must be invisible to the as-of scan)
+      "q69_time_travel_ts" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents
+           |WHERE doc_id % 2 = 0""".stripMargin,
 
       // one row per file (= per parity class), its count and stat bounds
       "q65_files_meta" ->

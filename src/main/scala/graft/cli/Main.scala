@@ -15,7 +15,8 @@ import graft.table.TsTable
   *   create  --table ROOT (--time-column TS --bucket 1h [--timezone TZ]
   *            [--entity COL]... | --cluster-by c1,c2,c3 [--curve zorder|hilbert|lexico])
   *   append  --table ROOT --parquet FILE
-  *   query   --table ROOT --sql SQL [--at-version V | --at-tag N]
+  *   query   --table ROOT --sql SQL [--at-version V | --at-tag N |
+  *            --at-timestamp ISO8601|EPOCH_MS]  (AS OF TIMESTAMP)
   *           [--explain] [--timing]
   *           [--max-rows N] [--output PATH --format csv|jsonl] [--pager]
   *           [--param k=v]... [--arg v]...   ($1..$N bind to --arg in order)
@@ -117,11 +118,16 @@ object Main {
     case "query" =>
       val t0 = System.nanoTime()
       val t = openTable(args)
-      // --at-version / --at-tag pin a historical snapshot (time travel)
-      val scan = (opt(args, "at-version"), opt(args, "at-tag")) match {
-        case (Some(v), _) => t.scanAt(spark, v.toLong)
-        case (_, Some(n)) => t.scanAtTag(spark, n)
-        case _            => t.scan(spark)
+      // --at-version / --at-tag / --at-timestamp pin a historical snapshot
+      val scan = (opt(args, "at-version"), opt(args, "at-tag"),
+        opt(args, "at-timestamp")) match {
+        case (Some(v), _, _) => t.scanAt(spark, v.toLong)
+        case (_, Some(n), _) => t.scanAtTag(spark, n)
+        case (_, _, Some(ts)) =>
+          // epoch millis or any ISO-8601 instant (AS OF TIMESTAMP)
+          val ms = ts.toLongOption.getOrElse(java.time.Instant.parse(ts).toEpochMilli)
+          t.scanAsOf(spark, ms)
+        case _ => t.scan(spark)
       }
       scan.createOrReplaceTempView("t")
       val named: Map[String, Any] = multi(args, "param").map { kv =>

@@ -805,6 +805,42 @@ final class TsTable private (val root: String, val store: LogStore) {
     scanAt(spark, v)
   }
 
+  /** Time travel by wall clock (`AS OF TIMESTAMP` — Delta/Iceberg analog):
+    * the snapshot a reader at `tsMillis` would have seen, i.e. the LAST
+    * commit whose recorded `timestamp` is ≤ `tsMillis`. Resolution scans
+    * only the commit timestamps the log still holds (KB-sized JSONs,
+    * driver-side, the same cost class as `history` — snapshot expiration
+    * keeps the retained window bounded at any table scale) and tolerates
+    * non-monotone stamps from cross-process writer clock skew by taking
+    * the max qualifying version, not the first. Refused with a clear
+    * error when `tsMillis` predates the earliest retained commit (its
+    * state was reclaimed — same contract as expired `scanAt`). */
+  def versionAsOf(tsMillis: Long): Long = {
+    refresh()
+    val cur = store.currentVersion()
+    require(cur >= 1, "table has no commits yet")
+    var best = -1L
+    var earliest = Long.MaxValue
+    var earliestV = -1L
+    var v = cur
+    while (v >= 1 && Files.exists(store.commitPath(v))) {
+      val ts = store.readCommit(v).timestampMillis
+      if (ts < earliest) { earliest = ts; earliestV = v }
+      if (ts <= tsMillis && v > best) best = v
+      v -= 1
+    }
+    if (best >= 0) best
+    else throw new IllegalArgumentException(
+      s"no snapshot at or before timestamp $tsMillis " +
+        s"(${java.time.Instant.ofEpochMilli(tsMillis)}): earliest retained commit is " +
+        s"v$earliestV at ${java.time.Instant.ofEpochMilli(earliest)} — older history was " +
+        "reclaimed by snapshot expiration")
+  }
+
+  /** Time-travel scan as of a wall-clock instant (epoch millis). */
+  def scanAsOf(spark: SparkSession, tsMillis: Long): DataFrame =
+    scanAt(spark, versionAsOf(tsMillis))
+
   // ------------------------------------------------------------ branches
 
   /** Create a branch forked at `at` (default: the current version) and
