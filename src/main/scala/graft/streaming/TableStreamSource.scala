@@ -51,6 +51,12 @@ import graft.table.TsTable
   *  - `startingVersion` — tail from this commit (inclusive) instead of the
   *    initial snapshot; `startingVersion=latest` tails only commits after
   *    stream start.
+  *  - `startingTimestamp` (ISO-8601 or epoch millis; exclusive with
+  *    startingVersion) — tail from the first commit stamped at or after
+  *    the instant; an instant past every stamp behaves like `latest`.
+  *    Resolved once and anchored under the query's metadataPath, so a
+  *    restart keeps the original version even after expiration or new
+  *    commits reshape the timestamp→version mapping.
   *  - `skipChangeCommits` — see above (default true).
   *  - `maxVersionsPerTrigger` — cap commits per micro-batch so a stream
   *    catching up on a long log backlog does not plan one giant batch
@@ -78,12 +84,14 @@ final class TableStreamSource(
   private def opt(key: String): Option[String] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
 
-  /** `startingVersion=latest` resolves ONCE per query lifetime: the
-    * resolved version is persisted under the query's metadataPath, so a
-    * restart (even one that never committed a batch) keeps the original
-    * anchor instead of re-resolving past commits that arrived since. */
-  private def resolveLatest(): Long = {
-    val fallback = table.store.currentVersion() + 1
+  /** `startingVersion=latest` / `startingTimestamp` resolve ONCE per query
+    * lifetime: the resolved version is persisted under the query's
+    * metadataPath, so a restart (even one that never committed a batch)
+    * keeps the original anchor instead of re-resolving against a log that
+    * moved (new commits since, or expiration reshaping the timestamp→
+    * version mapping). */
+  private def resolveAnchored(compute: => Long): Long = {
+    lazy val fallback = compute
     if (metadataPath.isEmpty) return fallback
     val conf = sqlContext.sparkSession.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-starting-version")
@@ -104,7 +112,7 @@ final class TableStreamSource(
         try out.write(s"$fallback\n".getBytes("UTF-8")) finally out.close()
         fallback
       } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        resolveLatest() // lost a create race: the winner's anchor governs
+        resolveAnchored(compute) // lost a create race: the winner's anchor governs
       }
     }
   }
@@ -124,11 +132,36 @@ final class TableStreamSource(
     opt("maxVersionsPerTrigger").map { v =>
       val n = v.toLong; require(n > 0, s"maxVersionsPerTrigger must be > 0, got $n"); n
     }
-  /** None = initial-snapshot mode; Some(v) = tail commits >= v. */
-  private val startingVersion: Option[Long] = opt("startingVersion").map {
-    case v if v.equalsIgnoreCase("latest") => resolveLatest()
-    case v => val n = v.toLong; require(n >= 1, s"startingVersion must be >= 1, got $n"); n
+  /** Smallest RETAINED version stamped at or after `tsMillis` — the "tail
+    * from this wall-clock instant" anchor. Never-skip rule under clock
+    * skew: every version ABOVE the anchor streams regardless of its own
+    * stamp. No commit qualifies (the instant is after every stamp) →
+    * `latest` semantics: tail only commits after query start. */
+  private def firstVersionAtOrAfter(tsMillis: Long): Long = {
+    var v = table.store.currentVersion()
+    var first = -1L
+    while (v >= 1 && java.nio.file.Files.exists(table.store.commitPath(v))) {
+      if (table.store.readCommit(v).timestampMillis >= tsMillis) first = v
+      v -= 1
+    }
+    if (first >= 0) first else table.store.currentVersion() + 1
   }
+
+  /** None = initial-snapshot mode; Some(v) = tail commits >= v. */
+  private val startingVersion: Option[Long] =
+    (opt("startingVersion"), opt("startingTimestamp")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "options startingVersion and startingTimestamp are mutually exclusive")
+      case (Some(v), _) if v.equalsIgnoreCase("latest") =>
+        Some(resolveAnchored(table.store.currentVersion() + 1))
+      case (Some(v), _) =>
+        val n = v.toLong; require(n >= 1, s"startingVersion must be >= 1, got $n"); Some(n)
+      case (_, Some(ts)) =>
+        // epoch millis or any ISO-8601 instant, anchored like `latest`
+        val ms = ts.toLongOption.getOrElse(java.time.Instant.parse(ts).toEpochMilli)
+        Some(resolveAnchored(firstVersionAtOrAfter(ms)))
+      case _ => None
+    }
 
   /** AvailableNow pin: versions committed after query start are left for
     * the next run. */
@@ -263,6 +296,7 @@ final class TableStreamSource(
   *   spark.read.format("graft-table").load(root)                // batch
   *   spark.read.format("graft-table")
   *     .option("versionAsOf", 3).load(root)                     // time travel
+  *     .option("timestampAsOf", "2026-01-01T00:00:00Z")         //   (or by instant)
   *   spark.readStream.format("graft-table").load(root)          // streaming
   *   CREATE TEMPORARY VIEW t USING `graft-table` OPTIONS (path '…')  -- SQL
   *
@@ -361,6 +395,9 @@ final class GraftSourceProvider extends StreamSourceProvider with StreamSinkProv
       .orElse(parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("tag") =>
         table.tags.getOrElse(v, throw new IllegalArgumentException(
           s"no such tag: '$v' (have: ${table.tags.keys.toSeq.sorted.mkString(", ")})"))
+      })
+      .orElse(parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("timestampAsOf") =>
+        table.versionAsOf(v.toLongOption.getOrElse(java.time.Instant.parse(v).toEpochMilli))
       })
     val st = pinned.map(v => graft.log.TableState.rebuildAt(table.store, v))
       .getOrElse(table.state)

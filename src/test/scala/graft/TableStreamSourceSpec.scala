@@ -161,19 +161,69 @@ class TableStreamSourceSpec extends SparkFunSuite {
     assert(capped.select("doc_id").distinct().count() == 200)
   }
 
+  test("startingTimestamp tails from a wall-clock instant; future instant = latest semantics") {
+    val root = tmpDir("srcstream-ts")
+    val t = TsTable.create(root, tokenMeta)
+    t.append(TokenGen.generate(spark, 100))
+    val ts1 = t.store.readCommit(t.version).timestampMillis
+    while (System.currentTimeMillis() <= ts1) Thread.sleep(1)
+    val cut = System.currentTimeMillis() // strictly after append 1's stamp
+    while (System.currentTimeMillis() <= cut) Thread.sleep(1)
+    t.append(TokenGen.generate(spark, 40, idStart = 1000))
+    t.append(TokenGen.generate(spark, 60, idStart = 2000))
+
+    // tail from the cut: only the two later appends stream
+    val got = drain(
+      t.readStream(spark, Map("startingTimestamp" -> cut.toString)),
+      tmpDir("srcstream-ts-out"), tmpDir("srcstream-ts-ckpt"))
+    assert(got.count() == 100)
+    assert(got.where(col("doc_id") < "doc-000000001000").count() == 0,
+      "streamed rows committed before startingTimestamp")
+
+    // an instant after every stamp behaves like `latest`: history skipped,
+    // commits after query start drain on the next run (same checkpoint)
+    val out2 = tmpDir("srcstream-ts2-out"); val ckpt2 = tmpDir("srcstream-ts2-ckpt")
+    val future = (System.currentTimeMillis() + 60_000L).toString
+    def drainFuture(): Long =
+      try drain(t.readStream(spark, Map("startingTimestamp" -> future)), out2, ckpt2).count()
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("Unable to infer schema") => 0L } // no batch ever written
+    assert(drainFuture() == 0)
+    t.append(TokenGen.generate(spark, 25, idStart = 5000))
+    assert(drainFuture() == 25,
+      "anchored future instant must deliver commits after query start")
+
+    // mutual exclusion is an init-time error
+    val e = intercept[Exception] {
+      drain(t.readStream(spark, Map("startingTimestamp" -> cut.toString,
+        "startingVersion" -> "1")), tmpDir("srcstream-ts3-out"), tmpDir("srcstream-ts3-ckpt"))
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t => t.getMessage +: msgs(t.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("mutually exclusive")))
+  }
+
   test("batch reads through format(graft-table): load, SQL USING, versionAsOf, pruned scan") {
     val root = tmpDir("srcbatch-tbl")
     val t = TsTable.create(root, tokenMeta)
     t.append(TokenGen.generate(spark, 120))
     val v1 = t.version
+    // next commit must land on a strictly later millisecond so the
+    // timestampAsOf probe below pins v1 unambiguously
+    while (System.currentTimeMillis() <= t.store.readCommit(v1).timestampMillis)
+      Thread.sleep(1)
     t.append(TokenGen.generate(spark, 80, idStart = 1000))
 
     val df = spark.read.format("graft-table").load(root)
     assert(df.count() == 200)
     assert(df.schema == t.scan(spark).schema)
 
-    // time travel via option
+    // time travel via option — by version and by wall-clock instant
     assert(spark.read.format("graft-table").option("versionAsOf", v1).load(root).count() == 120)
+    val ts1 = t.store.readCommit(v1).timestampMillis
+    assert(spark.read.format("graft-table").option("timestampAsOf", ts1).load(root).count() == 120)
+    assert(spark.read.format("graft-table")
+      .option("timestampAsOf", java.time.Instant.now().toString).load(root).count() == 200)
 
     // SQL surface: USING graft-table
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_fmt USING `graft-table` OPTIONS (path '$root')")
