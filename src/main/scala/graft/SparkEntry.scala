@@ -437,6 +437,27 @@ object SparkEntry {
         expr(tokSum).as("tok_sum"))
     }),
 
+    // SHALLOW CLONE: evens committed to the SOURCE, the clone references
+    // them in place (zero data copies), odds appended to the CLONE only,
+    // a MOR delete masks rows across external+local files, and compaction
+    // folds everything into clone-owned files. Any slip (clone reading
+    // source writes, delete leaking to the source, external refs lost in
+    // the rewrite) changes the row set or the aggregate
+    "q70_shallow_clone" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir,
+        filter = Some("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0"))
+      val c = t.cloneTo(TempRoots.create("graft-clone") + "/t")
+      c.append(tokenDf(s, dir)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1").repartition(4))
+      graft.maintain.DeleteWhere.deleteMor(s, c, col("n_tok") > 1500)
+      Compaction.run(s, c, targetFileSize = 8L * 1024 * 1024)
+      // the source must still hold exactly the undeleted evens — fold its
+      // row count into the result so the gate also pins non-interference
+      val srcRows = t.scan(s).count()
+      c.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
+        expr(tokSum).as("tok_sum"), lit(srcRows).as("src_rows"))
+    }),
+
     // files metadata table: two single-file appends (evens, odds) make
     // the manifest's per-file row counts and doc_id/n_tok footer stats a
     // closed form — the gate proves the `files` surface reports EXACTLY
@@ -1131,6 +1152,16 @@ object SparkEntry {
         s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
            |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
            |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents
+           |WHERE 64 + doc_id % 1985 <= 1500""".stripMargin,
+
+      // clone rows: every document surviving the clone-side MOR delete;
+      // src_rows: the untouched evens population on the source
+      "q70_shallow_clone" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum,
+           |  (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0) AS src_rows
            |FROM documents
            |WHERE 64 + doc_id % 1985 <= 1500""".stripMargin,
 

@@ -32,6 +32,9 @@ import graft.table.TsTable
   *   merge   --table ROOT --updates PARQUET [--key COL] [--delete] [--mor]
   *           (--delete = WHEN MATCHED THEN DELETE: the parquet holds keys;
   *            --mor = merge-on-read upsert: DV-mask matched rows + append)
+  *   clone   --table ROOT --target DEST [--at-version V]
+  *           (shallow clone: one metadata commit references the source's
+  *            data files in place — zero data bytes copied at any scale)
   *   restore --table ROOT --to-version V
   *   diff    --table ROOT --from V [--to V] [--key COL] [--max-rows N]
   *           [--output PATH --format csv|jsonl]
@@ -276,6 +279,13 @@ object Main {
           "alter needs --add-column, --drop-column, --add-check, --drop-check, " +
             "--cluster-by [--curve], or --rename-column OLD:NEW")
       }
+
+    case "clone" =>
+      val t = openTable(args)
+      val dest = req(args, "target")
+      val c = t.cloneTo(dest, opt(args, "at-version").map(_.toLong))
+      println(s"cloned v${opt(args, "at-version").getOrElse(t.version)} -> $dest " +
+        s"(v${c.version}, ${c.state.liveSegments.size} referenced files, zero data copied)")
 
     case "tag" =>
       val t = TsTable.open(req(args, "table"))

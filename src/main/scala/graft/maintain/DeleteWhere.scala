@@ -101,9 +101,9 @@ object DeleteWhere {
         .groupBy(input_file_name().as("f")).count()
         .collect().map(r => PathNorm.canonical(r.getString(0)) -> r.getLong(1)).toMap
     var (hit, clean) = candidates.partition(seg =>
-      matchedPerFile.contains(PathNorm.canonical(s"${table.root}/${seg.path}")))
+      matchedPerFile.contains(PathNorm.canonical(PathNorm.resolve(table.root, seg.path))))
     val attributed = candidates
-      .map(seg => PathNorm.canonical(s"${table.root}/${seg.path}")).toSet
+      .map(seg => PathNorm.canonical(PathNorm.resolve(table.root, seg.path))).toSet
     if (matchedPerFile.keys.exists(!attributed(_))) { hit = candidates; clean = Nil }
     (matchedPerFile, hit, clean)
   }
@@ -144,7 +144,7 @@ object DeleteWhere {
       // getOrElse: on the fallback path `hit` includes unattributed files
       // with no recorded matches — those must be rewritten, not dropped
       matchedPerFile.getOrElse(
-        PathNorm.canonical(s"${table.root}/${seg.path}"), 0L) == seg.liveRowCount)
+        PathNorm.canonical(PathNorm.resolve(table.root, seg.path)), 0L) == seg.liveRowCount)
 
     // the coverage recommit (time-series tables) is part of the SAME
     // commit as the Remove/Add actions — no crash window can leave a
@@ -306,7 +306,7 @@ object DeleteWhere {
     if (grazed.isEmpty) return None
 
     val segByCanon = candidates
-      .map(s => PathNorm.canonical(s"${table.root}/${s.path}") -> s).toMap
+      .map(s => PathNorm.canonical(PathNorm.resolve(table.root, s.path)) -> s).toMap
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val repairCov = table.timeSpec.isDefined
     val written = scala.collection.mutable.ArrayBuffer.empty[String] // abort cleanup
@@ -322,7 +322,7 @@ object DeleteWhere {
         rowsMatched += m
         val newDv = Bitmap.deserialize(dvBytes)
         val union = seg.dvPath
-          .map(p => DeletionVectors.readDv(s"${table.root}/$p").union(newDv))
+          .map(p => DeletionVectors.readDv(PathNorm.resolve(table.root, p)).union(newDv))
           .getOrElse(newDv)
         if (union.cardinality == seg.rowCount) removeIds += seg.segmentId
         else {

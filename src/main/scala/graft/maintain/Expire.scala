@@ -153,8 +153,14 @@ object Expire {
 
     var bytes = 0L; var files = 0; var sidecars = 0
     orphans.foreach { seg =>
-      val p = Paths.get(strip(s"${table.root}/${seg.path}"))
-      if (Files.exists(p)) { bytes += Files.size(p); Files.delete(p); files += 1 }
+      // ownership guard: a shallow clone's absolute references point into
+      // the SOURCE table's root — expiring the clone reclaims only its
+      // manifest entries (and its own sidecars), never the source's bytes
+      val resolved = graft.meta.PathNorm.resolve(table.root, seg.path)
+      if (graft.meta.PathNorm.ownedBy(table.root, resolved)) {
+        val p = Paths.get(strip(resolved))
+        if (Files.exists(p)) { bytes += Files.size(p); Files.delete(p); files += 1 }
+      }
       seg.coveragePath.foreach { cp =>
         val cpp = Paths.get(strip(s"${table.root}/$cp"))
         if (Files.deleteIfExists(cpp)) sidecars += 1

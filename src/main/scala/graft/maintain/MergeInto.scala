@@ -390,7 +390,7 @@ object MergeInto {
     val rangeHits = live.filter(s => hitIds.contains(s.segmentId))
     val bloomHits: Set[String] = table.bloomKeyColumn match {
       case Some(bloomCol) if bloomCol == physKey && rangeHits.nonEmpty && updCount > 0 =>
-        val files = rangeHits.map(s => (s"${table.root}/${s.path}", s.segmentId))
+        val files = rangeHits.map(s => (graft.meta.PathNorm.resolve(table.root, s.path), s.segmentId))
         if (updCount <= BloomKeyCap) {
           val keys: Array[Any] = upd.select(col(key)).collect().map(_.get(0))
           KeyBloom.filterMayContain(spark.sparkContext.hadoopConfiguration,

@@ -63,7 +63,7 @@ object SnapshotDiff {
     })
     if (appendOnly) {
       val addedPaths = commits.flatMap(_.actions.collect {
-        case LogAction.AddSegment(s) => s"${table.root}/${s.path}"
+        case LogAction.AddSegment(s) => graft.meta.PathNorm.resolve(table.root, s.path)
       })
       if (addedPaths.isEmpty)
         return post.where(lit(false)).withColumn("_change_type", lit("insert"))

@@ -14,6 +14,24 @@ object PathNorm {
       catch { case _: Exception => p }
     else p
 
+  /** Resolve a manifest data path against its table root. Segment paths
+    * are root-relative EXCEPT external references written by shallow
+    * CLONE, which are absolute (leading '/' or a URI scheme) and resolve
+    * to themselves — the reader of a clone scans the source's files in
+    * place, zero copies. */
+  def resolve(root: String, p: String): String =
+    if (p.startsWith("/") || p.startsWith("file:") || p.contains("://")) p
+    else s"$root/$p"
+
+  /** True iff a resolved data path lives under the table's own root —
+    * the ownership test every file-DELETING verb must pass before
+    * reclaiming: a shallow clone's absolute references point into the
+    * SOURCE table and are never the clone's to delete. */
+  def ownedBy(root: String, resolved: String): Boolean = {
+    val r = canonical(root) + "/"
+    canonical(resolved).startsWith(r)
+  }
+
   /** Canonical absolute form for comparing local paths from different
     * producers (user-supplied roots with trailing slashes or relative
     * segments vs. input_file_name() URIs): scheme stripped, resolved

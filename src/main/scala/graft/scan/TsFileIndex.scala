@@ -30,7 +30,8 @@ final class TsFileIndex(
     dataSchema: StructType) extends FileIndex {
 
   private val files: Seq[(SegmentMeta, FileStatus)] = segments.map { seg =>
-    val p = new HPath(tableRoot, seg.path)
+    // a shallow clone's external references are absolute — scan in place
+    val p = new HPath(graft.meta.PathNorm.resolve(tableRoot.toString, seg.path))
     val size = seg.fileSize.getOrElse {
       // fall back to a stat like the reference (ts_table_provider.rs:153-167)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen

@@ -216,7 +216,7 @@ final class TableStreamSource(
           try {
             val segs = TableState.rebuildAt(table.store, endV).liveSegments
             dvFilter = graft.table.DeletionVectors.liveRowFilter(rootPath, segs)
-            segs.map(s => s"$rootPath/${s.path}")
+            segs.map(s => graft.meta.PathNorm.resolve(rootPath, s.path))
           }
           catch { case e: Exception
               if e.getMessage != null && e.getMessage.contains("missing commit file") =>
@@ -274,7 +274,7 @@ final class TableStreamSource(
             "streaming from it would re-emit or lose rows. Set skipChangeCommits=true " +
             "to stream appends only.")
         Nil
-      } else c.actions.collect { case LogAction.AddSegment(seg) => s"$rootPath/${seg.path}" }
+      } else c.actions.collect { case LogAction.AddSegment(seg) => graft.meta.PathNorm.resolve(rootPath, seg.path) }
     }
   }
 

@@ -56,7 +56,7 @@ object DeletionVectors {
     else {
       val root = PathNorm.canonical(tableRoot)
       val byFile: Map[String, String] = withDv.map { s =>
-        PathNorm.canonical(s"$root/${s.path}") -> s"$root/${s.dvPath.get}"
+        PathNorm.canonical(PathNorm.resolve(root, s.path)) -> s"$root/${s.dvPath.get}"
       }.toMap
       import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
       Some(ofExpr(Not(DvDeleted(toExpr(filePath), toExpr(rowIndex), new DvLookup(byFile)))))

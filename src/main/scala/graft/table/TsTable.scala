@@ -297,7 +297,9 @@ final class TsTable private (val root: String, val store: LogStore) {
     t
   }
 
-  private def abs(seg: SegmentMeta): String = s"$root/${seg.path}"
+  /** Manifest path → scannable path: root-relative for the table's own
+    * files, passthrough for a shallow clone's absolute source references. */
+  private def abs(seg: SegmentMeta): String = graft.meta.PathNorm.resolve(root, seg.path)
 
   /** Parquet write options for data segments: a column bloom filter on the
     * table's identity key (last cluster column — doc_id in the token
@@ -840,6 +842,72 @@ final class TsTable private (val root: String, val store: LogStore) {
   /** Time-travel scan as of a wall-clock instant (epoch millis). */
   def scanAsOf(spark: SparkSession, tsMillis: Long): DataFrame =
     scanAt(spark, versionAsOf(tsMillis))
+
+  /** SHALLOW CLONE (Delta CLONE / Iceberg snapshot-ref analog): a new,
+    * fully independent table at `destRoot` whose first commit references
+    * this table's live data files IN PLACE via absolute manifest paths —
+    * zero data bytes move, so cloning a 100 TB table costs one metadata
+    * commit plus KB-sized sidecar copies (DV bitmaps, coverage). The clone
+    * is a complete table: scans prune through the copied stats, every
+    * writer verb works, and maintenance rewrites (compaction, CoW
+    * DELETE/UPDATE/MERGE) progressively re-materialize touched files under
+    * the clone's own root — copy-on-write divergence, the source never
+    * sees clone writes and vice versa. The clone's Expire deletes only
+    * files it owns ([[graft.meta.PathNorm.ownedBy]]): external references
+    * age out of its manifest without touching the source's bytes.
+    *
+    * Caveat (same as Delta shallow clones, documented public behavior):
+    * the source's own Expire does not know about clones — expiring source
+    * history that removed files a clone still references breaks that
+    * clone's reads. Tag the source version (`setTag`) to hold it, or
+    * compact the clone (`Compaction.run`) to make it self-contained.
+    *
+    * Tags are not copied (they name SOURCE log versions); txn watermarks
+    * ARE, so a streaming writer repointed at the clone keeps exactly-once.
+    */
+  def cloneTo(destRoot: String, at: Option[Long] = None): TsTable = {
+    requireMainHandle("cloneTo")
+    refresh()
+    val v = at.getOrElse(version)
+    require(v >= 1 && v <= version, s"clone source version v$v out of range [1, $version]")
+    require(graft.meta.PathNorm.canonical(destRoot) != graft.meta.PathNorm.canonical(root),
+      "clone target must differ from the source root")
+    val st =
+      try TableState.rebuildAt(store, v)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"cannot clone at v$v: its history was already reclaimed by snapshot " +
+            s"expiration (${e.getMessage})", e)
+      }
+    val destStore = LogStore(destRoot)
+    if (destStore.currentVersion() != 0L)
+      throw ConflictException(0L, destStore.currentVersion())
+    destStore.initDirs()
+    // per-segment sidecars (DV bitmaps, coverage runs) are KBs — copy them
+    // so the clone's MOR reads and coverage queries never reach back into
+    // the source's mutable sidecar namespace
+    def copySidecar(rel: String): Unit = {
+      val src = Paths.get(stripScheme(s"$root/$rel"))
+      val dst = Paths.get(stripScheme(s"$destRoot/$rel"))
+      Files.createDirectories(dst.getParent)
+      if (Files.exists(src))
+        Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val segs = st.liveSegments.map { seg =>
+      seg.dvPath.foreach(copySidecar)
+      seg.coveragePath.foreach(copySidecar)
+      // already-absolute paths (clone of a clone) pass through unchanged
+      seg.copy(path = graft.meta.PathNorm.resolve(root, seg.path))
+    }
+    st.tableCoverage.foreach(c => copySidecar(c.coveragePath))
+    val actions: Seq[LogAction] =
+      st.tableMeta.map(m => LogAction.UpdateTableMeta(m.copy(tags = Map.empty))).toSeq ++
+        segs.map(LogAction.AddSegment) ++
+        st.tableCoverage.map(c => LogAction.UpdateTableCoverage(c.bucketSpec, c.coveragePath)).toSeq ++
+        st.txns.toSeq.sortBy(_._1).map { case (a, b) => LogAction.SetTxn(a, b) }
+    destStore.commitWithExpectedVersion(0L, actions)
+    new TsTable(destRoot, destStore)
+  }
 
   // ------------------------------------------------------------ branches
 
