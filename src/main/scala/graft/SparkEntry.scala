@@ -458,6 +458,25 @@ object SparkEntry {
         expr(tokSum).as("tok_sum"), lit(srcRows).as("src_rows"))
     }),
 
+    // ALTER COLUMN TYPE (widening): evens land as INT n_tok, the widen to
+    // BIGINT is one metadata commit (old files keep INT32 pages and read
+    // up-converted), odds append with the new type, a MOR delete filters
+    // across both file eras, and compaction rewrites mixed-width inputs.
+    // A widening slip (old files misread, filter compiled against the
+    // wrong width, rewrite narrowing back) changes values or the row set
+    "q71_widen_column" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir,
+        filter = Some("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0"))
+      t.alterColumnType("n_tok", org.apache.spark.sql.types.LongType)
+      t.append(tokenDf(s, dir)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1")
+        .withColumn("n_tok", col("n_tok").cast("long")).repartition(4))
+      graft.maintain.DeleteWhere.deleteMor(s, t, col("n_tok") > 1500L)
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
+        expr(tokSum).as("tok_sum"))
+    }),
+
     // files metadata table: two single-file appends (evens, odds) make
     // the manifest's per-file row counts and doc_id/n_tok footer stats a
     // closed form — the gate proves the `files` surface reports EXACTLY
@@ -1151,6 +1170,14 @@ object SparkEntry {
       "q68_rename_column" ->
         s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
            |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents
+           |WHERE 64 + doc_id % 1985 <= 1500""".stripMargin,
+
+      // survivors of the MOR delete with n_tok as the WIDENED type
+      "q71_widen_column" ->
+        s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS BIGINT) AS n_tok,
            |  ${tokSumOracle("doc_id", 31)} AS tok_sum
            |FROM documents
            |WHERE 64 + doc_id % 1985 <= 1500""".stripMargin,

@@ -53,6 +53,8 @@ import graft.table.TsTable
   *             (metadata-only sort-order evolution; next compact re-clusters)
   *           | --rename-column OLD:NEW  (metadata-only column mapping; files
   *             keep the frozen physical name, scans alias to the new one)
+  *           | --retype-column NAME:TYPE  (metadata-only WIDENING — int→long,
+  *             int/float→double, →wider decimal; old files read up-converted)
   *   analyze --table ROOT [--target-file-size BYTES]
   *           (manifest-only health report: small-file/DV debt, clustering)
   *   files   --table ROOT [--branch N] [--max-rows N]
@@ -275,9 +277,16 @@ object Main {
           val Array(from, to) = spec.split(":", 2)
           val v = t.renameColumn(from.trim, to.trim)
           println(s"renamed column ${from.trim} -> ${to.trim} -> v$v")
-        case _ => sys.error(
-          "alter needs --add-column, --drop-column, --add-check, --drop-check, " +
-            "--cluster-by [--curve], or --rename-column OLD:NEW")
+        case _ => opt(args, "retype-column") match {
+          case Some(spec) =>
+            val Array(cn, ct) = spec.split(":", 2)
+            val v = t.alterColumnType(cn.trim,
+              org.apache.spark.sql.types.DataType.fromDDL(ct.trim))
+            println(s"widened column ${cn.trim} to ${ct.trim} -> v$v")
+          case None => sys.error(
+            "alter needs --add-column, --drop-column, --add-check, --drop-check, " +
+              "--cluster-by [--curve], --rename-column OLD:NEW, or --retype-column NAME:TYPE")
+        }
       }
 
     case "clone" =>

@@ -1249,6 +1249,59 @@ final class TsTable private (val root: String, val store: LogStore) {
       Some(m.copy(schemaJson = Some(evolved.json), colMap = m.colMap - name))
     }
 
+  /** Schema evolution: ALTER COLUMN TYPE as a metadata-only commit —
+    * WIDENING conversions only (the Delta type-widening / Iceberg
+    * type-promotion matrix): int→long, int/float→double, int/long/decimal
+    * →wider decimal. Existing files keep their narrow physical type and
+    * no byte is rewritten at any table scale: Spark's vectorized parquet
+    * reader natively up-converts when the manifest-pinned read schema is
+    * wider than the footer type (probed on this Spark: INT32 reads as
+    * LONG/DOUBLE/DECIMAL(20,0) with exact values), so every scan,
+    * maintenance read, and the streaming source see the widened type
+    * uniformly across file eras. Appends must arrive with the NEW type
+    * (exact-match enforcement, same as any schema drift). Pruning: old
+    * files' stats sidecars keep their narrow-typed min/max — predicates
+    * that compile against the widened type simply stop pruning those
+    * files (sound, never wrong) until the next compaction rewrites them
+    * with widened stats. Lossy conversions (long→double, narrowing) are
+    * refused. The time-index column is refused (layout identity); cluster
+    * columns are fine — the curve key range-normalizes numerics in DOUBLE
+    * space whatever the declared width. */
+  def alterColumnType(name: String, newType: org.apache.spark.sql.types.DataType,
+                      maxRetries: Int = 3): Long =
+    commitMetaUpdate(maxRetries) { (_, m) =>
+      import org.apache.spark.sql.types._
+      val sch = m.schema.getOrElse(throw new IllegalStateException(
+        "no schema adopted yet — append once before evolving the schema"))
+      val field = sch.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no such column: '$name'"))
+      def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType)            => true
+        case (IntegerType, LongType)                        => true
+        case (ByteType | ShortType | IntegerType | FloatType, DoubleType) => true
+        case (ByteType | ShortType | IntegerType, d: DecimalType) =>
+          d.precision - d.scale >= 10
+        case (LongType, d: DecimalType) => d.precision - d.scale >= 20
+        case (f: DecimalType, t: DecimalType) =>
+          t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+        case _ => false
+      }
+      require(widens(field.dataType, newType),
+        s"cannot change '$name' from ${field.dataType.simpleString} to " +
+          s"${newType.simpleString}: only widening conversions are metadata-safe " +
+          "(int→long, int/float→double, →wider decimal)")
+      m.kind match {
+        case TableKind.TimeSeries(s) =>
+          require(name != s.timestampColumn,
+            s"cannot retype the time-index column '$name'")
+        case _ => ()
+      }
+      val evolved = StructType(sch.fields.map(f =>
+        if (f.name == name) f.copy(dataType = newType) else f))
+      Some(m.copy(schemaJson = Some(evolved.json)))
+    }
+
   /** Clustering evolution: ALTER CLUSTER BY as a metadata-only commit
     * (Iceberg sort-order-evolution analog). Existing files keep their old
     * layout and old-key footer blooms — scans stay correct because stats

@@ -143,4 +143,41 @@ class SchemaEvolutionSpec extends SparkFunSuite {
       assert(separated >= 1, "n_tok-leading hilbert produced no half-separated file")
     }
   }
+
+  test("ALTER COLUMN TYPE: widening is metadata-only; mixed-era reads, writes, maintenance; guards") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val t = TsTable.create(tmpDir("evo-widen"), tokenMeta)
+    t.append(TokenGen.generate(spark, 200, numFiles = 2))
+    val narrowSum = t.scan(spark).agg(sum("n_tok")).collect()(0).getLong(0)
+
+    // widen n_tok int→long: one commit, zero rewrites, old files read LONG
+    t.alterColumnType("n_tok", LongType)
+    assert(t.scan(spark).schema("n_tok").dataType == LongType)
+    assert(t.scan(spark).agg(sum("n_tok")).collect()(0).getLong(0) == narrowSum)
+
+    // appends must arrive with the NEW type: the old int shape is drift…
+    intercept[Exception] { t.append(TokenGen.generate(spark, 10, idStart = 5000)) }
+    // …and the widened shape lands
+    t.append(TokenGen.generate(spark, 50, idStart = 5000)
+      .withColumn("n_tok", col("n_tok").cast(LongType)))
+    assert(t.scan(spark).count() == 250)
+
+    // maintenance across mixed-width file eras: CoW delete + compaction
+    DeleteWhere.delete(spark, t, col("n_tok") > lit(1500L))
+    val afterDel = t.scan(spark).count()
+    Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024)
+    assert(t.scan(spark).count() == afterDel)
+    assert(t.scan(spark).where(col("n_tok") > 1500).count() == 0)
+
+    // guards: narrowing, lossy long→double, unknown column, time index
+    intercept[IllegalArgumentException] { t.alterColumnType("n_tok", IntegerType) }
+    intercept[IllegalArgumentException] { t.alterColumnType("n_tok", DoubleType) }
+    intercept[IllegalArgumentException] { t.alterColumnType("nope", LongType) }
+
+    // composes with RENAME (on a non-cluster column — cluster columns
+    // refuse rename by design): both evolutions live in one meta
+    t.renameColumn("tokens", "token_ids")
+    assert(t.scan(spark).select("token_ids").schema.nonEmpty)
+    assert(t.scan(spark).where(col("n_tok") <= 1500).count() == afterDel)
+  }
 }
