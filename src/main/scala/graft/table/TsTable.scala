@@ -1285,6 +1285,10 @@ final class TsTable private (val root: String, val store: LogStore) {
         case (LongType, d: DecimalType) => d.precision - d.scale >= 20
         case (f: DecimalType, t: DecimalType) =>
           t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+        // element widening inside arrays (token ids int→long is THE
+        // training-data case); parquet's repeated pages up-convert the
+        // same way scalar pages do (probed exact on this Spark)
+        case (ArrayType(fe, fn), ArrayType(te, tn)) => tn == fn && widens(fe, te)
         case _ => false
       }
       require(widens(field.dataType, newType),

@@ -174,6 +174,15 @@ class SchemaEvolutionSpec extends SparkFunSuite {
     intercept[IllegalArgumentException] { t.alterColumnType("n_tok", DoubleType) }
     intercept[IllegalArgumentException] { t.alterColumnType("nope", LongType) }
 
+    // array-element widening: tokens array<int> → array<long> (the token-id
+    // width migration a growing vocab forces); old repeated pages read exact
+    val tokSumBefore = t.scan(spark)
+      .selectExpr("sum(aggregate(tokens, 0L, (a, x) -> a + x)) AS s").collect()(0).getLong(0)
+    t.alterColumnType("tokens", org.apache.spark.sql.types.ArrayType(LongType))
+    assert(t.scan(spark)
+      .selectExpr("sum(aggregate(tokens, 0L, (a, x) -> a + x)) AS s")
+      .collect()(0).getLong(0) == tokSumBefore)
+
     // composes with RENAME (on a non-cluster column — cluster columns
     // refuse rename by design): both evolutions live in one meta
     t.renameColumn("tokens", "token_ids")
