@@ -477,6 +477,30 @@ object SparkEntry {
         expr(tokSum).as("tok_sum"))
     }),
 
+    // CHANGE DATA FEED: evens are the pre-feed snapshot, then — with the
+    // feed on — odds append (insert synthesis from the commit's own
+    // segments, no sidecar), a MOR delete and a CoW UPDATE write their
+    // row-image sidecars, and a compaction rewrite rides silently under
+    // its DataNeutral marker. The gate replays the WHOLE recorded feed:
+    // any slip (a change type misattributed, a pre/post image wrong, the
+    // rewrite leaking as phantom inserts, a record lost or duplicated)
+    // changes the row set or the aggregate
+    "q72_change_feed" -> ((s, dir) => {
+      val t = buildTokenTable(s, dir,
+        filter = Some("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0"))
+      t.enableCdf()
+      val v0 = t.version
+      t.append(tokenDf(s, dir)
+        .where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1").repartition(4))
+      graft.maintain.DeleteWhere.deleteMor(s, t, col("n_tok") > 1500)
+      graft.maintain.UpdateWhere.update(s, t, col("n_tok") <= 100,
+        Map("source" -> lit("patched")))
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      graft.maintain.ChangeFeed.read(s, t, v0, t.version)
+        .select(col("_change_type"), col("doc_id"), col("source"), col("n_tok"),
+          expr(tokSum).as("tok_sum"))
+    }),
+
     // files metadata table: two single-file appends (evens, odds) make
     // the manifest's per-file row counts and doc_id/n_tok footer stats a
     // closed form — the gate proves the `files` surface reports EXACTLY
@@ -1173,6 +1197,36 @@ object SparkEntry {
            |  ${tokSumOracle("doc_id", 31)} AS tok_sum
            |FROM documents
            |WHERE 64 + doc_id % 1985 <= 1500""".stripMargin,
+
+      // the recorded feed: odd-doc inserts, the MOR delete's row images
+      // (both parities can exceed the n_tok bound), and the UPDATE's
+      // pre/post pairs over the delete's survivors (n_tok ≤ 100 < 1500,
+      // so the bound never intersects); the compaction commit is silent
+      "q72_change_feed" ->
+        s"""SELECT 'insert' AS _change_type,
+           |  'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents WHERE doc_id % 2 = 1
+           |UNION ALL
+           |SELECT 'delete' AS _change_type,
+           |  'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents WHERE 64 + doc_id % 1985 > 1500
+           |UNION ALL
+           |SELECT 'update_pre' AS _change_type,
+           |  'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id, source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents WHERE 64 + doc_id % 1985 <= 100
+           |UNION ALL
+           |SELECT 'update_post' AS _change_type,
+           |  'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id,
+           |  'patched' AS source,
+           |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
+           |  ${tokSumOracle("doc_id", 31)} AS tok_sum
+           |FROM documents WHERE 64 + doc_id % 1985 <= 100""".stripMargin,
 
       // survivors of the MOR delete with n_tok as the WIDENED type
       "q71_widen_column" ->

@@ -38,6 +38,9 @@ import graft.table.TsTable
   *   restore --table ROOT --to-version V
   *   diff    --table ROOT --from V [--to V] [--key COL] [--max-rows N]
   *           [--output PATH --format csv|jsonl]
+  *   changes --table ROOT --since V [--to V] [--max-rows N]
+  *           [--output PATH --format csv|jsonl]  (writer-recorded change
+  *            feed: rows + _change_type/_commit_version/_commit_timestamp)
   *   tag     --table ROOT [--name N [--version V] | --drop N]  (list if bare)
   *   branch  --table ROOT [--create N [--at V] | --publish N [--keep] |
   *           --drop N]  (list if bare; write-audit-publish: scope any
@@ -55,6 +58,8 @@ import graft.table.TsTable
   *             keep the frozen physical name, scans alias to the new one)
   *           | --retype-column NAME:TYPE  (metadata-only WIDENING — int→long,
   *             int/float→double, →wider decimal; old files read up-converted)
+  *           | --enable-cdf | --disable-cdf  (change data feed: mutating
+  *             verbs record row-level changes readable via `changes`)
   *   analyze --table ROOT [--target-file-size BYTES]
   *           (manifest-only health report: small-file/DV debt, clustering)
   *   files   --table ROOT [--branch N] [--max-rows N]
@@ -228,6 +233,16 @@ object Main {
       output(df, opt(args, "output"), opt(args, "format").getOrElse("csv"),
         opt(args, "max-rows").map(_.toInt))
 
+    case "changes" =>
+      // writer-recorded change feed (vs `diff`'s state reconstruction):
+      // commits (--since, --to], rows tagged _change_type/_commit_version
+      val t = TsTable.open(req(args, "table"))
+      val since = req(args, "since").toLong
+      val to = opt(args, "to").map(_.toLong).getOrElse { t.refresh(); t.version }
+      val df = graft.maintain.ChangeFeed.read(spark, t, since, to)
+      output(df, opt(args, "output"), opt(args, "format").getOrElse("csv"),
+        opt(args, "max-rows").map(_.toInt))
+
     case "shell" =>
       // interactive REPL (reference shell.rs); --table ROOT opens tables up
       // front, names derived from the directory (or ROOT=name via .open AS)
@@ -283,9 +298,14 @@ object Main {
             val v = t.alterColumnType(cn.trim,
               org.apache.spark.sql.types.DataType.fromDDL(ct.trim))
             println(s"widened column ${cn.trim} to ${ct.trim} -> v$v")
+          case None if flag(args, "enable-cdf") =>
+            println(s"change data feed enabled -> v${t.enableCdf()}")
+          case None if flag(args, "disable-cdf") =>
+            println(s"change data feed disabled -> v${t.disableCdf()}")
           case None => sys.error(
             "alter needs --add-column, --drop-column, --add-check, --drop-check, " +
-              "--cluster-by [--curve], --rename-column OLD:NEW, or --retype-column NAME:TYPE")
+              "--cluster-by [--curve], --rename-column OLD:NEW, " +
+              "--retype-column NAME:TYPE, --enable-cdf, or --disable-cdf")
         }
       }
 

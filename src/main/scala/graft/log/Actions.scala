@@ -45,6 +45,27 @@ object LogAction {
     }
   }
 
+  /** Change-data-feed sidecar (Delta AddCDCFile analog): a parquet
+    * directory under `_cdc/` holding this commit's row-level changes
+    * (physical column names + `_change_type`). Carried in the SAME commit
+    * as the change it describes, so the feed is exactly as atomic as the
+    * table. State-neutral on replay. */
+  final case class AddCdcFile(path: String, rowCount: Long) extends LogAction {
+    def toJson: JsonNode = {
+      val n = Json.obj()
+      val c = n.putObject("add_cdc_file")
+      c.put("path", path); c.put("row_count", rowCount); n
+    }
+  }
+
+  /** Marks a Remove+Add commit as LOGICALLY ROW-PRESERVING (compaction,
+    * re-clustering, DV materialization — the Delta `dataChange=false`
+    * analog at commit granularity): change-feed readers skip it instead
+    * of erroring on an unrecorded change. State-neutral on replay. */
+  case object DataNeutral extends LogAction {
+    def toJson: JsonNode = { val n = Json.obj(); n.putObject("data_neutral"); n }
+  }
+
   def fromJson(n: JsonNode): LogAction =
     if (n.has("add_segment")) AddSegment(SegmentMeta.fromJson(n.get("add_segment")))
     else if (n.has("set_txn")) {
@@ -57,6 +78,11 @@ object LogAction {
       val c = n.get("update_table_coverage")
       UpdateTableCoverage(Json.getStr(c, "bucket_spec"), Json.getStr(c, "coverage_path"))
     }
+    else if (n.has("add_cdc_file")) {
+      val c = n.get("add_cdc_file")
+      AddCdcFile(Json.getStr(c, "path"), Json.getLong(c, "row_count"))
+    }
+    else if (n.has("data_neutral")) DataNeutral
     else throw new IllegalArgumentException(s"unknown log action: $n")
 }
 

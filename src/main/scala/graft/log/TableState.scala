@@ -38,6 +38,10 @@ final case class TableState(
       // latest-wins watermark per application (streaming batch ids are
       // monotonic per checkpoint, so max == latest)
       copy(txns = txns + (app -> math.max(batch, txns.getOrElse(app, Long.MinValue))))
+    // change-feed records are COMMIT-scoped, not state: the feed reader
+    // walks raw commits ([[graft.maintain.ChangeFeed]]); replay ignores them
+    case _: LogAction.AddCdcFile        => this
+    case LogAction.DataNeutral          => this
   }
 
   def toJson: JsonNode = {

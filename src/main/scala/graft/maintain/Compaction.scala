@@ -264,7 +264,12 @@ object Compaction {
           }
         case _ => clusterSorted(df, curve, outFiles, fit)
       }
-      table.swapSegments(sorted, inputs, maxRetries)
+      // compaction is LOGICALLY ROW-PRESERVING (DV materialization
+      // included: the masked rows were already deleted, and recorded, by
+      // the commit that attached the DV) — mark it so change-feed readers
+      // skip it instead of erroring on an unrecorded Remove+Add
+      table.swapSegments(sorted, inputs, maxRetries,
+        extraActions = Seq(graft.log.LogAction.DataNeutral))
     }
   }
 

@@ -146,21 +146,33 @@ object DeleteWhere {
       matchedPerFile.getOrElse(
         PathNorm.canonical(PathNorm.resolve(table.root, seg.path)), 0L) == seg.liveRowCount)
 
+    // change feed: the deleted rows, staged pre-commit and carried in the
+    // SAME commit (one extra matched-rows read of the hit files — cost
+    // proportional to the delete, paid only when the feed is on)
+    val cdc: Seq[graft.log.LogAction.AddCdcFile] =
+      if (table.cdfEnabled)
+        table.stageCdc(liveRows(table.toLogical(table.segmentScan(spark, hit)), hit)
+          .where(matchesCond).withColumn("_change_type", lit("delete")))
+      else Nil
+
     // the coverage recommit (time-series tables) is part of the SAME
     // commit as the Remove/Add actions — no crash window can leave a
     // stale snapshot rejecting appends into the vacated range
     val repairCov = table.timeSpec.isDefined
     val (newSegs, committedV) =
-      if (partial.isEmpty)
-        (Nil, table.commitRemovals(removeIds, recomputeCoverage = repairCov))
-      else {
-        // `hit` (not just the rewritten partials): the swap must abort if
-        // ANY removed file was concurrently re-DV'd or rewritten
-        table.swapSegments(
-          liveRows(table.toLogical(table.segmentScan(spark, partial)), partial)
-            .where(keep), hit,
-          recomputeCoverage = repairCov)
-      }
+      try {
+        if (partial.isEmpty)
+          (Nil, table.commitRemovals(removeIds, recomputeCoverage = repairCov,
+            extraActions = cdc))
+        else {
+          // `hit` (not just the rewritten partials): the swap must abort if
+          // ANY removed file was concurrently re-DV'd or rewritten
+          table.swapSegments(
+            liveRows(table.toLogical(table.segmentScan(spark, partial)), partial)
+              .where(keep), hit,
+            recomputeCoverage = repairCov, extraActions = cdc)
+        }
+      } catch { case e: Throwable => table.deleteCdcStaged(cdc); throw e }
 
     Report(candidates.size, untouched.size + cleanCandidates.size, newSegs.size,
       rowsDeleted, totalLive - rowsDeleted, committedV, fullyMatched.size)
@@ -190,7 +202,12 @@ object DeleteWhere {
         col("_metadata.row_index").as("__i"),
         matchesCond.as("__m"),
         bucketExpr(table).as("__b")))
-    morAttach(spark, table, candidates, untouched.size, totalLive, base)
+    morAttach(spark, table, candidates, untouched.size, totalLive, base,
+      changeRows = Some(() => {
+        val raw = table.toLogical(table.segmentScan(spark, candidates))
+        DeletionVectors.liveRowFilter(table.root, candidates)
+          .map(raw.where).getOrElse(raw).where(matchesCond)
+      }))
   }
 
   /** Bucket id of a row for the coverage recompute — same arithmetic as
@@ -236,14 +253,23 @@ object DeleteWhere {
     * attach atomically (see object doc for the scale shape). */
   private[maintain] def morAttach(spark: SparkSession, table: TsTable,
                                   candidates: Seq[SegmentMeta], untouchedCount: Int,
-                                  totalLive: Long, base: DataFrame): Report = {
+                                  totalLive: Long, base: DataFrame,
+                                  changeRows: Option[() => DataFrame] = None): Report = {
     val plan = morCompute(spark, table, candidates, base).getOrElse(
       return Report(candidates.size, untouchedCount + candidates.size, 0, 0L,
         totalLive, table.version))
+    // change feed: the caller's deleted-rows thunk (one extra matched-rows
+    // read of the candidates), staged only when the feed is on and
+    // something actually matched, committed atomically with the DV attach
+    val cdc: Seq[graft.log.LogAction.AddCdcFile] =
+      if (table.cdfEnabled) changeRows.map(rows => table.stageCdc(
+        rows().withColumn("_change_type", lit("delete")))).getOrElse(Nil)
+      else Nil
     try table.commitDvAttach(plan.upserts, plan.removeIds, plan.expectedDv,
-      recomputeCoverage = table.timeSpec.isDefined)
+      recomputeCoverage = table.timeSpec.isDefined, extraActions = cdc)
     catch {
       case e: Throwable =>
+        table.deleteCdcStaged(cdc)
         plan.written.foreach(rel => java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(PathNorm.canonical(s"${table.root}/$rel"))))
         throw e

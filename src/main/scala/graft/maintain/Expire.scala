@@ -140,6 +140,7 @@ object Expire {
         else bl.readCommit(bv).actions.flatMap {
           case graft.log.LogAction.AddSegment(s) =>
             Seq(s.path) ++ s.coveragePath.toSeq ++ s.dvPath.toSeq
+          case graft.log.LogAction.AddCdcFile(p, _) => Seq(p)
           case _ => Nil
         }
       }
@@ -207,6 +208,7 @@ object Expire {
           case graft.log.LogAction.AddSegment(s) =>
             inGraceOrphanAdds += s.path; s.coveragePath.foreach(inGraceOrphanAdds += _)
             s.dvPath.foreach(inGraceOrphanAdds += _)
+          case graft.log.LogAction.AddCdcFile(p, _) => inGraceOrphanAdds += p
           case _ => ()
         } catch { case _: Exception => () } // unreadable in-grace orphan: sweep age guard still protects its files
       }
@@ -233,13 +235,16 @@ object Expire {
       s.dvPath.foreach(referenced += _)
     }
     referenced ++= branchAddPaths
-    v = keepFromVersion + 1
+    // from the watermark itself (not +1): its commit file is retained, so
+    // its change-feed sidecars must survive the _cdc sweep with it
+    v = keepFromVersion
     while (v <= current) {
       if (Files.exists(store.commitPath(v))) {
         store.readCommit(v).actions.foreach {
           case graft.log.LogAction.AddSegment(s) =>
             referenced += s.path; s.coveragePath.foreach(referenced += _)
             s.dvPath.foreach(referenced += _)
+          case graft.log.LogAction.AddCdcFile(p, _) => referenced += p
           case _ => ()
         }
       }
@@ -271,6 +276,9 @@ object Expire {
     sweep("data", count = true)
     sweep("_coverage/segments", count = false)
     sweep("_dv", count = false) // deletion-vector sidecars age out like coverage
+    // change-feed sidecars are referenced by COMMIT FILES, not state: once
+    // the commits below the watermark drop, their _cdc files are debris
+    sweep("_cdc", count = false)
 
     // 4) crashed-writer debris: a writer that died between staging its
     //    parquet output and moving it into data/ leaves a `.staging-*`

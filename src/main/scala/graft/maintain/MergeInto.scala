@@ -69,6 +69,30 @@ object MergeInto {
       .toSet
   }
 
+  /** MERGE's change-feed record: update_pre = the candidates' live rows
+    * whose key is in the update set (the rows the merge replaces),
+    * update_post / insert = the update rows split by whether their key
+    * exists in the candidates. Classification is two semi-joins and one
+    * anti-join against the candidates' key column — Catalyst sizes
+    * broadcast vs shuffle; cost is an extra candidate read, paid only when
+    * the feed is on. */
+  private def mergeCdc(spark: SparkSession, table: TsTable,
+                       candidates: Seq[SegmentMeta], upd: DataFrame,
+                       key: String): DataFrame = {
+    if (candidates.isEmpty) return upd.withColumn("_change_type", lit("insert"))
+    val raw = table.toLogical(table.segmentScan(spark, candidates))
+    val candLive = graft.table.DeletionVectors.liveRowFilter(table.root, candidates)
+      .map(raw.where).getOrElse(raw)
+    val candKeys = candLive.select(col(key))
+    val pre = candLive.join(upd.select(col(key)), Seq(key), "left_semi")
+      .withColumn("_change_type", lit("update_pre"))
+    val post = upd.join(candKeys, Seq(key), "left_semi")
+      .withColumn("_change_type", lit("update_post"))
+    val ins = upd.join(candKeys, Seq(key), "left_anti")
+      .withColumn("_change_type", lit("insert"))
+    pre.unionByName(post).unionByName(ins)
+  }
+
   /** `txn` = (appId, batchId) streaming-upsert watermark: lands as a
     * SetTxn action in the SAME commit as the merge, and a replayed batch
     * (same app, batchId ≤ watermark) is skipped inside the OCC loop — the
@@ -145,7 +169,12 @@ object MergeInto {
       val cached = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val clustered = Compaction.clusterSorted(cached, curve, outFiles, ClusterKey.fitFor(table))
-        table.swapSegments(clustered, candidates, txn = txn)
+        val cdc: Seq[graft.log.LogAction.AddCdcFile] =
+          if (table.cdfEnabled)
+            table.stageCdc(mergeCdc(scoped, table, candidates, upd, key))
+          else Nil
+        try table.swapSegments(clustered, candidates, txn = txn, extraActions = cdc)
+        catch { case e: Throwable => table.deleteCdcStaged(cdc); throw e }
       } finally cached.unpersist(false)
     } catch {
       // replayed streaming batch: the swap already deleted its staged
@@ -241,8 +270,10 @@ object MergeInto {
 
     // everything after morCompute owns the plan's sidecars: ANY failure
     // from here to the commit must delete them (and any staged segments)
+    var cdc: Seq[graft.log.LogAction.AddCdcFile] = Nil
     def cleanup(staged: Seq[graft.meta.SegmentMeta]): Unit = {
       table.deleteStaged(staged)
+      table.deleteCdcStaged(cdc)
       plan.foreach(_.written.foreach(rel => java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(graft.meta.PathNorm.canonical(s"${table.root}/$rel")))))
     }
@@ -257,16 +288,18 @@ object MergeInto {
         math.ceil(updBytesEst.toDouble / targetFileSize).toInt * 4))
       newSegs = table.stageSegments(
         Compaction.clusterSorted(pinned, curve, outFiles, ClusterKey.fitFor(table)))
+      if (table.cdfEnabled)
+        cdc = table.stageCdc(mergeCdc(spark, table, candidates, pinned, key))
       plan match {
         case Some(p) =>
           table.commitDvAttach(p.upserts, p.removeIds, p.expectedDv,
             recomputeCoverage = table.timeSpec.isDefined, adds = newSegs,
-            sparkForChecks = Some(spark), txn = txn)
+            sparkForChecks = Some(spark), txn = txn, extraActions = cdc)
         case None =>
           // pure insert: no matched rows anywhere — commit just the adds
           table.commitDvAttach(Nil, Nil, Map.empty,
             recomputeCoverage = table.timeSpec.isDefined, adds = newSegs,
-            sparkForChecks = Some(spark), txn = txn)
+            sparkForChecks = Some(spark), txn = txn, extraActions = cdc)
       }
     } catch {
       // replayed streaming batch: delete this attempt's unreferenced
@@ -321,7 +354,13 @@ object MergeInto {
           coalesce(col("__hit"), lit(false)).as("__m"), col("__b"))
     }
     DeleteWhere.morAttach(spark, table, candidates,
-      live.size - candidates.size, totalLive, base)
+      live.size - candidates.size, totalLive, base,
+      changeRows = Some(() => {
+        val raw = table.toLogical(table.segmentScan(spark, candidates))
+        graft.table.DeletionVectors.liveRowFilter(table.root, candidates)
+          .map(raw.where).getOrElse(raw)
+          .join(del, Seq(key), "left_semi")
+      }))
   }
 
   /** Shared candidate-file selection for [[merge]] and [[mergeDelete]]:

@@ -72,14 +72,41 @@ object UpdateWhere {
       }
     }
 
+    // change feed: pre/post images of the matched rows, one extra
+    // matched-rows read (paid only when the feed is on), same commit
+    val cdc: Seq[graft.log.LogAction.AddCdcFile] =
+      if (table.cdfEnabled)
+        table.stageCdc(changeImages(table, spark, schema, set,
+          liveRows(table.toLogical(table.segmentScan(spark, hit)), hit)
+            .where(matchesCond)))
+      else Nil
+
     val repairCov = table.timeSpec.isDefined
-    val (newSegs, committedV) = table.swapSegments(
-      liveRows(table.toLogical(table.segmentScan(spark, hit)), hit)
-        .select(projected.toIndexedSeq: _*),
-      hit, recomputeCoverage = repairCov)
+    val (newSegs, committedV) =
+      try table.swapSegments(
+        liveRows(table.toLogical(table.segmentScan(spark, hit)), hit)
+          .select(projected.toIndexedSeq: _*),
+        hit, recomputeCoverage = repairCov, extraActions = cdc)
+      catch { case e: Throwable => table.deleteCdcStaged(cdc); throw e }
 
     Report(candidates.size, untouched.size + clean.size, newSegs.size,
       rowsUpdated, committedV)
+  }
+
+  /** UPDATE's change-feed record: each matched row exploded into its pre
+    * image and its post image (SET applied unconditionally — rows arrive
+    * already matched), [[ChangeFeed]]'s update_pre/update_post vocabulary. */
+  private def changeImages(table: TsTable, spark: SparkSession,
+                           schema: org.apache.spark.sql.types.StructType,
+                           set: Map[String, org.apache.spark.sql.Column],
+                           matched: DataFrame): DataFrame = {
+    val names = schema.fieldNames.toSeq
+    val pre = struct((names.map(col) :+ lit("update_pre").as("_change_type")): _*)
+    val post = struct((schema.fields.toSeq.map { f =>
+      set.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+    } :+ lit("update_post").as("_change_type")): _*)
+    matched.select(explode(array(pre, post)).as("__c"))
+      .select((names :+ "_change_type").map(c => col(s"__c.`$c`").as(c)): _*)
   }
 
   /** Merge-on-read UPDATE: the matched rows are masked with
@@ -136,20 +163,25 @@ object UpdateWhere {
         math.max(1, (plan.rowsMatched / 10000L).toInt)))
     val curve = table.clusterSpec.map(_.curve).getOrElse("none")
     var newSegs: Seq[SegmentMeta] = Nil
+    var cdc: Seq[graft.log.LogAction.AddCdcFile] = Nil
     try {
       val raw = table.toLogical(table.segmentScan(spark, candidates))
-      val matchedRows = DeletionVectors.liveRowFilter(table.root, candidates)
+      val matchedRaw = DeletionVectors.liveRowFilter(table.root, candidates)
         .map(raw.where).getOrElse(raw)
         .where(matchesCond)
-        .select(projected.toIndexedSeq: _*)
+      val matchedRows = matchedRaw.select(projected.toIndexedSeq: _*)
       newSegs = table.stageSegments(
         Compaction.clusterSorted(matchedRows, curve, outFiles, ClusterKey.fitFor(table)))
+      // change feed: pre/post images of the matched rows, same commit
+      if (table.cdfEnabled)
+        cdc = table.stageCdc(changeImages(table, spark, schema, set, matchedRaw))
       table.commitDvAttach(plan.upserts, plan.removeIds, plan.expectedDv,
         recomputeCoverage = table.timeSpec.isDefined, adds = newSegs,
-        sparkForChecks = Some(spark))
+        sparkForChecks = Some(spark), extraActions = cdc)
     } catch {
       case e: Throwable =>
         table.deleteStaged(newSegs)
+        table.deleteCdcStaged(cdc)
         plan.written.foreach(rel => java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(PathNorm.canonical(s"${table.root}/$rel"))))
         throw e

@@ -96,7 +96,12 @@ final case class TableMeta(
     // creation (Delta columnMapping discipline), so a rename is one
     // metadata commit and no file is ever rewritten for it. Empty for
     // never-renamed tables — every code path treats that as identity.
-    colMap: Map[String, String] = Map.empty) {
+    colMap: Map[String, String] = Map.empty,
+    // change data feed (Delta delta.enableChangeDataFeed analog): when
+    // true, every row-changing writer records its row-level changes as
+    // `_cdc/` sidecars in the SAME commit; the feed is readable from the
+    // first commit AFTER the flag lands (earlier mutations have no record)
+    cdfEnabled: Boolean = false) {
 
   def schema: Option[StructType] =
     schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
@@ -141,6 +146,7 @@ final case class TableMeta(
       val cm = n.putObject("column_mapping")
       colMap.toSeq.sortBy(_._1).foreach { case (k, v) => cm.put(k, v) }
     }
+    if (cdfEnabled) n.put("cdf_enabled", true)
     n
   }
 }
@@ -173,7 +179,8 @@ object TableMeta {
     val colMap = Option(n.get("column_mapping"))
       .map(cm => Json.fields(cm).map { case (k, v) => k -> v.asText() })
       .getOrElse(Map.empty[String, String])
+    val cdf = Option(n.get("cdf_enabled")).exists(_.asBoolean())
     TableMeta(Json.getStr(n, "name"), kind, Json.optStr(n, "schema"), identity, checks,
-      tags, colMap)
+      tags, colMap, cdf)
   }
 }

@@ -117,14 +117,29 @@ final class TableStreamSource(
     }
   }
 
-  override val schema: StructType = table.meta.schema.getOrElse(
+  /** `readChangeFeed=true`: emit the writer-recorded change feed
+    * ([[graft.maintain.ChangeFeed]]) instead of appended rows — each batch
+    * is the change records of its commit range (pure appends synthesize
+    * inserts, DataNeutral rewrites are silent, an unrecorded mutation
+    * FAILS the query — there is no silent skip in CDF mode, so
+    * skipChangeCommits does not apply). The initial snapshot arrives as
+    * `insert` rows at the pinned version, exactly like the plain source's
+    * first batch. Schema gains `_change_type`/`_commit_version`/
+    * `_commit_timestamp`. */
+  private val readChangeFeed: Boolean =
+    opt("readChangeFeed").exists(_.toBoolean)
+
+  private val tableSchema: StructType = table.meta.schema.getOrElse(
     throw new IllegalStateException(
       s"table at $rootPath has no adopted schema yet (append once before streaming from it)"))
+
+  override val schema: StructType =
+    if (readChangeFeed) TableStreamSource.cdfSchema(tableSchema) else tableSchema
 
   /** The files' frozen physical names for the declared (logical) schema.
     * Physical names never change, so the init-time mapping stays valid
     * for every later batch (identity for never-renamed tables). */
-  private val physSchema: StructType = table.meta.physicalize(schema)
+  private val physSchema: StructType = table.meta.physicalize(tableSchema)
 
   private val skipChangeCommits: Boolean =
     opt("skipChangeCommits").forall(_.toBoolean)
@@ -200,6 +215,7 @@ final class TableStreamSource(
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = version(end)
+    if (readChangeFeed) return cdfBatch(start.map(version), endV)
     // tail batches replay AddSegments from append-only commits, which
     // never carry deletion vectors (a DV attach is a Remove+Add change
     // commit, skipped above); only the initial snapshot can see DVs
@@ -238,11 +254,52 @@ final class TableStreamSource(
         // match the declared LOGICAL source schema
         val raw = sqlContext.sparkSession.read.schema(physSchema).parquet(paths: _*)
         val df = dvFilter.map(raw.where).getOrElse(raw)
-          .select(schema.fieldNames.zip(physSchema.fieldNames)
+          .select(tableSchema.fieldNames.zip(physSchema.fieldNames)
             .map { case (log, phys) => col(phys).as(log) }.toIndexedSeq: _*)
         Bridge.streamingBatch(df, schema)
       }
     batch
+  }
+
+  /** Change-feed batch: tail batches replay the writer-recorded changes of
+    * (startV, endV]; the initial snapshot (no checkpointed offset, no
+    * startingVersion) arrives as `insert` rows pinned at endV. */
+  private def cdfBatch(startV: Option[Long], endV: Long): DataFrame = {
+    val spark = sqlContext.sparkSession
+    val since = startV.orElse(startingVersion.map(_ - 1))
+    val df = since match {
+      case Some(s) =>
+        if (s >= endV) Bridge.emptyStreamingBatch(spark, schema)
+        else Bridge.streamingBatch(
+          graft.maintain.ChangeFeed.read(spark, table, s, endV), schema)
+      case None =>
+        // initial snapshot as inserts, same pinned-version discipline (and
+        // the same expired-snapshot failure mode) as the plain source
+        val segs =
+          try TableState.rebuildAt(table.store, endV).liveSegments
+          catch { case e: Exception
+              if e.getMessage != null && e.getMessage.contains("missing commit file") =>
+            throw new IllegalStateException(
+              s"initial-snapshot version $endV of $rootPath has been expired by " +
+                "snapshot retention; restart from a fresh checkpoint", e)
+          }
+        if (segs.isEmpty) return Bridge.emptyStreamingBatch(spark, schema)
+        val tsMillis = table.store.readCommit(endV).timestampMillis
+        val raw = spark.read.schema(physSchema)
+          .parquet(segs.map(s => graft.meta.PathNorm.resolve(rootPath, s.path)): _*)
+        val live = graft.table.DeletionVectors.liveRowFilter(rootPath, segs)
+          .map(raw.where).getOrElse(raw)
+        val df0 = live.select(tableSchema.fieldNames.zip(physSchema.fieldNames)
+            .map { case (log, phys) => col(phys).as(log) }.toIndexedSeq: _*)
+          .withColumn(graft.maintain.ChangeFeed.ChangeTypeCol,
+            org.apache.spark.sql.functions.lit("insert"))
+          .withColumn(graft.maintain.ChangeFeed.VersionCol,
+            org.apache.spark.sql.functions.lit(endV))
+          .withColumn(graft.maintain.ChangeFeed.TimestampCol,
+            org.apache.spark.sql.functions.lit(new java.sql.Timestamp(tsMillis)))
+        Bridge.streamingBatch(df0, schema)
+    }
+    df
   }
 
   /** Segment paths appended by commits fromV..toV, skipping (or refusing)
@@ -288,6 +345,19 @@ final class TableStreamSource(
   override def commit(end: OffsetV1): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"TableStreamSource[$rootPath]"
+}
+
+object TableStreamSource {
+  /** Source schema in change-feed mode: the table's logical columns +
+    * the feed's three metadata columns, in [[graft.maintain.ChangeFeed]]'s
+    * column order (streamingBatch re-tags by POSITION). */
+  def cdfSchema(tableSchema: StructType): StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, TimestampType}
+    StructType(tableSchema.fields ++ Seq(
+      StructField(graft.maintain.ChangeFeed.ChangeTypeCol, StringType),
+      StructField(graft.maintain.ChangeFeed.VersionCol, LongType, nullable = false),
+      StructField(graft.maintain.ChangeFeed.TimestampCol, TimestampType)))
+  }
 }
 
 /** The "graft-table" data source — batch and streaming reads through one
@@ -431,8 +501,11 @@ final class GraftSourceProvider extends StreamSourceProvider with StreamSinkProv
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
-    val declared = TsTable.open(root(parameters)).meta.schema.getOrElse(
+    val base = TsTable.open(root(parameters)).meta.schema.getOrElse(
       throw new IllegalStateException("table has no adopted schema yet"))
+    val cdf = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v.toBoolean }.getOrElse(false)
+    val declared = if (cdf) TableStreamSource.cdfSchema(base) else base
     schema.foreach { s =>
       require(s == declared,
         s"user-specified schema ${s.simpleString} != table schema ${declared.simpleString}")

@@ -613,7 +613,8 @@ final class TsTable private (val root: String, val store: LogStore) {
   private[graft] def swapSegments(df: DataFrame, removed: Seq[SegmentMeta],
                                   maxRetries: Int = 3,
                                   recomputeCoverage: Boolean = false,
-                                  txn: Option[(String, Long)] = None): (Seq[SegmentMeta], Long) = {
+                                  txn: Option[(String, Long)] = None,
+                                  extraActions: Seq[LogAction] = Nil): (Seq[SegmentMeta], Long) = {
     val spark = df.sparkSession
     val checksValidated = cachedState.tableMeta.map(_.checks).getOrElse(Nil)
     val removeIds = removed.map(_.segmentId)
@@ -656,7 +657,8 @@ final class TsTable private (val root: String, val store: LogStore) {
         val actions: Seq[LogAction] =
           removeIds.map(LogAction.RemoveSegment) ++ segs.map(LogAction.AddSegment) ++
             (if (recomputeCoverage) coverageActionFor(st, removeIds, segs).toSeq else Nil) ++
-            txn.map { case (app, batch) => LogAction.SetTxn(app, batch) }.toSeq
+            txn.map { case (app, batch) => LogAction.SetTxn(app, batch) }.toSeq ++
+            extraActions // change-feed records / DataNeutral marker ride the same commit
         commitAndAdvance(st, actions)
       }
       (segs, v)
@@ -738,6 +740,59 @@ final class TsTable private (val root: String, val store: LogStore) {
       seg.coveragePath.foreach(cp =>
         Files.deleteIfExists(Paths.get(stripScheme(s"$root/$cp"))))
     }
+
+  // ------------------------------------------------------ change data feed
+
+  /** Whether row-changing writers record a change feed (TableMeta flag). */
+  def cdfEnabled: Boolean = cachedState.tableMeta.exists(_.cdfEnabled)
+
+  /** Turn the change feed on/off — one metadata commit. The feed is
+    * readable from the first commit AFTER the enabling one; mutations
+    * before it have no record and [[graft.maintain.ChangeFeed]] refuses
+    * ranges that cross them (Delta delta.enableChangeDataFeed analog). */
+  def enableCdf(maxRetries: Int = 3): Long =
+    commitMetaUpdate(maxRetries) { (_, m) =>
+      if (m.cdfEnabled) None else Some(m.copy(cdfEnabled = true)) }
+  def disableCdf(maxRetries: Int = 3): Long =
+    commitMetaUpdate(maxRetries) { (_, m) =>
+      if (!m.cdfEnabled) None else Some(m.copy(cdfEnabled = false)) }
+
+  /** Stage a change-record DataFrame (logical table columns +
+    * `_change_type`) as parquet under `_cdc/` and return the AddCdcFile
+    * actions the caller must carry in the SAME commit as the change —
+    * exactly the staged-then-committed discipline of [[stageSegments]],
+    * without footer-stats/coverage/check machinery (the feed is not
+    * scannable table state). Until that commit lands the files are
+    * unreferenced; the caller owns [[deleteCdcStaged]] on every abort path
+    * (Expire's unreferenced-sweep is the crashed-writer backstop). */
+  private[graft] def stageCdc(df: DataFrame): Seq[LogAction.AddCdcFile] = {
+    val commitId = UUID.randomUUID().toString.take(8)
+    val stagingAbs = s"$root/.staging-cdc-$commitId"
+    val heartbeat = StagingHeartbeat.start(stagingAbs)
+    try {
+      // physical column names on disk, like the data files — the feed
+      // reader maps back through the read-time column mapping, so a CDC
+      // file written before a RENAME still reads under the new name
+      toPhysical(df).write.mode("overwrite").parquet(stagingAbs)
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val stats = FooterStats.readAll(conf, listParquet(stagingAbs))
+      val (live, empty) = stats.partition(_._2.rowCount > 0)
+      empty.foreach(f => Files.deleteIfExists(Paths.get(stripScheme(f._1))))
+      Files.createDirectories(Paths.get(stripScheme(s"$root/_cdc")))
+      val actions = live.zipWithIndex.map { case ((src, fs), i) =>
+        val rel = f"_cdc/cdc-$commitId-$i%05d.parquet"
+        Files.move(Paths.get(stripScheme(src)), Paths.get(stripScheme(s"$root/$rel")))
+        LogAction.AddCdcFile(rel, fs.rowCount)
+      }
+      heartbeat.stop()
+      deleteRecursively(Paths.get(stripScheme(stagingAbs)))
+      actions
+    } finally heartbeat.stop()
+  }
+
+  /** Abort cleanup for [[stageCdc]] output whose commit never landed. */
+  private[graft] def deleteCdcStaged(actions: Seq[LogAction.AddCdcFile]): Unit =
+    actions.foreach(a => Files.deleteIfExists(Paths.get(stripScheme(s"$root/${a.path}"))))
 
   /** CHECK constraint: add an ingest-quality gate (name → SQL predicate)
     * as a metadata-only commit. SQL CHECK semantics: a row passes when
@@ -1354,14 +1409,16 @@ final class TsTable private (val root: String, val store: LogStore) {
     * time-series tables), OCC with rebase-retry; aborts if a concurrent
     * job already rewrote one of the segments. */
   private[graft] def commitRemovals(removeIds: Seq[String], maxRetries: Int = 3,
-                                    recomputeCoverage: Boolean = false): Long =
+                                    recomputeCoverage: Boolean = false,
+                                    extraActions: Seq[LogAction] = Nil): Long =
     occLoop(maxRetries) { st =>
       val missing = removeIds.filterNot(st.segments.contains)
       if (missing.nonEmpty)
         throw new IllegalStateException(
           s"remove aborted: segments already rewritten by a concurrent job: $missing")
       commitAndAdvance(st, removeIds.map(LogAction.RemoveSegment) ++
-        (if (recomputeCoverage) coverageActionFor(st, removeIds, Nil).toSeq else Nil))
+        (if (recomputeCoverage) coverageActionFor(st, removeIds, Nil).toSeq else Nil) ++
+        extraActions)
     }
 
   /** Merge-on-read DELETE commit: upsert `upserts` (same segment ids, new
@@ -1382,7 +1439,8 @@ final class TsTable private (val root: String, val store: LogStore) {
                                     recomputeCoverage: Boolean = false,
                                     adds: Seq[SegmentMeta] = Nil,
                                     sparkForChecks: Option[SparkSession] = None,
-                                    txn: Option[(String, Long)] = None): Long = {
+                                    txn: Option[(String, Long)] = None,
+                                    extraActions: Seq[LogAction] = Nil): Long = {
     val affected = upserts.map(_.segmentId) ++ removeIds
     val checksValidated = cachedState.tableMeta.map(_.checks).getOrElse(Nil)
     occLoop(maxRetries) { st =>
@@ -1410,7 +1468,8 @@ final class TsTable private (val root: String, val store: LogStore) {
           (upserts ++ adds).map(LogAction.AddSegment) ++
           (if (recomputeCoverage)
             coverageActionFor(st, affected, upserts ++ adds).toSeq else Nil) ++
-          txn.map { case (app, batch) => LogAction.SetTxn(app, batch) }.toSeq)
+          txn.map { case (app, batch) => LogAction.SetTxn(app, batch) }.toSeq ++
+          extraActions)
     }
   }
 
