@@ -501,6 +501,40 @@ object SparkEntry {
           expr(tokSum).as("tok_sum"))
     }),
 
+    // ROW TRACKING: two single-sorted-file appends make the id assignment
+    // a closed form (rank by doc_id within each append), then a compaction
+    // rewrite (ids must MATERIALIZE and survive the curve re-sort), a MOR
+    // delete (survivor ids untouched) and a CoW UPDATE (touched rows keep
+    // their id, bump _row_commit; passthrough rows keep both). Any slip
+    // (an id reminted, a commit-version misattributed, backfill order
+    // drift) changes row_id or commit_kind and hash-mismatches
+    "q73_row_tracking" -> ((s, dir) => {
+      val root = TempRoots.create("graft-engine")
+      val t = TsTable.create(root, TableMeta("tokens",
+        TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")),
+        None, None))
+      t.enableRowTracking()
+      val df = tokenDf(s, dir)
+      t.append(df.where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0")
+        .repartition(1).sortWithinPartitions("doc_id"))
+      val vE = t.version
+      t.append(df.where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1")
+        .repartition(1).sortWithinPartitions("doc_id"))
+      val vO = t.version
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
+      graft.maintain.DeleteWhere.deleteMor(s, t, col("n_tok") > 1500)
+      graft.maintain.UpdateWhere.update(s, t, col("n_tok") <= 100,
+        Map("source" -> lit("patched")))
+      val vU = t.version
+      t.scanWithRowIds(s).select(col("doc_id"), col("source"), col("n_tok"),
+        col("_row_id").as("row_id"),
+        when(col("_row_commit") === vU, "updated")
+          .when(col("_row_commit") === vE, "evens")
+          .when(col("_row_commit") === vO, "odds")
+          .otherwise("other").as("commit_kind"),
+        expr(tokSum).as("tok_sum"))
+    }),
+
     // files metadata table: two single-file appends (evens, odds) make
     // the manifest's per-file row counts and doc_id/n_tok footer stats a
     // closed form — the gate proves the `files` surface reports EXACTLY
@@ -1227,6 +1261,29 @@ object SparkEntry {
            |  CAST(64 + doc_id % 1985 AS INT) AS n_tok,
            |  ${tokSumOracle("doc_id", 31)} AS tok_sum
            |FROM documents WHERE 64 + doc_id % 1985 <= 100""".stripMargin,
+
+      // row ids: rank by doc_id within each sorted append (evens then
+      // odds, offset by the evens count); survivors of the MOR delete;
+      // commit_kind classifies each row's last-modifying commit
+      "q73_row_tracking" ->
+        s"""WITH base AS (
+           |  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS did,
+           |         doc_id AS id0, source, 64 + doc_id % 1985 AS ntok
+           |  FROM documents),
+           |evens AS (SELECT *, row_number() OVER (ORDER BY did) - 1 AS rid
+           |          FROM base WHERE id0 % 2 = 0),
+           |odds AS (SELECT *, (SELECT count(*) FROM base WHERE id0 % 2 = 0)
+           |           + row_number() OVER (ORDER BY did) - 1 AS rid
+           |         FROM base WHERE id0 % 2 = 1),
+           |allr AS (SELECT * FROM evens UNION ALL SELECT * FROM odds)
+           |SELECT did AS doc_id,
+           |  CASE WHEN ntok <= 100 THEN 'patched' ELSE source END AS source,
+           |  CAST(ntok AS INT) AS n_tok,
+           |  rid AS row_id,
+           |  CASE WHEN ntok <= 100 THEN 'updated'
+           |       WHEN id0 % 2 = 0 THEN 'evens' ELSE 'odds' END AS commit_kind,
+           |  ${tokSumOracle("id0", 31)} AS tok_sum
+           |FROM allr WHERE ntok <= 1500""".stripMargin,
 
       // survivors of the MOR delete with n_tok as the WIDENED type
       "q71_widen_column" ->

@@ -17,6 +17,7 @@ import graft.table.TsTable
   *   append  --table ROOT --parquet FILE
   *   query   --table ROOT --sql SQL [--at-version V | --at-tag N |
   *            --at-timestamp ISO8601|EPOCH_MS]  (AS OF TIMESTAMP)
+  *           [--with-row-ids]  (append _row_id/_row_commit; needs tracking)
   *           [--explain] [--timing]
   *           [--max-rows N] [--output PATH --format csv|jsonl] [--pager]
   *           [--param k=v]... [--arg v]...   ($1..$N bind to --arg in order)
@@ -60,6 +61,9 @@ import graft.table.TsTable
   *             int/float→double, →wider decimal; old files read up-converted)
   *           | --enable-cdf | --disable-cdf  (change data feed: mutating
   *             verbs record row-level changes readable via `changes`)
+  *           | --enable-row-tracking | --disable-row-tracking  (stable
+  *             `_row_id`/`_row_commit` per row, surviving every rewrite;
+  *             read via `query --with-row-ids`)
   *   analyze --table ROOT [--target-file-size BYTES]
   *           (manifest-only health report: small-file/DV debt, clustering)
   *   files   --table ROOT [--branch N] [--max-rows N]
@@ -137,7 +141,10 @@ object Main {
           // epoch millis or any ISO-8601 instant (AS OF TIMESTAMP)
           val ms = ts.toLongOption.getOrElse(java.time.Instant.parse(ts).toEpochMilli)
           t.scanAsOf(spark, ms)
-        case _ => t.scan(spark)
+        case _ =>
+          // --with-row-ids: current snapshot plus _row_id/_row_commit
+          // (row tracking must be enabled; historical pins read plain)
+          if (flag(args, "with-row-ids")) t.scanWithRowIds(spark) else t.scan(spark)
       }
       scan.createOrReplaceTempView("t")
       val named: Map[String, Any] = multi(args, "param").map { kv =>
@@ -302,10 +309,15 @@ object Main {
             println(s"change data feed enabled -> v${t.enableCdf()}")
           case None if flag(args, "disable-cdf") =>
             println(s"change data feed disabled -> v${t.disableCdf()}")
+          case None if flag(args, "enable-row-tracking") =>
+            println(s"row tracking enabled -> v${t.enableRowTracking()}")
+          case None if flag(args, "disable-row-tracking") =>
+            println(s"row tracking disabled -> v${t.disableRowTracking()}")
           case None => sys.error(
             "alter needs --add-column, --drop-column, --add-check, --drop-check, " +
               "--cluster-by [--curve], --rename-column OLD:NEW, " +
-              "--retype-column NAME:TYPE, --enable-cdf, or --disable-cdf")
+              "--retype-column NAME:TYPE, --enable-cdf/--disable-cdf, " +
+              "or --enable-row-tracking/--disable-row-tracking")
         }
       }
 

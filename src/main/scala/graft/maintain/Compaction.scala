@@ -225,8 +225,16 @@ object Compaction {
       // boundary SAMPLE below stays physical — deleted rows skew the
       // approximate range bounds marginally, never correctness.)
       val raw = table.segmentScan(scoped, inputs)
+      // row tracking: a compaction is row-preserving, so the rewrite reads
+      // ids attached (coalesce of materialized column / base+position) and
+      // MATERIALIZES them into the output files — the sort below reorders
+      // rows, so position-based defaults could not survive it. The
+      // boundary sample keeps the plain (untracked) relation: it prunes to
+      // the cluster-key columns only.
+      val rawIds =
+        if (table.rowTrackingEnabled) table.segmentScanWithRowIds(scoped, inputs) else raw
       val df = graft.table.DeletionVectors.liveRowFilter(table.root, inputs)
-        .map(raw.where).getOrElse(raw)
+        .map(rawIds.where).getOrElse(rawIds)
       val sorted = curve match {
         case ("zorder" | "hilbert") if outFiles > 1 =>
           // range boundaries from an EXPLICIT sample over the cluster-key

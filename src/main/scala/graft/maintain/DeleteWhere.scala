@@ -165,10 +165,17 @@ object DeleteWhere {
           (Nil, table.commitRemovals(removeIds, recomputeCoverage = repairCov,
             extraActions = cdc))
         else {
+          // row tracking: survivors keep their ids — the partial rewrite
+          // reads ids attached and materializes them into the new files
+          // (`_row_commit` keeps its old value too: surviving rows were
+          // NOT modified by this delete)
+          val partialScan =
+            if (table.rowTrackingEnabled) table.segmentScanWithRowIds(spark, partial)
+            else table.segmentScan(spark, partial)
           // `hit` (not just the rewritten partials): the swap must abort if
           // ANY removed file was concurrently re-DV'd or rewritten
           table.swapSegments(
-            liveRows(table.toLogical(table.segmentScan(spark, partial)), partial)
+            liveRows(table.toLogical(partialScan), partial)
               .where(keep), hit,
             recomputeCoverage = repairCov, extraActions = cdc)
         }

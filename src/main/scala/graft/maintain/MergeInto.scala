@@ -154,17 +154,34 @@ object MergeInto {
       // the candidate read is created on the scoped session: split sizing
       // binds to the relation's session, so the tuned maxPartitionBytes
       // applies here and ONLY here (upd keeps the caller's session/conf)
+      val tracked = table.rowTrackingEnabled
       val merged =
-        if (candidates.isEmpty) upd
+        if (candidates.isEmpty) upd // fresh keys: commit-time bases mint their ids
         else {
           // merge-on-read deletes: candidates are read live-rows-only, so
           // the rewrite materializes any DV away (outputs carry none) and
           // deleted rows can never resurrect through a MERGE
-          val raw = table.toLogical(table.segmentScan(scoped, candidates))
-          graft.table.DeletionVectors.liveRowFilter(table.root, candidates)
+          val raw = table.toLogical(
+            if (tracked) table.segmentScanWithRowIds(scoped, candidates)
+            else table.segmentScan(scoped, candidates))
+          val liveRows = graft.table.DeletionVectors.liveRowFilter(table.root, candidates)
             .map(raw.where).getOrElse(raw)
-            .join(upd.select(col(key)), Seq(key), "left_anti")
-            .unionByName(upd)
+          val survivors = liveRows.join(upd.select(col(key)), Seq(key), "left_anti")
+          if (!tracked) survivors.unionByName(upd)
+          else {
+            // row tracking: a matched update KEEPS the old row's id (min id
+            // when the key was duplicated — all its rows collapse into the
+            // one update row); an unmatched insert carries NULL and mints a
+            // fresh id from the new file's commit-assigned base. Both are
+            // MODIFIED by this commit: `_row_commit` = NULL resolves to the
+            // new segment's rowVersion at read time.
+            val oldIds = liveRows.groupBy(col(key))
+              .agg(min(col(graft.table.RowTracking.RowIdCol))
+                .as(graft.table.RowTracking.RowIdCol))
+            survivors.unionByName(
+              upd.join(oldIds, Seq(key), "left")
+                .withColumn(graft.table.RowTracking.RowCommitCol, lit(null).cast("long")))
+          }
         }
       val cached = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -286,8 +303,25 @@ object MergeInto {
       val updBytesEst = updCount * 4096L
       val outFiles = math.max(1, math.min(spark.sparkContext.defaultParallelism,
         math.ceil(updBytesEst.toDouble / targetFileSize).toInt * 4))
+      // row tracking: matched updates keep the masked row's id (one extra
+      // key+id column-pruned pass over the candidates — the same cost
+      // class as the matched-position pass); inserts carry NULL and mint
+      // fresh ids from the new segments' commit-assigned base. `_row_commit`
+      // NULL = this commit, via the new segments' rowVersion.
+      val toWrite =
+        if (!table.rowTrackingEnabled || candidates.isEmpty) pinned
+        else {
+          val raw = table.toLogical(table.segmentScanWithRowIds(spark, candidates))
+          val liveRows = graft.table.DeletionVectors.liveRowFilter(table.root, candidates)
+            .map(raw.where).getOrElse(raw)
+          val oldIds = liveRows.groupBy(col(key))
+            .agg(min(col(graft.table.RowTracking.RowIdCol))
+              .as(graft.table.RowTracking.RowIdCol))
+          pinned.join(oldIds, Seq(key), "left")
+            .withColumn(graft.table.RowTracking.RowCommitCol, lit(null).cast("long"))
+        }
       newSegs = table.stageSegments(
-        Compaction.clusterSorted(pinned, curve, outFiles, ClusterKey.fitFor(table)))
+        Compaction.clusterSorted(toWrite, curve, outFiles, ClusterKey.fitFor(table)))
       if (table.cdfEnabled)
         cdc = table.stageCdc(mergeCdc(spark, table, candidates, pinned, key))
       plan match {

@@ -81,11 +81,25 @@ object UpdateWhere {
             .where(matchesCond)))
       else Nil
 
+    // row tracking: every rewritten row keeps its id; rows the SET touched
+    // get a NULL materialized `_row_commit`, which the read side resolves
+    // to the new file's rowVersion — i.e. THIS commit — while untouched
+    // passthrough rows freeze their old value
+    val trackCols: Seq[Column] =
+      if (table.rowTrackingEnabled) Seq(
+        col(graft.table.RowTracking.RowIdCol),
+        when(matchesCond, lit(null).cast("long"))
+          .otherwise(col(graft.table.RowTracking.RowCommitCol))
+          .as(graft.table.RowTracking.RowCommitCol))
+      else Nil
+    def hitScan = if (table.rowTrackingEnabled) table.segmentScanWithRowIds(spark, hit)
+                  else table.segmentScan(spark, hit)
+
     val repairCov = table.timeSpec.isDefined
     val (newSegs, committedV) =
       try table.swapSegments(
-        liveRows(table.toLogical(table.segmentScan(spark, hit)), hit)
-          .select(projected.toIndexedSeq: _*),
+        liveRows(table.toLogical(hitScan), hit)
+          .select(projected.toIndexedSeq ++ trackCols: _*),
         hit, recomputeCoverage = repairCov, extraActions = cdc)
       catch { case e: Throwable => table.deleteCdcStaged(cdc); throw e }
 
@@ -165,11 +179,23 @@ object UpdateWhere {
     var newSegs: Seq[SegmentMeta] = Nil
     var cdc: Seq[graft.log.LogAction.AddCdcFile] = Nil
     try {
-      val raw = table.toLogical(table.segmentScan(spark, candidates))
+      // row tracking: a MOR update's re-appended images KEEP their row ids
+      // (materialized from the masked source rows) and carry a NULL
+      // `_row_commit` — the new segment's rowVersion (this commit) becomes
+      // their last-modified version at read time
+      val candScan =
+        if (table.rowTrackingEnabled) table.segmentScanWithRowIds(spark, candidates)
+        else table.segmentScan(spark, candidates)
+      val trackCols: Seq[Column] =
+        if (table.rowTrackingEnabled) Seq(
+          col(graft.table.RowTracking.RowIdCol),
+          lit(null).cast("long").as(graft.table.RowTracking.RowCommitCol))
+        else Nil
+      val raw = table.toLogical(candScan)
       val matchedRaw = DeletionVectors.liveRowFilter(table.root, candidates)
         .map(raw.where).getOrElse(raw)
         .where(matchesCond)
-      val matchedRows = matchedRaw.select(projected.toIndexedSeq: _*)
+      val matchedRows = matchedRaw.select(projected.toIndexedSeq ++ trackCols: _*)
       newSegs = table.stageSegments(
         Compaction.clusterSorted(matchedRows, curve, outFiles, ClusterKey.fitFor(table)))
       // change feed: pre/post images of the matched rows, same commit

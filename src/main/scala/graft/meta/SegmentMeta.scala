@@ -97,7 +97,16 @@ final case class SegmentMeta(
     // conservative: the live subset of a file can only have narrower
     // min/max, so AlwaysFalse pruning conclusions remain sound.
     dvPath: Option[String] = None,   // relative to table root, immutable
-    dvCardinality: Long = 0L) {      // deleted positions in dvPath
+    dvCardinality: Long = 0L,        // deleted positions in dvPath
+    // Row tracking (Delta baseRowId / defaultRowCommitVersion analog),
+    // assigned AT COMMIT TIME from the table's row-id high-water mark:
+    // a row's stable id is coalesce(materialized `_row_id` column,
+    // baseRowId + parquet row position); its last-modified version is
+    // coalesce(materialized `_row_commit`, rowVersion). Files never
+    // carry the base — re-adding the same SegmentMeta (DV attach,
+    // RESTORE) copies it, so ids survive every metadata-only verb.
+    baseRowId: Option[Long] = None,
+    rowVersion: Option[Long] = None) {
 
   def tsMin(col: String): Option[StatVal] = stats.get(col).flatMap(_.min)
   def tsMax(col: String): Option[StatVal] = stats.get(col).flatMap(_.max)
@@ -121,6 +130,8 @@ final case class SegmentMeta(
     }
     coveragePath.foreach(n.put("coverage_path", _))
     dvPath.foreach { p => n.put("dv_path", p); n.put("dv_cardinality", dvCardinality) }
+    baseRowId.foreach(n.put("base_row_id", _))
+    rowVersion.foreach(n.put("row_version", _))
     n
   }
 }
@@ -144,7 +155,9 @@ object SegmentMeta {
       stats,
       Json.optStr(n, "coverage_path"),
       Json.optStr(n, "dv_path"),
-      Json.optLong(n, "dv_cardinality").getOrElse(0L))
+      Json.optLong(n, "dv_cardinality").getOrElse(0L),
+      Json.optLong(n, "base_row_id"),
+      Json.optLong(n, "row_version"))
   }
 
   /** Content-addressed segment id, mirroring the reference's

@@ -101,7 +101,14 @@ final case class TableMeta(
     // true, every row-changing writer records its row-level changes as
     // `_cdc/` sidecars in the SAME commit; the feed is readable from the
     // first commit AFTER the flag lands (earlier mutations have no record)
-    cdfEnabled: Boolean = false) {
+    cdfEnabled: Boolean = false,
+    // row tracking (Delta delta.enableRowTracking analog): when true,
+    // every committed segment gets a baseRowId range from rowIdHighWater
+    // (bumped atomically in the same commit) and row-preserving rewrites
+    // materialize `_row_id`/`_row_commit`, so every row carries a stable
+    // id and a last-modified version across compaction/clustering/CoW
+    rowTracking: Boolean = false,
+    rowIdHighWater: Long = 0L) {
 
   def schema: Option[StructType] =
     schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
@@ -147,6 +154,10 @@ final case class TableMeta(
       colMap.toSeq.sortBy(_._1).foreach { case (k, v) => cm.put(k, v) }
     }
     if (cdfEnabled) n.put("cdf_enabled", true)
+    if (rowTracking || rowIdHighWater != 0L) {
+      n.put("row_tracking", rowTracking)
+      n.put("row_id_high_water", rowIdHighWater)
+    }
     n
   }
 }
@@ -180,7 +191,9 @@ object TableMeta {
       .map(cm => Json.fields(cm).map { case (k, v) => k -> v.asText() })
       .getOrElse(Map.empty[String, String])
     val cdf = Option(n.get("cdf_enabled")).exists(_.asBoolean())
+    val rowTracking = Option(n.get("row_tracking")).exists(_.asBoolean())
+    val rowIdHw = Json.optLong(n, "row_id_high_water").getOrElse(0L)
     TableMeta(Json.getStr(n, "name"), kind, Json.optStr(n, "schema"), identity, checks,
-      tags, colMap, cdf)
+      tags, colMap, cdf, rowTracking, rowIdHw)
   }
 }

@@ -68,11 +68,46 @@ final class TsTable private (val root: String, val store: LogStore) {
     * caller commits outside [[commitLock]]: a slow writer's post-commit
     * assignment can never regress a newer snapshot already visible to
     * readers. Returns the committed version. */
-  private def commitAndAdvance(st: TableState, actions: Seq[LogAction]): Long = {
+  private def commitAndAdvance(st: TableState, actions0: Seq[LogAction]): Long = {
+    val actions = assignRowTracking(st, actions0)
     val v = store.commitWithExpectedVersion(st.version, actions)
     val ns = actions.foldLeft(st)(_ apply _).copy(version = v)
     if (ns.version > cachedState.version) cachedState = ns
     v
+  }
+
+  /** Row-tracking id allocation — the ONE commit-time hook every writer
+    * verb funnels through (append, swap, DV attach, restore, publish,
+    * merge). Each AddSegment that carries no baseRowId yet (fresh
+    * append/rewrite output) is assigned `[hw, hw + rowCount)` plus
+    * `rowVersion = this commit's version`; DV re-attach and RESTORE
+    * re-adds COPY their SegmentMeta and thus keep their ranges untouched.
+    * The bumped high-water mark rides the SAME commit (reusing the
+    * commit's own UpdateTableMeta when it carries one). Runs inside the
+    * OCC loop, so a rebase re-assigns from the new snapshot's high water —
+    * two racing appends can never mint overlapping id ranges. Pure
+    * metadata: no data file is read or written here. */
+  private def assignRowTracking(st: TableState, actions: Seq[LogAction]): Seq[LogAction] = {
+    // honor the POST-commit flag: the enabling commit backfills its own adds
+    val metaIdx = actions.lastIndexWhere(_.isInstanceOf[LogAction.UpdateTableMeta])
+    val effMeta =
+      if (metaIdx >= 0) actions(metaIdx).asInstanceOf[LogAction.UpdateTableMeta].meta
+      else st.tableMeta.orNull
+    if (effMeta == null || !effMeta.rowTracking) return actions
+    var hw = math.max(effMeta.rowIdHighWater,
+      st.tableMeta.map(_.rowIdHighWater).getOrElse(0L))
+    val v = st.version + 1
+    var assigned = false
+    val out = actions.map {
+      case LogAction.AddSegment(s) if s.baseRowId.isEmpty =>
+        val b = hw; hw += s.rowCount; assigned = true
+        LogAction.AddSegment(s.copy(baseRowId = Some(b), rowVersion = Some(v)))
+      case a => a
+    }
+    if (!assigned) return actions
+    val newMeta = effMeta.copy(rowIdHighWater = hw)
+    if (metaIdx >= 0) out.updated(metaIdx, LogAction.UpdateTableMeta(newMeta))
+    else out :+ LogAction.UpdateTableMeta(newMeta)
   }
 
   /** Reload state only if CURRENT advanced (reference table.rs:205-251). */
@@ -545,9 +580,9 @@ final class TsTable private (val root: String, val store: LogStore) {
       segs.map(LogAction.AddSegment) ++ coverageAction.toSeq ++
       txn.map { case (app, batch) => LogAction.SetTxn(app, batch) }.toSeq
 
-    val v = store.commitWithExpectedVersion(st.version, actions)
-    cachedState = actions.foldLeft(st)(_ apply _).copy(version = v)
-    v
+    // through commitAndAdvance so the row-tracking hook stamps the new
+    // segments' id ranges in the same commit
+    commitAndAdvance(st, actions)
   }
 
   /** Append an existing Parquet file by path (reference CLI `append
@@ -756,6 +791,102 @@ final class TsTable private (val root: String, val store: LogStore) {
   def disableCdf(maxRetries: Int = 3): Long =
     commitMetaUpdate(maxRetries) { (_, m) =>
       if (!m.cdfEnabled) None else Some(m.copy(cdfEnabled = false)) }
+
+  // ---------------------------------------------------------- row tracking
+
+  /** Whether rows carry stable ids (TableMeta flag). */
+  def rowTrackingEnabled: Boolean = cachedState.tableMeta.exists(_.rowTracking)
+
+  /** Turn row tracking on: ONE metadata commit that flips the flag and
+    * backfills every live segment with a baseRowId range (the commit hook
+    * assigns them — Delta's backfill semantics: pre-enable history has no
+    * ids, and existing rows are identified as-of enablement). Main-handle
+    * only: a branch enabling tracking independently could mint id ranges
+    * that collide with main's at publish. Re-enabling after a disable
+    * keeps previously assigned ranges — ids stay stable across the
+    * round-trip. Refuses when the schema already claims the reserved
+    * column names. */
+  def enableRowTracking(maxRetries: Int = 3): Long = {
+    requireMainHandle("enable row tracking")
+    occLoop(maxRetries) { st =>
+      val m = st.tableMeta.getOrElse(throw CorruptLogException("table has no metadata"))
+      if (m.rowTracking) st.version
+      else {
+        m.schema.foreach { s =>
+          val clash = s.fieldNames.toSet
+            .intersect(Set(RowTracking.RowIdCol, RowTracking.RowCommitCol))
+          if (clash.nonEmpty) throw SchemaMismatchException(
+            s"row tracking reserves column names ${clash.mkString(", ")}")
+        }
+        val backfill: Seq[LogAction] =
+          st.liveSegments.filter(_.baseRowId.isEmpty).map(LogAction.AddSegment)
+        commitAndAdvance(st,
+          backfill :+ LogAction.UpdateTableMeta(m.copy(rowTracking = true)))
+      }
+    }
+  }
+
+  /** Turn row tracking off (the high-water mark and assigned ranges are
+    * kept, so a later re-enable resumes without id reuse). */
+  def disableRowTracking(maxRetries: Int = 3): Long =
+    commitMetaUpdate(maxRetries) { (_, m) =>
+      if (!m.rowTracking) None else Some(m.copy(rowTracking = false)) }
+
+  /** Scan the current snapshot with `_row_id` / `_row_commit` appended —
+    * the row-tracking read surface. Ids resolve as
+    * coalesce(materialized column, baseRowId + row position); the DV
+    * filter applies AFTER the binding (positions are physical), and the
+    * logical (rename-aware) projection applies last. */
+  def scanWithRowIds(spark: SparkSession): DataFrame =
+    scanStateWithRowIds(spark, cachedState)
+
+  private[graft] def scanStateWithRowIds(spark: SparkSession, st: TableState): DataFrame = {
+    val m = st.tableMeta.getOrElse(throw CorruptLogException("table has no metadata"))
+    require(m.rowTracking, "row tracking is not enabled on this table")
+    val logSchema = m.schema.getOrElse(
+      throw new IllegalStateException("table has no schema yet"))
+    val outSchema = StructType(logSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(RowTracking.RowIdCol, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(RowTracking.RowCommitCol, org.apache.spark.sql.types.LongType)))
+    val live = st.liveSegments
+    if (live.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val withIds = RowTracking.attach(segmentScanTracked(spark, live, m), root, live)
+    val filtered = DeletionVectors.liveRowFilter(root, live)
+      .map(withIds.where).getOrElse(withIds)
+    val cmap = m.colMap
+    filtered.select(logSchema.fieldNames.toIndexedSeq
+      .map(n => col(cmap.getOrElse(n, n)).as(n))
+      ++ Seq(col(RowTracking.RowIdCol), col(RowTracking.RowCommitCol)): _*)
+  }
+
+  /** Physical relation over `segs` whose dataSchema includes the two
+    * (nullable, usually file-absent) materialized tracking columns —
+    * Spark's parquet missing-column handling fills NULL for fresh files,
+    * and rewritten files supply their frozen values. */
+  private def segmentScanTracked(spark: SparkSession, segs: Seq[SegmentMeta],
+                                 m: TableMeta): DataFrame = {
+    val phys = m.physicalSchema.getOrElse(
+      throw new IllegalStateException("table has no schema yet"))
+    val readSchema = StructType(
+      phys.fields.filterNot(f =>
+        f.name == RowTracking.RowIdCol || f.name == RowTracking.RowCommitCol) ++ Seq(
+        org.apache.spark.sql.types.StructField(RowTracking.RowIdCol, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(RowTracking.RowCommitCol, org.apache.spark.sql.types.LongType)))
+    spark.baseRelationToDataFrame(relationFor(spark, segs, readSchema))
+  }
+
+  /** Maintenance read of `segs` with tracking columns attached and
+    * MATERIALIZED (physical names; rows physical — callers layer DV
+    * filters as with [[segmentScan]]). Row-preserving rewrites feed this
+    * straight to [[stageSegments]], freezing each surviving row's id and
+    * last-modified version into the new files. */
+  private[graft] def segmentScanWithRowIds(spark: SparkSession,
+                                           segs: Seq[SegmentMeta]): DataFrame = {
+    val m = cachedState.tableMeta.getOrElse(throw CorruptLogException("table has no metadata"))
+    RowTracking.attach(segmentScanTracked(spark, segs, m), root, segs)
+  }
 
   /** Stage a change-record DataFrame (logical table columns +
     * `_change_type`) as parquet under `_cdc/` and return the AddCdcFile

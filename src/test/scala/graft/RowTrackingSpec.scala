@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.data.TokenGen
+import graft.maintain.{Compaction, DeleteWhere, MergeInto, UpdateWhere}
+import graft.meta._
+import graft.table.TsTable
+
+/** Row tracking: stable `_row_id` + `_row_commit` across every verb. */
+class RowTrackingSpec extends SparkFunSuite {
+
+  private def tokenMeta = TableMeta("tokens",
+    TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None)
+
+  /** doc_id -> (_row_id, _row_commit) snapshot of the current scan. */
+  private def idMap(t: TsTable): Map[String, (Long, Long)] =
+    t.scanWithRowIds(spark).select("doc_id", "_row_id", "_row_commit").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("enable backfills live segments; appends mint contiguous disjoint ranges") {
+    val t = TsTable.create(tmpDir("rt-enable"), tokenMeta)
+    t.append(TokenGen.generate(spark, 100, numFiles = 2))
+    val vEnable = t.enableRowTracking()
+    assert(t.rowTrackingEnabled)
+    assert(t.state.liveSegments.forall(s => s.baseRowId.isDefined && s.rowVersion.isDefined))
+    assert(t.meta.rowIdHighWater == 100L)
+
+    val m1 = idMap(t)
+    assert(m1.size == 100)
+    assert(m1.values.map(_._1).toSeq.sorted == (0L until 100L))
+    // backfilled rows are identified as-of enablement
+    assert(m1.values.forall(_._2 == vEnable))
+
+    val vApp = t.append(TokenGen.generate(spark, 50, idStart = 9000L))
+    assert(t.meta.rowIdHighWater == 150L)
+    val m2 = idMap(t)
+    assert(m2.size == 150)
+    assert(m2.values.map(_._1).toSeq.sorted == (0L until 150L))
+    // old rows untouched; new rows stamped with the appending commit
+    m1.foreach { case (k, v) => assert(m2(k) == v) }
+    assert(m2.filterNot(kv => m1.contains(kv._1)).values
+      .forall(v => v._1 >= 100L && v._2 == vApp))
+
+    // idempotent re-enable; disable/re-enable keeps assignments
+    assert(t.enableRowTracking() == t.version)
+    t.disableRowTracking()
+    intercept[Exception] { t.scanWithRowIds(spark) }
+    t.enableRowTracking()
+    assert(idMap(t) == m2)
+  }
+
+  test("ids and commit versions survive compaction / re-clustering byte-for-byte") {
+    val t = TsTable.create(tmpDir("rt-compact"), tokenMeta)
+    t.append(TokenGen.generate(spark, 120, numFiles = 3))
+    t.enableRowTracking()
+    t.append(TokenGen.generate(spark, 80, idStart = 5000L, numFiles = 2))
+    val before = idMap(t)
+
+    Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024)
+    assert(t.state.liveSegments.size < 5)
+    // rewritten files carry MATERIALIZED tracking columns
+    assert(t.state.liveSegments.exists(_.stats.contains("_row_id")))
+    assert(idMap(t) == before)
+
+    // a second re-cluster under a different curve preserves them again
+    // (fresh small files alongside the compacted one force a real bin)
+    t.alterClusterBy(Seq("source", "n_tok", "doc_id"), "hilbert")
+    t.append(TokenGen.generate(spark, 40, idStart = 8000L, numFiles = 2))
+    val before2 = idMap(t)
+    Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024)
+    assert(idMap(t) == before2)
+    before.foreach { case (k, v) => assert(before2(k) == v) }
+  }
+
+  test("DELETE keeps survivor ids: merge-on-read and copy-on-write") {
+    val t = TsTable.create(tmpDir("rt-del"), tokenMeta)
+    t.append(TokenGen.generate(spark, 200, numFiles = 2))
+    t.enableRowTracking()
+    val before = idMap(t)
+
+    DeleteWhere.deleteMor(spark, t, col("n_tok") % 7 === 0)
+    val afterMor = idMap(t)
+    assert(afterMor.size < before.size)
+    afterMor.foreach { case (k, v) => assert(before(k) == v) }
+
+    DeleteWhere.delete(spark, t, col("n_tok") % 7 === 1)
+    val afterCow = idMap(t)
+    assert(afterCow.size < afterMor.size)
+    afterCow.foreach { case (k, v) => assert(afterMor(k) == v) }
+  }
+
+  test("UPDATE keeps ids and bumps _row_commit on touched rows only (CoW and MOR)") {
+    val t = TsTable.create(tmpDir("rt-upd"), tokenMeta)
+    t.append(TokenGen.generate(spark, 150, numFiles = 2))
+    t.enableRowTracking()
+    val before = idMap(t)
+
+    val vCow = { UpdateWhere.update(spark, t, col("n_tok") % 5 === 0,
+      Map("n_tok" -> (col("n_tok") + lit(10000)))); t.version }
+    val afterCow = idMap(t)
+    assert(afterCow.keySet == before.keySet)
+    val touched = t.scanWithRowIds(spark).where(col("n_tok") >= 10000)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(touched.nonEmpty)
+    afterCow.foreach { case (k, (id, cv)) =>
+      assert(id == before(k)._1, s"row id drifted for $k")
+      if (touched(k)) assert(cv == vCow, s"touched row $k should carry v$vCow")
+      else assert(cv == before(k)._2, s"untouched row $k drifted to v$cv")
+    }
+
+    val vMor = { UpdateWhere.updateMor(spark, t, col("n_tok") >= 10000,
+      Map("n_tok" -> (col("n_tok") - lit(10000)))); t.version }
+    val afterMor = idMap(t)
+    assert(afterMor.keySet == before.keySet)
+    afterMor.foreach { case (k, (id, cv)) =>
+      assert(id == before(k)._1)
+      if (touched(k)) assert(cv == vMor) else assert(cv == before(k)._2)
+    }
+  }
+
+  test("MERGE: matched rows keep ids and bump _row_commit; inserts mint fresh ids") {
+    def run(mor: Boolean): Unit = {
+      val t = TsTable.create(tmpDir(s"rt-merge-$mor"), tokenMeta)
+      t.append(TokenGen.generate(spark, 100, numFiles = 2))
+      t.enableRowTracking()
+      val before = idMap(t)
+
+      // 20 revisions of existing keys + 10 brand-new keys
+      val updIds = (0L until 20L).map(i => f"doc-$i%012d") ++
+        (9000L until 9010L).map(i => f"doc-$i%012d")
+      val upd = TokenGen.generateForIds(spark, updIds, salt = "rev")
+      val vMerge = {
+        if (mor) MergeInto.mergeMor(spark, t, upd) else MergeInto.merge(spark, t, upd)
+        t.version
+      }
+      val after = idMap(t)
+      assert(after.size == 110)
+      val matchedKeys = updIds.take(20).toSet
+      val insertKeys = updIds.drop(20).toSet
+      after.foreach { case (k, (id, cv)) =>
+        if (matchedKeys(k)) {
+          assert(id == before(k)._1, s"[$mor] matched $k lost its id")
+          assert(cv == vMerge, s"[$mor] matched $k not stamped v$vMerge")
+        } else if (insertKeys(k)) {
+          assert(id >= 100L, s"[$mor] insert $k should mint a fresh id, got $id")
+          assert(cv == vMerge)
+        } else {
+          assert((id, cv) == before(k), s"[$mor] survivor $k drifted")
+        }
+      }
+      // global uniqueness after the merge
+      assert(after.values.map(_._1).toSeq.distinct.size == 110)
+    }
+    run(mor = false)
+    run(mor = true)
+  }
+
+  test("guards: branch handles, reserved names, untracked reads") {
+    val t = TsTable.create(tmpDir("rt-guards"), tokenMeta)
+    t.append(TokenGen.generate(spark, 20, numFiles = 1))
+    intercept[Exception] { t.scanWithRowIds(spark) } // not enabled
+
+    t.createBranch("wip")
+    intercept[IllegalStateException] { t.branch("wip").enableRowTracking() }
+    t.dropBranch("wip")
+
+    val clash = TsTable.create(tmpDir("rt-clash"), TableMeta("c",
+      TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")), None, None))
+    clash.append(TokenGen.generate(spark, 10, numFiles = 1)
+      .withColumn("_row_id", lit(1L)))
+    intercept[Exception] { clash.enableRowTracking() }
+  }
+
+  test("branch writes under row tracking publish with their ids intact") {
+    val t = TsTable.create(tmpDir("rt-branch"), tokenMeta)
+    t.append(TokenGen.generate(spark, 60, numFiles = 1))
+    t.enableRowTracking()
+    val before = idMap(t)
+
+    t.createBranch("wap")
+    val b = t.branch("wap")
+    b.append(TokenGen.generate(spark, 40, idStart = 7000L, numFiles = 1))
+    // main unchanged until publish (fast-forward guarantees no main
+    // allocation can race the branch's id range)
+    assert(idMap(t) == before)
+    t.publishBranch("wap")
+    val after = idMap(t)
+    assert(after.size == 100)
+    before.foreach { case (k, v) => assert(after(k) == v) }
+    assert(after.values.map(_._1).toSeq.distinct.size == 100)
+    assert(t.meta.rowIdHighWater == 100L)
+  }
+}
