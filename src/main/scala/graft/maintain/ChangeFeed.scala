@@ -36,6 +36,14 @@ import graft.table.TsTable
   * the declared-schema read, and type widening applies exactly as on data
   * files.
   *
+  * Row tracking composes: when the table tracks rows, the feed ALSO
+  * carries `_row_id` — synthesized inserts compute it from the committed
+  * segments' bases (still zero extra bytes), writer-recorded images carry
+  * the changed row's id (update_pre/update_post pairs link by it, so a
+  * consumer applies updates join-free), and records that predate
+  * enablement (or MERGE-inserted rows, whose ids are minted at commit)
+  * read as NULL.
+  *
   * Scale: the plan is a union of per-commit pruned parquet reads — cost
   * proportional to the CHANGE RECORD, not the table; no join, no shuffle,
   * no driver data. Ranges spanning thousands of commits should be read in
@@ -61,19 +69,22 @@ object ChangeFeed {
       "table has no adopted schema yet — nothing can have changed"))
     val phys = meta.physicalize(logical)
 
+    val tracked = meta.rowTracking
     val perCommit: Seq[DataFrame] =
       (sinceVersion + 1 to toVersion).flatMap { v =>
         val c = table.store.readCommit(v)
-        commitChanges(spark, table, phys, logical, c.actions, v).map(
+        commitChanges(spark, table, phys, logical, c.actions, v, tracked).map(
           _.withColumn(VersionCol, lit(v))
            .withColumn(TimestampCol,
              lit(new java.sql.Timestamp(c.timestampMillis))))
       }
     if (perCommit.isEmpty) {
-      val outSchema = StructType(logical.fields ++ Seq(
-        StructField(ChangeTypeCol, StringType),
-        StructField(VersionCol, LongType, nullable = false),
-        StructField(TimestampCol, TimestampType)))
+      val outSchema = StructType(logical.fields ++
+        (if (tracked) Seq(StructField(graft.table.RowTracking.RowIdCol, LongType)) else Nil) ++
+        Seq(
+          StructField(ChangeTypeCol, StringType),
+          StructField(VersionCol, LongType, nullable = false),
+          StructField(TimestampCol, TimestampType)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
     } else perCommit.reduce(_.unionByName(_))
   }
@@ -83,7 +94,9 @@ object ChangeFeed {
     * DataNeutral rewrite, or an all-empty change set). */
   private def commitChanges(spark: SparkSession, table: TsTable,
                             phys: StructType, logical: StructType,
-                            actions: Seq[LogAction], v: Long): Option[DataFrame] = {
+                            actions: Seq[LogAction], v: Long,
+                            tracked: Boolean): Option[DataFrame] = {
+    val RowId = graft.table.RowTracking.RowIdCol
     val cdcPaths = actions.collect { case LogAction.AddCdcFile(p, _) =>
       graft.meta.PathNorm.resolve(table.root, p) }
     def aliased(df: DataFrame, extra: Seq[org.apache.spark.sql.Column]): DataFrame =
@@ -91,10 +104,14 @@ object ChangeFeed {
         .map { case (log, ph) => col(ph).as(log) } ++ extra: _*)
     if (cdcPaths.nonEmpty) {
       // writer-recorded record = the COMPLETE change set for the commit
-      // (MERGE's inserts ride the same sidecar as its update images)
-      val cdcSchema = StructType(phys.fields :+ StructField(ChangeTypeCol, StringType))
+      // (MERGE's inserts ride the same sidecar as its update images).
+      // Tracked reads declare `_row_id` in the record schema: records from
+      // tracked writers carry it, pre-enablement records null-fill.
+      val cdcSchema = StructType(phys.fields ++
+        (if (tracked) Seq(StructField(RowId, LongType)) else Nil) :+
+        StructField(ChangeTypeCol, StringType))
       return Some(aliased(spark.read.schema(cdcSchema).parquet(cdcPaths: _*),
-        Seq(col(ChangeTypeCol))))
+        (if (tracked) Seq(col(RowId)) else Nil) :+ col(ChangeTypeCol)))
     }
     if (actions.contains(LogAction.DataNeutral)) return None // row-preserving rewrite
     val adds = actions.collect { case LogAction.AddSegment(s) => s }
@@ -109,9 +126,27 @@ object ChangeFeed {
           "replay it; start the read after it, or reconstruct the net change " +
           "with SnapshotDiff.diff")
     if (adds.isEmpty) None // metadata-only commit
-    else Some(aliased(
-      spark.read.schema(phys).parquet(
-        adds.map(s => graft.meta.PathNorm.resolve(table.root, s.path)): _*),
-      Seq(lit("insert").as(ChangeTypeCol))))
+    else {
+      val paths = adds.map(s => graft.meta.PathNorm.resolve(table.root, s.path))
+      // synthesized-insert ids: the standard coalesce(materialized,
+      // base + position) binding over the commit's own AddSegments — zero
+      // extra bytes, like the synthesis itself (the materialized arm
+      // matters for re-added rewritten files, e.g. a published branch
+      // compaction). A pre-enablement append (no bases in ITS commit)
+      // emits NULL.
+      if (!tracked)
+        Some(aliased(spark.read.schema(phys).parquet(paths: _*),
+          Seq(lit("insert").as(ChangeTypeCol))))
+      else if (adds.forall(_.baseRowId.isDefined)) {
+        val readSchema = StructType(phys.fields ++ Seq(
+          StructField(RowId, LongType),
+          StructField(graft.table.RowTracking.RowCommitCol, LongType)))
+        val withIds = graft.table.RowTracking.attach(
+          spark.read.schema(readSchema).parquet(paths: _*), table.root, adds)
+        Some(aliased(withIds, Seq(col(RowId), lit("insert").as(ChangeTypeCol))))
+      } else
+        Some(aliased(spark.read.schema(phys).parquet(paths: _*),
+          Seq(lit(null).cast(LongType).as(RowId), lit("insert").as(ChangeTypeCol))))
+    }
   }
 }

@@ -148,10 +148,11 @@ object DeleteWhere {
 
     // change feed: the deleted rows, staged pre-commit and carried in the
     // SAME commit (one extra matched-rows read of the hit files — cost
-    // proportional to the delete, paid only when the feed is on)
+    // proportional to the delete, paid only when the feed is on). Row
+    // tracking: records carry the deleted row's `_row_id`.
     val cdc: Seq[graft.log.LogAction.AddCdcFile] =
       if (table.cdfEnabled)
-        table.stageCdc(liveRows(table.toLogical(table.segmentScan(spark, hit)), hit)
+        table.stageCdc(liveRows(table.toLogical(cdcScanOf(spark, table, hit)), hit)
           .where(matchesCond).withColumn("_change_type", lit("delete")))
       else Nil
 
@@ -211,11 +212,22 @@ object DeleteWhere {
         bucketExpr(table).as("__b")))
     morAttach(spark, table, candidates, untouched.size, totalLive, base,
       changeRows = Some(() => {
-        val raw = table.toLogical(table.segmentScan(spark, candidates))
+        val raw = table.toLogical(cdcScanOf(spark, table, candidates))
         DeletionVectors.liveRowFilter(table.root, candidates)
           .map(raw.where).getOrElse(raw).where(matchesCond)
       }))
   }
+
+  /** Change-record scan of `segs`: plain physical read, or — when the
+    * table tracks rows — the id-attached read minus `_row_commit` (the
+    * record pins the change's version itself; only the row's identity
+    * travels). Shared by every CDC-staging verb. */
+  private[maintain] def cdcScanOf(spark: SparkSession, table: TsTable,
+                                  segs: Seq[SegmentMeta]): DataFrame =
+    if (table.rowTrackingEnabled)
+      table.segmentScanWithRowIds(spark, segs)
+        .drop(graft.table.RowTracking.RowCommitCol)
+    else table.segmentScan(spark, segs)
 
   /** Bucket id of a row for the coverage recompute — same arithmetic as
     * the coverage builder (pre-epoch clamp, floor-div on the non-negative

@@ -79,16 +79,32 @@ object MergeInto {
   private def mergeCdc(spark: SparkSession, table: TsTable,
                        candidates: Seq[SegmentMeta], upd: DataFrame,
                        key: String): DataFrame = {
-    if (candidates.isEmpty) return upd.withColumn("_change_type", lit("insert"))
-    val raw = table.toLogical(table.segmentScan(spark, candidates))
+    val RowId = graft.table.RowTracking.RowIdCol
+    val tracked = table.rowTrackingEnabled
+    // tracked inserts carry NULL _row_id: their ids are minted by the
+    // commit itself (the feed's synthesized-append path computes real ids
+    // because it reads AFTER the commit; a writer-staged record cannot)
+    def nullId(df: DataFrame): DataFrame =
+      if (tracked) df.withColumn(RowId, lit(null).cast("long")) else df
+    if (candidates.isEmpty)
+      return nullId(upd).withColumn("_change_type", lit("insert"))
+    val raw = table.toLogical(
+      if (tracked) table.segmentScanWithRowIds(spark, candidates)
+        .drop(graft.table.RowTracking.RowCommitCol)
+      else table.segmentScan(spark, candidates))
     val candLive = graft.table.DeletionVectors.liveRowFilter(table.root, candidates)
       .map(raw.where).getOrElse(raw)
     val candKeys = candLive.select(col(key))
     val pre = candLive.join(upd.select(col(key)), Seq(key), "left_semi")
       .withColumn("_change_type", lit("update_pre"))
-    val post = upd.join(candKeys, Seq(key), "left_semi")
-      .withColumn("_change_type", lit("update_post"))
-    val ins = upd.join(candKeys, Seq(key), "left_anti")
+    // update_post keeps the matched row's id (min over duplicated keys,
+    // matching the rewrite's id-preservation rule) — pre/post link by id
+    val post0 = upd.join(candKeys, Seq(key), "left_semi")
+    val post = (if (tracked)
+        post0.join(candLive.groupBy(col(key)).agg(min(col(RowId)).as(RowId)),
+          Seq(key), "left")
+      else post0).withColumn("_change_type", lit("update_post"))
+    val ins = nullId(upd.join(candKeys, Seq(key), "left_anti"))
       .withColumn("_change_type", lit("insert"))
     pre.unionByName(post).unionByName(ins)
   }
@@ -390,7 +406,7 @@ object MergeInto {
     DeleteWhere.morAttach(spark, table, candidates,
       live.size - candidates.size, totalLive, base,
       changeRows = Some(() => {
-        val raw = table.toLogical(table.segmentScan(spark, candidates))
+        val raw = table.toLogical(DeleteWhere.cdcScanOf(spark, table, candidates))
         graft.table.DeletionVectors.liveRowFilter(table.root, candidates)
           .map(raw.where).getOrElse(raw)
           .join(del, Seq(key), "left_semi")

@@ -73,11 +73,12 @@ object UpdateWhere {
     }
 
     // change feed: pre/post images of the matched rows, one extra
-    // matched-rows read (paid only when the feed is on), same commit
+    // matched-rows read (paid only when the feed is on), same commit;
+    // row tracking: both images carry the row's `_row_id`
     val cdc: Seq[graft.log.LogAction.AddCdcFile] =
       if (table.cdfEnabled)
         table.stageCdc(changeImages(table, spark, schema, set,
-          liveRows(table.toLogical(table.segmentScan(spark, hit)), hit)
+          liveRows(table.toLogical(DeleteWhere.cdcScanOf(spark, table, hit)), hit)
             .where(matchesCond)))
       else Nil
 
@@ -109,18 +110,27 @@ object UpdateWhere {
 
   /** UPDATE's change-feed record: each matched row exploded into its pre
     * image and its post image (SET applied unconditionally — rows arrive
-    * already matched), [[ChangeFeed]]'s update_pre/update_post vocabulary. */
+    * already matched), [[ChangeFeed]]'s update_pre/update_post vocabulary.
+    * When `matched` carries `_row_id` (row tracking), both images keep it —
+    * the pre/post pair links by id, so feed consumers apply updates
+    * join-free. */
   private def changeImages(table: TsTable, spark: SparkSession,
                            schema: org.apache.spark.sql.types.StructType,
                            set: Map[String, org.apache.spark.sql.Column],
                            matched: DataFrame): DataFrame = {
     val names = schema.fieldNames.toSeq
-    val pre = struct((names.map(col) :+ lit("update_pre").as("_change_type")): _*)
+    val idCols: Seq[org.apache.spark.sql.Column] =
+      if (matched.columns.contains(graft.table.RowTracking.RowIdCol))
+        Seq(col(graft.table.RowTracking.RowIdCol))
+      else Nil
+    val idNames = idCols.map(_ => graft.table.RowTracking.RowIdCol)
+    val pre = struct((names.map(col) ++ idCols
+      :+ lit("update_pre").as("_change_type")): _*)
     val post = struct((schema.fields.toSeq.map { f =>
       set.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
-    } :+ lit("update_post").as("_change_type")): _*)
+    } ++ idCols :+ lit("update_post").as("_change_type")): _*)
     matched.select(explode(array(pre, post)).as("__c"))
-      .select((names :+ "_change_type").map(c => col(s"__c.`$c`").as(c)): _*)
+      .select((names ++ idNames :+ "_change_type").map(c => col(s"__c.`$c`").as(c)): _*)
   }
 
   /** Merge-on-read UPDATE: the matched rows are masked with

@@ -133,8 +133,15 @@ final class TableStreamSource(
     throw new IllegalStateException(
       s"table at $rootPath has no adopted schema yet (append once before streaming from it)"))
 
+  /** Pinned at source init like the rest of the schema: a CDF stream of a
+    * row-tracked table carries `_row_id` (enable mid-stream = restart the
+    * query to pick it up, the standard schema-evolution discipline). */
+  private val cdfTracked: Boolean =
+    readChangeFeed && table.meta.rowTracking
+
   override val schema: StructType =
-    if (readChangeFeed) TableStreamSource.cdfSchema(tableSchema) else tableSchema
+    if (readChangeFeed) TableStreamSource.cdfSchema(tableSchema, cdfTracked)
+    else tableSchema
 
   /** The files' frozen physical names for the declared (logical) schema.
     * Physical names never change, so the init-time mapping stays valid
@@ -270,8 +277,18 @@ final class TableStreamSource(
     val df = since match {
       case Some(s) =>
         if (s >= endV) Bridge.emptyStreamingBatch(spark, schema)
-        else Bridge.streamingBatch(
-          graft.maintain.ChangeFeed.read(spark, table, s, endV), schema)
+        else {
+          // align to the source's PINNED schema: the feed carries _row_id
+          // iff the CURRENT meta tracks rows, which can drift from the
+          // init-time pin across a mid-stream enable/disable — missing
+          // columns null-fill, extra ones drop
+          val feed = graft.maintain.ChangeFeed.read(spark, table, s, endV)
+          val aligned = schema.fields.toIndexedSeq.map { f =>
+            if (feed.columns.contains(f.name)) col(f.name)
+            else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+          }
+          Bridge.streamingBatch(feed.select(aligned: _*), schema)
+        }
       case None =>
         // initial snapshot as inserts, same pinned-version discipline (and
         // the same expired-snapshot failure mode) as the plain source
@@ -285,12 +302,33 @@ final class TableStreamSource(
           }
         if (segs.isEmpty) return Bridge.emptyStreamingBatch(spark, schema)
         val tsMillis = table.store.readCommit(endV).timestampMillis
-        val raw = spark.read.schema(physSchema)
-          .parquet(segs.map(s => graft.meta.PathNorm.resolve(rootPath, s.path)): _*)
+        // snapshot-as-inserts ids: the standard coalesce(materialized,
+        // base + position) binding over the pinned state's manifests —
+        // rewritten (compacted) files in the snapshot carry materialized
+        // ids that position arithmetic alone would get wrong. NULL for
+        // pre-enablement snapshots. The binding happens on `raw`
+        // (pre-DV-filter: positions are physical), and the id travels
+        // through `live` by column.
+        val trackable = cdfTracked && segs.forall(_.baseRowId.isDefined)
+        val segPaths = segs.map(s => graft.meta.PathNorm.resolve(rootPath, s.path))
+        val raw =
+          if (trackable) {
+            import org.apache.spark.sql.types.{LongType, StructField}
+            val readSchema = StructType(physSchema.fields ++ Seq(
+              StructField(graft.table.RowTracking.RowIdCol, LongType),
+              StructField(graft.table.RowTracking.RowCommitCol, LongType)))
+            graft.table.RowTracking.attach(
+              spark.read.schema(readSchema).parquet(segPaths: _*), rootPath, segs)
+          } else spark.read.schema(physSchema).parquet(segPaths: _*)
         val live = graft.table.DeletionVectors.liveRowFilter(rootPath, segs)
           .map(raw.where).getOrElse(raw)
+        val idCols: Seq[org.apache.spark.sql.Column] =
+          if (!cdfTracked) Nil
+          else if (trackable) Seq(col(graft.table.RowTracking.RowIdCol))
+          else Seq(org.apache.spark.sql.functions.lit(null).cast("long")
+            .as(graft.table.RowTracking.RowIdCol))
         val df0 = live.select(tableSchema.fieldNames.zip(physSchema.fieldNames)
-            .map { case (log, phys) => col(phys).as(log) }.toIndexedSeq: _*)
+            .map { case (log, phys) => col(phys).as(log) }.toIndexedSeq ++ idCols: _*)
           .withColumn(graft.maintain.ChangeFeed.ChangeTypeCol,
             org.apache.spark.sql.functions.lit("insert"))
           .withColumn(graft.maintain.ChangeFeed.VersionCol,
@@ -351,12 +389,14 @@ object TableStreamSource {
   /** Source schema in change-feed mode: the table's logical columns +
     * the feed's three metadata columns, in [[graft.maintain.ChangeFeed]]'s
     * column order (streamingBatch re-tags by POSITION). */
-  def cdfSchema(tableSchema: StructType): StructType = {
+  def cdfSchema(tableSchema: StructType, tracked: Boolean = false): StructType = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, TimestampType}
-    StructType(tableSchema.fields ++ Seq(
-      StructField(graft.maintain.ChangeFeed.ChangeTypeCol, StringType),
-      StructField(graft.maintain.ChangeFeed.VersionCol, LongType, nullable = false),
-      StructField(graft.maintain.ChangeFeed.TimestampCol, TimestampType)))
+    StructType(tableSchema.fields ++
+      (if (tracked) Seq(StructField(graft.table.RowTracking.RowIdCol, LongType)) else Nil) ++
+      Seq(
+        StructField(graft.maintain.ChangeFeed.ChangeTypeCol, StringType),
+        StructField(graft.maintain.ChangeFeed.VersionCol, LongType, nullable = false),
+        StructField(graft.maintain.ChangeFeed.TimestampCol, TimestampType)))
   }
 }
 
@@ -501,11 +541,15 @@ final class GraftSourceProvider extends StreamSourceProvider with StreamSinkProv
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
-    val base = TsTable.open(root(parameters)).meta.schema.getOrElse(
+    val meta = TsTable.open(root(parameters)).meta
+    val base = meta.schema.getOrElse(
       throw new IllegalStateException("table has no adopted schema yet"))
     val cdf = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v.toBoolean }.getOrElse(false)
-    val declared = if (cdf) TableStreamSource.cdfSchema(base) else base
+    // same tracked-pin rule as the Source itself: a CDF stream of a
+    // row-tracked table declares `_row_id`
+    val declared =
+      if (cdf) TableStreamSource.cdfSchema(base, meta.rowTracking) else base
     schema.foreach { s =>
       require(s == declared,
         s"user-specified schema ${s.simpleString} != table schema ${declared.simpleString}")

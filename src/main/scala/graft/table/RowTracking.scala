@@ -48,14 +48,18 @@ object RowTracking {
           s"(written before enablement?): ${unassigned.map(_.segmentId).take(3).mkString(", ")}")
     val root = PathNorm.canonical(tableRoot)
     def key(s: SegmentMeta) = PathNorm.canonical(PathNorm.resolve(root, s.path))
-    val bases = new FileAttr(segs.map(s => key(s) -> s.baseRowId.get).toMap)
-    val vers  = new FileAttr(segs.map(s => key(s) -> s.rowVersion.get).toMap)
+    // ONE shared lookup for both attributes: the plan ships a single
+    // per-file map (object-graph sharing keeps one copy in the codegen
+    // references), not two — at 10^6 files that halves the manifest
+    // weight every tracked scan serializes to executors
+    val attrs = new FileAttr(
+      segs.map(s => key(s) -> Array(s.baseRowId.get, s.rowVersion.get)).toMap)
     import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
-    def look(attr: FileAttr): Column =
-      ofExpr(FileAttrLookup(toExpr(col("_metadata.file_path")), attr))
+    def look(idx: Int): Column =
+      ofExpr(FileAttrLookup(toExpr(col("_metadata.file_path")), attrs, idx))
     df.withColumn(RowIdCol,
-        coalesce(col(RowIdCol), look(bases) + col("_metadata.row_index")))
-      .withColumn(RowCommitCol, coalesce(col(RowCommitCol), look(vers)))
+        coalesce(col(RowIdCol), look(0) + col("_metadata.row_index")))
+      .withColumn(RowCommitCol, coalesce(col(RowCommitCol), look(1)))
   }
 
   /** `when(cond, null)` helper for UPDATE-style verbs: a rewritten row
@@ -66,35 +70,36 @@ object RowTracking {
   def commitOfThisWrite: Column = lit(null).cast(LongType)
 }
 
-/** Per-file long attribute (base row id / default row commit version),
-  * memoized per task thread like [[DvLookup]] — within a scan task the
-  * file changes at most once per split, so the common case is one
-  * UTF8String byte-compare and an addition. */
-final class FileAttr(byFile: Map[String, Long]) extends Serializable {
+/** Per-file long attributes (index 0 = base row id, 1 = default row
+  * commit version), memoized per task thread like [[DvLookup]] — within a
+  * scan task the file changes at most once per split, so the common case
+  * is one UTF8String byte-compare and an array read. */
+final class FileAttr(byFile: Map[String, Array[Long]]) extends Serializable {
   private final class Memo {
     var lastPath: UTF8String = _
-    var lastVal: Long = _
+    var lastVals: Array[Long] = _
   }
   @transient private lazy val memo = new ThreadLocal[Memo] {
     override def initialValue(): Memo = new Memo
   }
 
-  def get(filePath: UTF8String): Long = {
+  def get(filePath: UTF8String, idx: Int): Long = {
     val m = memo.get()
     if (m.lastPath == null || !m.lastPath.equals(filePath)) {
       m.lastPath = filePath.clone()
-      m.lastVal = byFile.getOrElse(PathNorm.canonical(filePath.toString),
+      m.lastVals = byFile.getOrElse(PathNorm.canonical(filePath.toString),
         throw new IllegalStateException(
           s"row tracking: no base registered for scanned file $filePath"))
     }
-    m.lastVal
+    m.lastVals(idx)
   }
 }
 
-/** `file_attr(file_path)` — the snapshot's per-file long attribute.
+/** `file_attr(file_path)[idx]` — the snapshot's per-file long attribute.
   * Codegen'd to one virtual call so id arithmetic stays inside
   * whole-stage codegen. */
-case class FileAttrLookup(child: Expression, lookup: FileAttr) extends UnaryExpression {
+case class FileAttrLookup(child: Expression, lookup: FileAttr, idx: Int)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -104,11 +109,11 @@ case class FileAttrLookup(child: Expression, lookup: FileAttr) extends UnaryExpr
   override def prettyName: String = "file_attr"
 
   override protected def nullSafeEval(fp: Any): Any =
-    lookup.get(fp.asInstanceOf[UTF8String])
+    lookup.get(fp.asInstanceOf[UTF8String], idx)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("fileAttr", lookup, classOf[FileAttr].getName)
-    defineCodeGen(ctx, ev, fp => s"$ref.get($fp)")
+    defineCodeGen(ctx, ev, fp => s"$ref.get($fp, $idx)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

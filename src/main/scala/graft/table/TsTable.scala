@@ -861,6 +861,50 @@ final class TsTable private (val root: String, val store: LogStore) {
       ++ Seq(col(RowTracking.RowIdCol), col(RowTracking.RowCommitCol)): _*)
   }
 
+  /** Row-id range scan `[lo, hi]` — the point-lookup/incremental-fetch
+    * surface of row tracking. File pruning is EXACT and metadata-only:
+    * a positional (never-rewritten) file's id range is
+    * [baseRowId, baseRowId + rowCount) straight from the manifest, and a
+    * rewritten file carries `_row_id` min/max in its footer stats — so a
+    * consumer fetching the rows behind a batch of change-feed ids reads
+    * only the files that can hold them, at any table size. The residual
+    * range filter applies post-attach (ids bind before the DV conjunct). */
+  def scanRowIdRange(spark: SparkSession, lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"empty row-id range [$lo, $hi]")
+    val st = cachedState
+    val m = st.tableMeta.getOrElse(throw CorruptLogException("table has no metadata"))
+    require(m.rowTracking, "row tracking is not enabled on this table")
+    val hit = st.liveSegments.filter { s =>
+      val posOverlap = s.baseRowId.exists(b => b <= hi && b + s.rowCount - 1 >= lo)
+      val statOverlap = s.stats.get(RowTracking.RowIdCol).exists {
+        case graft.meta.ColStats(Some(StatVal.L(mn)), Some(StatVal.L(mx)), _) =>
+          mn <= hi && mx >= lo
+        case _ => false
+      }
+      // a rewritten file's positional range is meaningless (ids are
+      // materialized; the base was minted but unused) — stats decide when
+      // present, the manifest range otherwise
+      if (s.stats.contains(RowTracking.RowIdCol)) statOverlap else posOverlap
+    }
+    val empty = {
+      val logSchema = m.schema.getOrElse(new StructType())
+      StructType(logSchema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(RowTracking.RowIdCol, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(RowTracking.RowCommitCol, org.apache.spark.sql.types.LongType)))
+    }
+    if (hit.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+    val withIds = RowTracking.attach(segmentScanTracked(spark, hit, m), root, hit)
+    val filtered = DeletionVectors.liveRowFilter(root, hit)
+      .map(withIds.where).getOrElse(withIds)
+      .where(col(RowTracking.RowIdCol) >= lo && col(RowTracking.RowIdCol) <= hi)
+    val logSchema = m.schema.get
+    val cmap = m.colMap
+    filtered.select(logSchema.fieldNames.toIndexedSeq
+      .map(n => col(cmap.getOrElse(n, n)).as(n))
+      ++ Seq(col(RowTracking.RowIdCol), col(RowTracking.RowCommitCol)): _*)
+  }
+
   /** Physical relation over `segs` whose dataSchema includes the two
     * (nullable, usually file-absent) materialized tracking columns —
     * Spark's parquet missing-column handling fills NULL for fresh files,

@@ -171,6 +171,109 @@ class RowTrackingSpec extends SparkFunSuite {
     intercept[Exception] { clash.enableRowTracking() }
   }
 
+  test("scanRowIdRange: exact manifest pruning over mixed positional/materialized eras") {
+    val t = TsTable.create(tmpDir("rt-range"), tokenMeta)
+    t.append(TokenGen.generate(spark, 100, numFiles = 2))
+    t.enableRowTracking()                                        // ids 0..99
+    Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024) // materialized era
+    t.append(TokenGen.generate(spark, 50, idStart = 9000L, numFiles = 2)) // positional 100..149
+    val all = idMap(t)
+
+    // windows derive from the OBSERVED id space: the compaction output
+    // consumed an (unused) base range, so the second append's ids start
+    // past it — exactly the Delta discipline (ids skip, never collide)
+    val allIds = all.values.map(_._1).toSeq.sorted
+    def expect(lo: Long, hi: Long): Seq[Long] = allIds.filter(id => id >= lo && id <= hi)
+    def ids(lo: Long, hi: Long): Seq[Long] =
+      t.scanRowIdRange(spark, lo, hi).select("_row_id").collect().map(_.getLong(0)).toSeq.sorted
+    val posLo = allIds.filter(_ > 99L).head // first positional-era id
+    assert(ids(10, 20) == expect(10, 20) && expect(10, 20).nonEmpty)       // materialized era
+    assert(ids(posLo + 5, posLo + 20) == expect(posLo + 5, posLo + 20)
+      && expect(posLo + 5, posLo + 20).nonEmpty)                           // positional era
+    assert(ids(95, posLo + 5) == expect(95, posLo + 5))                    // spanning (id gap)
+    assert(ids(allIds.max + 100, allIds.max + 200).isEmpty)                // past high water
+    // MOR-deleted ids disappear from their window
+    val victim = all.minBy(_._2._1)._1
+    graft.maintain.DeleteWhere.deleteMor(spark, t, col("doc_id") === victim)
+    assert(!ids(0, 5).contains(all(victim)._1))
+  }
+
+  test("change feed carries row ids: synthesized inserts, recorded images, linked pairs") {
+    val t = TsTable.create(tmpDir("rt-cdf"), tokenMeta)
+    t.enableRowTracking()
+    t.enableCdf()
+    val v0 = t.version
+    t.append(TokenGen.generate(spark, 120, numFiles = 2))
+    val afterAppend = idMap(t)
+    Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024) // silent (DataNeutral)
+    DeleteWhere.deleteMor(spark, t, col("n_tok") % 7 === 0)
+    val deletedKeys = afterAppend.keySet -- idMap(t).keySet
+    UpdateWhere.update(spark, t, col("n_tok") % 7 === 1,
+      Map("n_tok" -> (col("n_tok") + lit(70000))))
+    // MERGE: 5 revisions + 5 brand-new keys
+    val updIds = (0L until 5L).map(i => f"doc-$i%012d") ++
+      (8000L until 8005L).map(i => f"doc-$i%012d")
+    MergeInto.merge(spark, t, TokenGen.generateForIds(spark, updIds, salt = "rev"))
+
+    val feed = graft.maintain.ChangeFeed.read(spark, t, v0, t.version)
+      .select("doc_id", "_change_type", "_row_id").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+
+    // synthesized inserts (the append) carry the rows' REAL ids
+    val ins = feed.filter(_._2 == "insert")
+    val appendIns = ins.filter(r => afterAppend.contains(r._1) && !updIds.contains(r._1))
+    assert(appendIns.nonEmpty)
+    appendIns.foreach { case (k, _, id) => assert(id.contains(afterAppend(k)._1)) }
+    // MERGE's writer-recorded inserts: ids minted at commit -> NULL record
+    assert(ins.filter(r => r._1.startsWith("doc-00000000800")).forall(_._3.isEmpty))
+
+    // delete records carry the deleted rows' ids
+    val dels = feed.filter(_._2 == "delete")
+    assert(dels.map(_._1).toSet == deletedKeys)
+    dels.foreach { case (k, _, id) => assert(id.contains(afterAppend(k)._1)) }
+
+    // update_pre/update_post (UPDATE + MERGE-matched) pair up BY id
+    val pre = feed.filter(_._2 == "update_pre").map(r => r._3.get -> r._1).toMap
+    val post = feed.filter(_._2 == "update_post").map(r => r._3.get -> r._1).toMap
+    assert(pre.nonEmpty && pre.keySet == post.keySet)
+    pre.foreach { case (id, k) => assert(post(id) == k) } // join-free linkage
+  }
+
+  test("streaming CDF of a tracked table: snapshot and tail batches carry _row_id") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = TsTable.create(tmpDir("rt-cdf-stream"), tokenMeta)
+    t.append(TokenGen.generate(spark, 80, numFiles = 2))
+    t.enableRowTracking()
+    Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024) // materialized snapshot
+    t.enableCdf()
+    val expect = idMap(t)
+    val out = tmpDir("rt-cdf-out"); val ckpt = tmpDir("rt-cdf-ckpt")
+    def drain() = {
+      val q = t.readStream(spark, Map("readChangeFeed" -> "true")).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out)
+    }
+    // initial snapshot over a COMPACTED (materialized-id) table: the ids
+    // must come from the materialized column, not position arithmetic
+    val got1 = drain()
+    assert(got1.columns.contains("_row_id"))
+    val snap = got1.select("doc_id", "_row_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(snap == expect.map { case (k, v) => k -> v._1 })
+
+    // tail batch: delete records carry the deleted rows' ids
+    DeleteWhere.deleteMor(spark, t, col("n_tok") % 11 === 0)
+    val got2 = drain()
+    val delRows = got2.where(col("_change_type") === "delete")
+      .select("doc_id", "_row_id").collect()
+    assert(delRows.nonEmpty)
+    delRows.foreach(r => assert(expect(r.getString(0))._1 == r.getLong(1)))
+  }
+
   test("branch writes under row tracking publish with their ids intact") {
     val t = TsTable.create(tmpDir("rt-branch"), tokenMeta)
     t.append(TokenGen.generate(spark, 60, numFiles = 1))
