@@ -93,6 +93,37 @@ class MetadataScaleSpec extends AnyFunSuite {
     assert(sec < 5.0, f"plan took $sec%.1f s at $N files — superlinear?")
   }
 
+  test(s"row tracking: id allocation + range pruning over $N segments stay driver-cheap") {
+    // the commit-time allocation walk (assignRowTracking's shape): one
+    // linear pass assigning [hw, hw+rows) per add — bound it like replay
+    val (hw, allocSec) = timed {
+      var w = 0L
+      segs.foreach { s => w += s.rowCount }
+      w
+    }
+    assert(hw == N.toLong * 3000L)
+    // scanRowIdRange's prune: interval intersection per file over a ~1%
+    // id band (positional arm — stats arm is the same per-file O(1))
+    val tracked = segs.zipWithIndex.map { case (s, i) =>
+      s.copy(baseRowId = Some(i.toLong * 3000L), rowVersion = Some(7L)) }
+    val lo = 1000L * 3000L
+    val hi = 3000L * 3000L - 1L
+    val (kept, pruneSec) = timed {
+      tracked.count(s => s.baseRowId.exists(b => b <= hi && b + s.rowCount - 1 >= lo))
+    }
+    info(f"alloc walk: $allocSec%.3f s, id-range prune: $pruneSec%.3f s, kept $kept of $N")
+    assert(kept == 2000)
+    // the per-scan lookup map for the WHOLE table (worst case: a full
+    // tracked scan) builds in bounded time too
+    val (m, mapSec) = timed {
+      tracked.map(s => s.path -> Array(s.baseRowId.get, s.rowVersion.get)).toMap
+    }
+    assert(m.size == N)
+    info(f"lookup-map build: $mapSec%.3f s for $N files")
+    assert(allocSec < 2.0 && pruneSec < 2.0 && mapSec < 5.0,
+      f"row-tracking metadata pass superlinear? alloc=$allocSec%.1f prune=$pruneSec%.1f map=$mapSec%.1f")
+  }
+
   test(s"stats pruning evaluates a predicate against $N files in bounded time, exact result") {
     val docId = AttributeReference("doc_id", StringType)()
     def slit(s: String) = Literal(UTF8String.fromString(s), StringType)
