@@ -535,6 +535,35 @@ object SparkEntry {
         expr(tokSum).as("tok_sum"))
     }),
 
+    // DELETE BY ROW ID: same rank-closed-form id assignment as q73, then
+    // an id-addressed MOR delete of the first 10 evens-era ids and the
+    // first 10 odds-era ids (positional arithmetic on the fresh file,
+    // materialized-arm scan on the compacted one) plus one bogus id (a
+    // silent no-op). Any slip (wrong position arithmetic, a DV on the
+    // wrong file, the bogus id matching something) changes the row set
+    "q74_rowid_delete" -> ((s, dir) => {
+      val root = TempRoots.create("graft-engine")
+      val t = TsTable.create(root, TableMeta("tokens",
+        TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), "zorder")),
+        None, None))
+      t.enableRowTracking()
+      val df = tokenDf(s, dir)
+      t.append(df.where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0")
+        .repartition(1).sortWithinPartitions("doc_id"))
+      t.append(df.where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1")
+        .repartition(1).sortWithinPartitions("doc_id"))
+      val n = t.scan(s).count() // ids 0..n-1; compaction consumes n more
+      Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024) // materializes them
+      // a third, offset batch lands POSITIONAL at ids 2n..2n+n-1
+      t.append(tokenDf(s, dir, idOffset = 10000000L)
+        .repartition(1).sortWithinPartitions("doc_id"))
+      import s.implicits._
+      val victims = (0L until 10L) ++ (2 * n until 2 * n + 10L) :+ (100L * n + 999999L)
+      graft.maintain.RowIdOps.deleteByRowIds(s, t, victims.toDF("_row_id"))
+      t.scanWithRowIds(s).select(col("doc_id"), col("source"), col("n_tok"),
+        col("_row_id").as("row_id"), expr(tokSum).as("tok_sum"))
+    }),
+
     // files metadata table: two single-file appends (evens, odds) make
     // the manifest's per-file row counts and doc_id/n_tok footer stats a
     // closed form — the gate proves the `files` surface reports EXACTLY
@@ -1284,6 +1313,35 @@ object SparkEntry {
            |       WHEN id0 % 2 = 0 THEN 'evens' ELSE 'odds' END AS commit_kind,
            |  ${tokSumOracle("id0", 31)} AS tok_sum
            |FROM allr WHERE ntok <= 1500""".stripMargin,
+
+      // q74: rank ids as q73 (evens then odds), the compacted era keeps
+      // materialized ids, the offset batch ranks from 2n; survivors
+      // exclude the first 10 ids and the first 10 offset-batch ids
+      "q74_rowid_delete" ->
+        s"""WITH base AS (
+           |  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS did,
+           |         doc_id AS id0, source, 64 + doc_id % 1985 AS ntok
+           |  FROM documents),
+           |cnt AS (SELECT count(*) AS n FROM base),
+           |evens AS (SELECT did, id0, source, ntok,
+           |            row_number() OVER (ORDER BY did) - 1 AS rid
+           |          FROM base WHERE id0 % 2 = 0),
+           |odds AS (SELECT did, id0, source, ntok,
+           |           (SELECT count(*) FROM base WHERE id0 % 2 = 0)
+           |             + row_number() OVER (ORDER BY did) - 1 AS rid
+           |         FROM base WHERE id0 % 2 = 1),
+           |late AS (SELECT 'doc-' || lpad(CAST(doc_id + 10000000 AS VARCHAR), 12, '0') AS did,
+           |           doc_id + 10000000 AS id0, source,
+           |           64 + (doc_id + 10000000) % 1985 AS ntok,
+           |           2 * (SELECT n FROM cnt) + row_number() OVER (ORDER BY doc_id) - 1 AS rid
+           |         FROM documents),
+           |allr AS (SELECT * FROM evens UNION ALL SELECT * FROM odds
+           |         UNION ALL SELECT * FROM late)
+           |SELECT did AS doc_id, source, CAST(ntok AS INT) AS n_tok,
+           |  rid AS row_id, ${tokSumOracle("id0", 31)} AS tok_sum
+           |FROM allr
+           |WHERE NOT (rid < 10 OR (rid >= 2 * (SELECT n FROM cnt)
+           |                        AND rid < 2 * (SELECT n FROM cnt) + 10))""".stripMargin,
 
       // survivors of the MOR delete with n_tok as the WIDENED type
       "q71_widen_column" ->

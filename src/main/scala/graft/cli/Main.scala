@@ -27,6 +27,8 @@ import graft.table.TsTable
   *           [--bin-parallelism K]       (concurrent bin rewrites; default 4)
   *   expire  --table ROOT --keep-from VERSION
   *   delete  --table ROOT --where "SQL predicate" [--mor]
+  *           | --row-ids 1,2,3  (id-addressed MOR delete; needs tracking —
+  *             never-rewritten files are masked with zero data reads)
   *           (--mor = merge-on-read: deletion-vector sidecars, no rewrite)
   *   update  --table ROOT --where "SQL predicate" --set col=EXPR [--set ...]
   *           [--mor]  (merge-on-read: DV-mask matched rows + append images)
@@ -189,10 +191,17 @@ object Main {
 
     case "delete" =>
       val t = openTable(args)
-      val cond = org.apache.spark.sql.functions.expr(req(args, "where"))
-      val rep =
-        if (flag(args, "mor")) DeleteWhere.deleteMor(spark, t, cond)
-        else DeleteWhere.delete(spark, t, cond)
+      val rep = opt(args, "row-ids") match {
+        case Some(csv) =>
+          // id-addressed MOR delete: positional files pay zero data reads
+          import spark.implicits._
+          graft.maintain.RowIdOps.deleteByRowIds(spark, t,
+            csv.split(',').map(_.trim.toLong).toSeq.toDF("_row_id"))
+        case None =>
+          val cond = org.apache.spark.sql.functions.expr(req(args, "where"))
+          if (flag(args, "mor")) DeleteWhere.deleteMor(spark, t, cond)
+          else DeleteWhere.delete(spark, t, cond)
+      }
       println(s"deleted: rows=${rep.rowsDeleted} candidates=${rep.candidates} " +
         s"kept=${rep.filesKept} rewritten=${rep.filesOut} dv=${rep.dvAttached} -> v${rep.version}")
 

@@ -274,6 +274,50 @@ class RowTrackingSpec extends SparkFunSuite {
     delRows.foreach(r => assert(expect(r.getString(0))._1 == r.getLong(1)))
   }
 
+  test("deleteByRowIds: positional arithmetic + materialized arm, idempotent, CDF-recorded") {
+    import graft.maintain.RowIdOps
+    val t = TsTable.create(tmpDir("rt-iddel"), tokenMeta)
+    t.append(TokenGen.generate(spark, 100, numFiles = 2))
+    t.enableRowTracking()
+    t.enableCdf()
+    Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024) // materialized 0..99
+    t.append(TokenGen.generate(spark, 60, idStart = 9000L, numFiles = 2)) // positional
+    val all = idMap(t)
+    val inv = all.map { case (k, v) => v._1 -> k }
+    val posIds = all.values.map(_._1).filter(_ > 99L).toSeq.sorted
+
+    // pre-existing DV: a key-deleted row's id must not re-count
+    val preVictim = inv(5L)
+    DeleteWhere.deleteMor(spark, t, col("doc_id") === preVictim)
+
+    val victims = Seq(3L, 7L, 50L) ++ posIds.take(3) ++ Seq(5L, 99999999L)
+    import spark.implicits._
+    val v0 = t.version
+    val rep = RowIdOps.deleteByRowIds(spark, t, victims.toDF("_row_id"))
+    assert(rep.rowsDeleted == 6, s"got $rep") // bogus + already-deleted excluded
+    val after = idMap(t)
+    assert(after.size == all.size - 7) // 6 here + the key-delete
+    victims.take(6).foreach(id => assert(!after.values.exists(_._1 == id)))
+    after.foreach { case (k, v) => assert(all(k) == v) } // survivors untouched
+
+    // replay of the same id set is a no-op (already-masked positions)
+    val rep2 = RowIdOps.deleteByRowIds(spark, t, victims.toDF("_row_id"))
+    assert(rep2.rowsDeleted == 0)
+    assert(idMap(t) == after)
+
+    // the change record carries the deleted rows' ids
+    val feed = graft.maintain.ChangeFeed.read(spark, t, v0, t.version)
+      .where(col("_change_type") === "delete").select("_row_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(feed == victims.take(6).toSet)
+
+    // guards
+    intercept[IllegalArgumentException] {
+      RowIdOps.deleteByRowIds(spark,
+        TsTable.create(tmpDir("rt-iddel-untracked"), tokenMeta), victims.toDF("_row_id"))
+    }
+  }
+
   test("branch writes under row tracking publish with their ids intact") {
     val t = TsTable.create(tmpDir("rt-branch"), tokenMeta)
     t.append(TokenGen.generate(spark, 60, numFiles = 1))
