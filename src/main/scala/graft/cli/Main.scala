@@ -33,6 +33,8 @@ import graft.table.TsTable
   *   update  --table ROOT --where "SQL predicate" --set col=EXPR [--set ...]
   *           [--mor]  (merge-on-read: DV-mask matched rows + append images)
   *   merge   --table ROOT --updates PARQUET [--key COL] [--delete] [--mor]
+  *           | --by-row-id  (id-addressed upsert: updates carry `_row_id`,
+  *             NULL inserts; in-place revision keeps identity; needs tracking)
   *           (--delete = WHEN MATCHED THEN DELETE: the parquet holds keys;
   *            --mor = merge-on-read upsert: DV-mask matched rows + append)
   *   clone   --table ROOT --target DEST [--at-version V]
@@ -228,7 +230,11 @@ object Main {
           s"dv=${rep.dvAttached} -> v${rep.version}")
       } else {
         val rep =
-          if (flag(args, "mor")) MergeInto.mergeMor(spark, t, updates, key = key)
+          if (flag(args, "by-row-id"))
+            // id-addressed upsert: updates carry a `_row_id` column
+            // (NULL = insert); needs row tracking
+            graft.maintain.RowIdOps.upsertByRowIds(spark, t, updates)
+          else if (flag(args, "mor")) MergeInto.mergeMor(spark, t, updates, key = key)
           else MergeInto.merge(spark, t, updates, key = key)
         println(s"merged: updated=${rep.updated} inserted=${rep.inserted} " +
           s"candidates=${rep.candidates} -> v${rep.version}")

@@ -318,6 +318,61 @@ class RowTrackingSpec extends SparkFunSuite {
     }
   }
 
+  test("upsertByRowIds: revise in place by identity, insert fresh, resurrect stale") {
+    import graft.maintain.RowIdOps
+    val t = TsTable.create(tmpDir("rt-idup"), tokenMeta)
+    t.append(TokenGen.generate(spark, 100, numFiles = 2))
+    t.enableRowTracking()
+    t.enableCdf()
+    Compaction.run(spark, t, targetFileSize = 64L * 1024 * 1024) // materialized era
+    t.append(TokenGen.generate(spark, 40, idStart = 9000L, numFiles = 1)) // positional era
+    val all = idMap(t)
+    val inv = all.map { case (k, v) => v._1 -> k }
+    val posId = all.values.map(_._1).filter(_ > 99L).min
+
+    // delete one row so its id can be resurrected
+    RowIdOps.deleteByRowIds(spark, t, { import spark.implicits._; Seq(7L).toDF("_row_id") })
+    assert(!idMap(t).values.exists(_._1 == 7L))
+
+    // images: revise id 3 (materialized era) and posId (positional era),
+    // resurrect id 7, insert one fresh row (null id)
+    val revDocs = Seq(inv(3L), inv(posId), inv(7L))
+    val images0 = TokenGen.generateForIds(spark, revDocs, salt = "v2")
+      .withColumn("_row_id",
+        when(col("doc_id") === inv(3L), 3L)
+          .when(col("doc_id") === inv(posId), posId)
+          .otherwise(7L))
+    val fresh = TokenGen.generateForIds(spark, Seq("doc-000000777777"), salt = "new")
+      .withColumn("_row_id", lit(null).cast("long"))
+    val v0 = t.version
+    val rep = RowIdOps.upsertByRowIds(spark, t, images0.unionByName(fresh))
+    assert(rep.updated == 2, s"got $rep")  // id 7 was not live -> resurrect, not match
+    assert(rep.inserted == 2)              // resurrection + the fresh row
+
+    val after = idMap(t)
+    assert(after.size == all.size + 1) // -1 delete +1 resurrect +1 fresh
+    // identity survived the in-place revisions; content actually changed
+    assert(after(inv(3L))._1 == 3L && after(inv(3L))._2 == t.version)
+    assert(after(inv(posId))._1 == posId && after(inv(posId))._2 == t.version)
+    assert(after(inv(7L))._1 == 7L)
+    assert(after.contains("doc-000000777777"))
+    val freshId = after("doc-000000777777")._1
+    assert(freshId > all.values.map(_._1).max) // minted past the high water
+    // untouched rows drifted nowhere
+    (after.keySet - inv(3L) - inv(posId) - inv(7L) - "doc-000000777777")
+      .foreach(k => assert(after(k) == all(k)))
+    // ids stay globally unique
+    assert(after.values.map(_._1).toSeq.distinct.size == after.size)
+
+    // the feed recorded the upsert: pre for the two live revisions (by
+    // id), post for all three images, insert for the fresh row
+    val feed = graft.maintain.ChangeFeed.read(spark, t, v0, t.version)
+    assert(feed.where(col("_change_type") === "update_pre").select("_row_id")
+      .collect().map(_.getLong(0)).toSet == Set(3L, posId))
+    assert(feed.where(col("_change_type") === "update_post").count() == 3)
+    assert(feed.where(col("_change_type") === "insert").count() == 1)
+  }
+
   test("branch writes under row tracking publish with their ids intact") {
     val t = TsTable.create(tmpDir("rt-branch"), tokenMeta)
     t.append(TokenGen.generate(spark, 60, numFiles = 1))
