@@ -26,6 +26,16 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Round-robin the rows of a single-file fixture table across the
+    * cluster before per-row heavy kernels (md5/minhash/shingle/dot
+    * product): the testdata tables are ONE parquet file ⇒ one input split
+    * ⇒ one task, so without this every signature pipeline ran serially on
+    * a single core (guide §2.5, input skew: "one huge unsplittable file —
+    * repartition immediately after the read"). Value-deterministic ops
+    * only — results never depend on row placement. */
+  private def par(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** Temp table roots created by the engine-path queries (q02/q10–q18/q39)
     * must OUTLIVE the lazy DataFrame each query returns — the scan reads
     * the root only when the caller materializes it — so they cannot be
@@ -67,27 +77,71 @@ object SparkEntry {
   // tokens[i] = (doc_id*31 + i) % 50257, n_tok = 64 + doc_id % 1985.
   // ------------------------------------------------------------------ //
 
-  private def tokenDf(s: SparkSession, dir: String, factor: Int = 31,
-                      idOffset: Long = 0L): DataFrame =
+  // Codegen'd kernel columns (functions/TokenKernels.scala). The SQL HOF
+  // forms (`transform(sequence(...))`, `aggregate(tokens, ...)`) are
+  // CodegenFallback — every element pays an interpreted boxed lambda call.
+  // The kernels compute the IDENTICAL values (TokenKernelSpec asserts
+  // hash-equality for tok_sum; EntryKernelParitySpec for token_seq /
+  // tokens_csv), so every oracle gate is unchanged — only the plan is.
+  private def tokenSeqCol(id0: org.apache.spark.sql.Column, factor: Int) = {
+    import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+    ofExpr(graft.functions.TokenSeq(toExpr(id0), factor))
+  }
+  private def tokSumCol(tokens: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+    ofExpr(graft.functions.TokSum(toExpr(tokens)))
+  }
+  private def tokensCsvCol(tokens: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graft.Bridge.{ofExpr, toExpr}
+    ofExpr(graft.functions.TokensCsv(toExpr(tokens)))
+  }
+
+  /** Narrow pre-generation projection: everything but the token array.
+    * Token synthesis is deferred past a round-robin repartition so it (a)
+    * runs at cluster parallelism instead of the source's single input
+    * split and (b) never rides a shuffle — the exchange moves ~30-byte
+    * rows, the ~4 KB arrays are generated on the receiving side
+    * (guide §2.3 "shuffle keys and metadata instead of payloads"). */
+  private def tokenNarrow(s: SparkSession, dir: String, idOffset: Long): DataFrame =
     tbl(s, dir, "documents").select(
       (col("doc_id") + lit(idOffset)).as("id0"), col("source"))
       .select(
         format_string("doc-%012d", col("id0")).as("doc_id"),
-        expr(s"transform(sequence(0, CAST(64 + id0 % 1985 AS INT) - 1, 1), i -> CAST((id0 * $factor + i) % 50257 AS INT))").as("tokens"),
+        col("id0"),
         expr("CAST(64 + id0 % 1985 AS INT)").as("n_tok"),
         col("source"))
+
+  private def tokenProject(df: DataFrame, factor: Int): DataFrame =
+    df.select(
+      col("doc_id"),
+      tokenSeqCol(col("id0"), factor).as("tokens"),
+      col("n_tok"),
+      col("source"))
+
+  private def tokenDf(s: SparkSession, dir: String, factor: Int = 31,
+                      idOffset: Long = 0L): DataFrame =
+    tokenProject(
+      tokenNarrow(s, dir, idOffset).repartition(s.sparkContext.defaultParallelism),
+      factor)
 
   private def buildTokenTable(s: SparkSession, dir: String, curve: String = "zorder",
                               nFiles: Int = 32, filter: Option[String] = None): TsTable = {
     val root = TempRoots.create("graft-engine")
     val t = TsTable.create(root, TableMeta("tokens",
       TableKind.Clustered(ClusterSpec(Seq("source", "n_tok", "doc_id"), curve)), None, None))
-    val df = tokenDf(s, dir)
-    t.append(filter.fold(df)(df.where(_)).repartition(nFiles)) // pathological small files
+    // pathological small files, but the repartition to them is NARROW:
+    // filter + shuffle run on pre-generation rows, tokens materialize
+    // post-exchange on the write side
+    val narrow = tokenNarrow(s, dir, 0L)
+    t.append(tokenProject(
+      filter.fold(narrow)(narrow.where(_)).repartition(nFiles), 31))
     t
   }
 
-  private val tokSum = "aggregate(tokens, 0L, (acc, x) -> acc + CAST(x AS BIGINT))"
+  /** Reference HOF form of the token-sum projection — the kernels above
+    * replaced it in every query plan; EntryKernelParitySpec holds the two
+    * hash-identical so the oracle gates can never drift. */
+  private[graft] val tokSum = "aggregate(tokens, 0L, (acc, x) -> acc + CAST(x AS BIGINT))"
 
   /** Closed-form oracle for sum(tokens): the (a+i) % m sequence wraps at
     * most once because n_tok < m. a = (id*factor) % m. */
@@ -166,9 +220,8 @@ object SparkEntry {
       val t = buildTokenTable(s, dir)
       Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
       t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
-        expr(tokSum).as("tok_sum"),
-        expr("md5(cast(array_join(transform(tokens, x -> cast(x as string)), ',') as binary))")
-          .as("tok_md5"))
+        tokSumCol(col("tokens")).as("tok_sum"),
+        md5(tokensCsvCol(col("tokens")).cast("binary")).as("tok_md5"))
     }),
 
     // the same maintenance pass over the HILBERT layout: identical data,
@@ -179,7 +232,7 @@ object SparkEntry {
       val t = buildTokenTable(s, dir, curve = "hilbert")
       Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
       t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
-        expr(tokSum).as("tok_sum"))
+        tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // MERGE INTO: revise every doc_id%10==0 (factor-37 tokens), insert
@@ -192,7 +245,7 @@ object SparkEntry {
       val inserts = tokenDf(s, dir, factor = 31, idOffset = 10000000L)
         .where("CAST(substring(doc_id, 5) AS BIGINT) % 97 = 10000000 % 97")
       MergeInto.merge(s, t, updates.unionByName(inserts))
-      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"), expr(tokSum).as("tok_sum"))
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"), tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // DELETE WHERE through the engine: compact+cluster, then predicate
@@ -203,7 +256,7 @@ object SparkEntry {
       Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
       graft.maintain.DeleteWhere.delete(s, t, col("n_tok").between(200, 400))
       t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
-        expr(tokSum).as("tok_sum"))
+        tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // merge-on-read DELETE (deletion vectors): same build as q15, but
@@ -217,7 +270,7 @@ object SparkEntry {
       graft.maintain.DeleteWhere.deleteMor(s, t, col("n_tok").between(200, 400))
       graft.maintain.DeleteWhere.deleteMor(s, t, col("n_tok") < 100) // non-empty at every sf
       t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
-        expr(tokSum).as("tok_sum"))
+        tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // merge-on-read MERGE: identical inputs and oracle as q11, but the
@@ -231,7 +284,7 @@ object SparkEntry {
       val inserts = tokenDf(s, dir, factor = 31, idOffset = 10000000L)
         .where("CAST(substring(doc_id, 5) AS BIGINT) % 97 = 10000000 % 97")
       MergeInto.mergeMor(s, t, updates.unionByName(inserts))
-      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"), expr(tokSum).as("tok_sum"))
+      t.scan(s).select(col("doc_id"), col("source"), col("n_tok"), tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // UPDATE WHERE through the engine: compact+cluster, then predicate
@@ -245,7 +298,7 @@ object SparkEntry {
         Map("source" -> concat(col("source"), lit("-upd")),
             "n_tok" -> (col("n_tok") + 1000)))
       t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
-        expr(tokSum).as("tok_sum"))
+        tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // merge-on-read UPDATE: same inputs and oracle as q54, but matched
@@ -258,7 +311,7 @@ object SparkEntry {
         Map("source" -> concat(col("source"), lit("-upd")),
             "n_tok" -> (col("n_tok") + 1000)))
       t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
-        expr(tokSum).as("tok_sum"))
+        tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // RESTORE to an earlier version ACROSS an append and a merge-on-read
@@ -275,7 +328,7 @@ object SparkEntry {
       graft.maintain.DeleteWhere.deleteMor(s, t, col("n_tok") < 500)
       graft.maintain.Restore.restore(t, pinned)
       t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
-        expr(tokSum).as("tok_sum"))
+        tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // MERGE … WHEN MATCHED THEN DELETE: delete-by-key through the merge
@@ -288,7 +341,7 @@ object SparkEntry {
         .where("CAST(substring(doc_id, 5) AS BIGINT) % 7 = 0").select("doc_id")
       MergeInto.mergeDelete(s, t, victims)
       t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
-        expr(tokSum).as("tok_sum"))
+        tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // snapshot diff (change data feed): v1 = evens; then odd-id appends,
@@ -307,7 +360,7 @@ object SparkEntry {
       graft.maintain.DeleteWhere.deleteMor(s, t, col("n_tok").between(200, 400))
       graft.maintain.SnapshotDiff.diff(s, t, v1, t.version, "doc_id")
         .select(col("_change_type"), col("doc_id"), col("source"), col("n_tok"),
-          expr(tokSum).as("tok_sum"))
+          tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // tags: a named snapshot pinned BEFORE an append, a MOR delete AND a
@@ -324,7 +377,7 @@ object SparkEntry {
       graft.maintain.DeleteWhere.deleteMor(s, t, col("n_tok") < 500)
       graft.maintain.Expire.expire(t, t.version)
       t.scanAtTag(s, "golden").select(col("doc_id"), col("source"), col("n_tok"),
-        expr(tokSum).as("tok_sum"))
+        tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // write-audit-publish: evens committed on main; a BAD branch (odd ids
@@ -355,7 +408,7 @@ object SparkEntry {
         "branch isolation broken: main saw unpublished branch rows")
       t.publishBranch("wap-good")
       t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
-        expr(tokSum).as("tok_sum"))
+        tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // DROP COLUMN: metadata-only narrowing — old files keep the column's
@@ -378,7 +431,7 @@ object SparkEntry {
         .repartition(2))
       Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
       t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
-        expr(tokSum).as("tok_sum"))
+        tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // cluster-spec evolution (sort-order evolution): evens are clustered
@@ -398,7 +451,7 @@ object SparkEntry {
       // old-spec files are re-clustered too, not just the fresh odds
       Compaction.run(s, t, targetFileSize = 16L * 1024 * 1024)
       t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
-        expr(tokSum).as("tok_sum"))
+        tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // RENAME COLUMN (column mapping): evens land under the original name,
@@ -417,7 +470,7 @@ object SparkEntry {
       graft.maintain.DeleteWhere.deleteMor(s, t, col("n_tok") > 1500)
       Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
       t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
-        expr("aggregate(token_ids, 0L, (acc, x) -> acc + CAST(x AS BIGINT))").as("tok_sum"))
+        tokSumCol(col("token_ids")).as("tok_sum"))
     }),
 
     // AS OF TIMESTAMP time travel: evens committed first, the commit's
@@ -434,7 +487,7 @@ object SparkEntry {
       t.append(tokenDf(s, dir)
         .where("CAST(substring(doc_id, 5) AS BIGINT) % 2 = 1").repartition(4))
       t.scanAsOf(s, ts0).select(col("doc_id"), col("source"), col("n_tok"),
-        expr(tokSum).as("tok_sum"))
+        tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // SHALLOW CLONE: evens committed to the SOURCE, the clone references
@@ -455,7 +508,7 @@ object SparkEntry {
       // row count into the result so the gate also pins non-interference
       val srcRows = t.scan(s).count()
       c.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
-        expr(tokSum).as("tok_sum"), lit(srcRows).as("src_rows"))
+        tokSumCol(col("tokens")).as("tok_sum"), lit(srcRows).as("src_rows"))
     }),
 
     // ALTER COLUMN TYPE (widening): evens land as INT n_tok, the widen to
@@ -474,7 +527,7 @@ object SparkEntry {
       graft.maintain.DeleteWhere.deleteMor(s, t, col("n_tok") > 1500L)
       Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
       t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
-        expr(tokSum).as("tok_sum"))
+        tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // CHANGE DATA FEED: evens are the pre-feed snapshot, then — with the
@@ -498,7 +551,7 @@ object SparkEntry {
       Compaction.run(s, t, targetFileSize = 8L * 1024 * 1024)
       graft.maintain.ChangeFeed.read(s, t, v0, t.version)
         .select(col("_change_type"), col("doc_id"), col("source"), col("n_tok"),
-          expr(tokSum).as("tok_sum"))
+          tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // ROW TRACKING: two single-sorted-file appends make the id assignment
@@ -532,7 +585,7 @@ object SparkEntry {
           .when(col("_row_commit") === vE, "evens")
           .when(col("_row_commit") === vO, "odds")
           .otherwise("other").as("commit_kind"),
-        expr(tokSum).as("tok_sum"))
+        tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // DELETE BY ROW ID: same rank-closed-form id assignment as q73, then
@@ -561,7 +614,7 @@ object SparkEntry {
       val victims = (0L until 10L) ++ (2 * n until 2 * n + 10L) :+ (100L * n + 999999L)
       graft.maintain.RowIdOps.deleteByRowIds(s, t, victims.toDF("_row_id"))
       t.scanWithRowIds(s).select(col("doc_id"), col("source"), col("n_tok"),
-        col("_row_id").as("row_id"), expr(tokSum).as("tok_sum"))
+        col("_row_id").as("row_id"), tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // files metadata table: two single-file appends (evens, odds) make
@@ -593,7 +646,7 @@ object SparkEntry {
         .withColumn("n_tok", lit(1000000)).repartition(2))
       catch { case _: graft.table.CheckViolationException => () }
       t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
-        expr(tokSum).as("tok_sum"))
+        tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // schema evolution: ADD COLUMN is a metadata-only commit — rows
@@ -614,7 +667,7 @@ object SparkEntry {
       // the NULL fill — only a genuine NULL maps to -1.
       t.scan(s).select(col("doc_id"), col("source"), col("n_tok"),
         coalesce(col("quality"), lit(-1)).as("quality"),
-        expr(tokSum).as("tok_sum"))
+        tokSumCol(col("tokens")).as("tok_sum"))
     }),
 
     // snapshot expiration after compaction: orphans deleted, checkpointed
@@ -755,7 +808,7 @@ object SparkEntry {
     // 0.5 sits in the corpus's similarity gap (background <= 0.4, planted
     // dups >= 0.8, where 16x4 banding recall is ~1 per pair).
     "q21_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashLshPairsVerified(tbl(s, dir, "documents"), "text", "doc_id",
+      Dedup.minhashLshPairsVerified(par(s, tbl(s, dir, "documents")), "text", "doc_id",
         shingleSize = 5, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))),
 
@@ -766,7 +819,7 @@ object SparkEntry {
     // oracle coverage of the blocking + pairing machinery (the xxhash64
     // kernel stays the production fast path, exercised in Bench/OpsSpec)
     "q22_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairsMd5(tbl(s, dir, "documents"), "text", "doc_id", maxHamming = 3)),
+      Dedup.simhashPairsMd5(par(s, tbl(s, dir, "documents")), "text", "doc_id", maxHamming = 3)),
 
     "q23_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "text", "doc_id",
@@ -775,7 +828,7 @@ object SparkEntry {
 
     // exhaustive cosine near-dup on the vec_id%10 subset (oracle-checkable)
     "q24_embed_neardup" -> ((s, dir) => {
-      val sub = tbl(s, dir, "embeddings").where(col("vec_id") % 10 === 0)
+      val sub = par(s, tbl(s, dir, "embeddings").where(col("vec_id") % 10 === 0))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       Dedup.embeddingNearDupPairs(sub, "embedding", "vec_id",
         threshold = 0.0, exhaustive = true)
@@ -785,7 +838,7 @@ object SparkEntry {
 
     // brute-force exact ANN top-5 for queries vec_id%100==0
     "q25_ann_topk" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
+      val emb = par(s, tbl(s, dir, "embeddings"))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val qs = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding"))
@@ -800,7 +853,7 @@ object SparkEntry {
     // join, ranking) end to end. Partial-probe recall is measured in
     // OpsSpec; the scale story is the partition-pruned probe join.
     "q26_ivf_ann" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
+      val emb = par(s, tbl(s, dir, "embeddings"))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val qs = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding"))
@@ -857,7 +910,7 @@ object SparkEntry {
     // packing. Every stage is an operator from ops/; the oracle
     // recomputes the chain end-to-end in SQL.
     "q38_pipeline_e2e" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = par(s, tbl(s, dir, "documents"))
       val survivors = Dedup.exact(
         docs.select(TextOps.fingerprint(col("text")).as("fp"), col("doc_id")),
         "fp", "doc_id").select("doc_id")
@@ -936,7 +989,7 @@ object SparkEntry {
     // every doc gets its component's min doc_id as cluster_id plus the
     // cluster size (singletons cluster to themselves, size 1)
     "q46_dedup_clusters" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = par(s, tbl(s, dir, "documents"))
       val pairs = Dedup.minhashLshPairsVerified(docs, "text", "doc_id",
         shingleSize = 5, threshold = 0.5)
       val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")

@@ -246,29 +246,19 @@ object Compaction {
           // deserialized token rows are ~3× the parquet bytes. MERGE
           // differs: its child embeds an anti join, so it caches and
           // keeps the stock range exchange).
-          val rows = math.max(inputs.map(_.rowCount).sum, 1L)
-          val targetSamples = math.min(outFiles.toLong * 1000L, 1000000L)
-          val fraction = math.min(1.0, targetSamples.toDouble / rows)
           // sample from the SAME manifest-backed relation as the rewrite:
           // a second read.parquet here re-listed the whole bin (a second
           // listing job per rewrite); column pruning still keeps the
           // sample scan narrow
-          val sample = raw
-            .select(ClusterKey.curveKey(curve, fit).as("k"),
-              ClusterKey.saltCol(fit).as("s"))
-            .sample(withReplacement = false, fraction, seed = 42L)
-            .collect()
-            .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
-              if (r.isNullAt(1)) 0L else r.getLong(1)))
-          if (sample.isEmpty) {
-            // a zero-row sample (manifest rowCounts inflating the fraction
-            // denominator, or a pathological Bernoulli draw) must degrade
-            // to the stock range exchange, not abort the rewrite
-            clusterSorted(df, curve, outFiles, fit)
-          } else {
-            val (bk, bs) = RangeBuckets.boundsFromSample(sample, outFiles)
-            val labels = RangeBuckets.labelsFor(outFiles)
-            clusterSortedByBounds(df, curve, outFiles, fit, bk, bs, labels)
+          sampledBoundsFor(raw, curve, fit,
+            math.max(inputs.map(_.rowCount).sum, 1L), outFiles) match {
+            case None =>
+              // a zero-row sample (manifest rowCounts inflating the fraction
+              // denominator, or a pathological Bernoulli draw) must degrade
+              // to the stock range exchange, not abort the rewrite
+              clusterSorted(df, curve, outFiles, fit)
+            case Some((bk, bs, labels)) =>
+              clusterSortedByBounds(df, curve, outFiles, fit, bk, bs, labels)
           }
         case _ => clusterSorted(df, curve, outFiles, fit)
       }
@@ -278,6 +268,36 @@ object Compaction {
       // skip it instead of erroring on an unrecorded Remove+Add
       table.swapSegments(sorted, inputs, maxRetries,
         extraActions = Seq(graft.log.LogAction.DataNeutral))
+    }
+  }
+
+  /** Explicit range-partition boundaries from a narrow sample of
+    * `sampleSrc` (projected to curve key + salt, so parquet column pruning
+    * skips the payload): the shared boundary pass behind
+    * [[clusterSortedByBounds]]. Used by compaction AND by MERGE — with
+    * precomputed bounds the clustered write is ONE execution of its child,
+    * where `repartitionByRange`'s own boundary-sampling job re-executed
+    * the full child (for MERGE that child embeds the anti-join + union, so
+    * rounds 2–5 paid a MEMORY_AND_DISK persist of the whole merged row set
+    * just to keep the double execution cheap; the explicit bounds remove
+    * both the cache and the second pass). Returns None on an empty sample
+    * (degrade to the stock range exchange, never abort). */
+  private[maintain] def sampledBoundsFor(sampleSrc: DataFrame, curve: String,
+      fit: ClusterKey.Fit, rows: Long,
+      outFiles: Int): Option[(Array[Long], Array[Long], Array[Int])] = {
+    val targetSamples = math.min(outFiles.toLong * 1000L, 1000000L)
+    val fraction = math.min(1.0, targetSamples.toDouble / math.max(rows, 1L))
+    val sample = sampleSrc
+      .select(ClusterKey.curveKey(curve, fit).as("k"),
+        ClusterKey.saltCol(fit).as("s"))
+      .sample(withReplacement = false, fraction, seed = 42L)
+      .collect()
+      .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1)))
+    if (sample.isEmpty) None
+    else {
+      val (bk, bs) = RangeBuckets.boundsFromSample(sample, outFiles)
+      Some((bk, bs, RangeBuckets.labelsFor(outFiles)))
     }
   }
 

@@ -160,12 +160,18 @@ object MergeInto {
     // that the next compaction bin-packs; at 10^12-row scale outFilesEst ≫
     // cores so targetFileSize governs, exactly as in compaction.
     val outFiles = math.max(outFilesEst, spark.sparkContext.defaultParallelism)
-    // clusterSorted range-partitions on the curve key, and range
-    // partitioning SAMPLES its child before shuffling — for compaction the
-    // child is a bare parquet scan (cheap to run twice), but here it is
-    // read→anti-join→union, so without a cache the whole merge pipeline
-    // executes once for the sample pass and again for the write pass.
-    // Persist for the two passes, then release.
+    // clusterSorted's stock path range-partitions on the curve key, and
+    // range partitioning SAMPLES its child before shuffling — here the
+    // child is read→anti-join→union, so that plan would execute the whole
+    // merge pipeline twice (rounds 2–5 paid a MEMORY_AND_DISK persist of
+    // the full merged row set to make the second pass cheap). Instead the
+    // boundaries come from an explicit NARROW sample over the candidates'
+    // cluster-key columns (guide §2.4: one exchange, one pass — the same
+    // no-resample layout compaction uses): parquet column pruning keeps
+    // the sample to ~% of the bin bytes, the merged plan executes ONCE,
+    // and nothing is cached. The 1-in-100 keys the anti-join removes and
+    // the update rows it adds shift the sampled distribution marginally —
+    // range bounds affect file balance only, never results.
     val (added, mergedV) = try Compaction.withSizedReadSplits(spark, candBytes, candidates.size) { scoped =>
       // the candidate read is created on the scoped session: split sizing
       // binds to the relation's session, so the tuned maxPartitionBytes
@@ -199,16 +205,31 @@ object MergeInto {
                 .withColumn(graft.table.RowTracking.RowCommitCol, lit(null).cast("long")))
           }
         }
-      val cached = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fit = ClusterKey.fitFor(table)
+      // stock clusterSorted still embeds a range-sampling double execution
+      // for the lexico layout — only that path keeps the old persist
+      val needsCache = curve == "lexico" && outFiles > 1
+      val toCluster =
+        if (needsCache) merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else merged
       try {
-        val clustered = Compaction.clusterSorted(cached, curve, outFiles, ClusterKey.fitFor(table))
+        val clustered =
+          if ((curve == "zorder" || curve == "hilbert") && outFiles > 1 && candidates.nonEmpty)
+            Compaction.sampledBoundsFor(
+              table.toLogical(table.segmentScan(scoped, candidates)), curve, fit,
+              math.max(targetRows, 1L), outFiles) match {
+              case Some((bk, bs, labels)) =>
+                Compaction.clusterSortedByBounds(toCluster, curve, outFiles, fit, bk, bs, labels)
+              case None => Compaction.clusterSorted(toCluster, curve, outFiles, fit)
+            }
+          else Compaction.clusterSorted(toCluster, curve, outFiles, fit)
         val cdc: Seq[graft.log.LogAction.AddCdcFile] =
           if (table.cdfEnabled)
             table.stageCdc(mergeCdc(scoped, table, candidates, upd, key))
           else Nil
         try table.swapSegments(clustered, candidates, txn = txn, extraActions = cdc)
         catch { case e: Throwable => table.deleteCdcStaged(cdc); throw e }
-      } finally cached.unpersist(false)
+      } finally if (needsCache) toCluster.unpersist(false)
     } catch {
       // replayed streaming batch: the swap already deleted its staged
       // files; report the batch as applied at the watermark's version
