@@ -498,6 +498,13 @@ object MergeInto {
     //    column pruning keeps the scan to the key column; Catalyst plans
     //    the semi-join shuffle/broadcast by size.
     val rangeHits = live.filter(s => hitIds.contains(s.segmentId))
+    // (Round-6 note: an expected-yield guard to SKIP the exact pre-pass
+    // when a uniform-key model predicts zero pruning was tried and
+    // reverted — insert-heavy merges carry many ABSENT keys that inflate K
+    // while being exactly what the pass prunes, so the model mis-fires on
+    // the common workload. The pre-pass stays unconditional: one
+    // key-column-projected scan, a few % of the bytes each pruned file
+    // would cost the rewrite.)
     val bloomHits: Set[String] = table.bloomKeyColumn match {
       case Some(bloomCol) if bloomCol == physKey && rangeHits.nonEmpty && updCount > 0 =>
         val files = rangeHits.map(s => (graft.meta.PathNorm.resolve(table.root, s.path), s.segmentId))

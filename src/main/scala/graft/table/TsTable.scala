@@ -341,14 +341,35 @@ final class TsTable private (val root: String, val store: LogStore) {
     * layout). Space-curve clustering interleaves the key bits, so per-file
     * [min,max] stops pruning MERGE candidates; the bloom answers "can key k
     * be in this file" from footer metadata alone (KeyBloom). Adaptive
-    * sizing keeps the filter proportional to each file's actual NDV. */
-  private[graft] def segmentWriteOptions: Map[String, String] =
-    clusterSpec.map(_.columns.last) match {
+    * sizing keeps the filter proportional to each file's actual NDV.
+    *
+    * Round-6 additions (guide §6):
+    *  - zstd: interleaved warm A/B vs snappy on the token payload measured
+    *    equal-or-faster encode at equal size in every window (and ~2×
+    *    faster in disk-pressured windows — fewer dirty bytes to write
+    *    back); better ratio on text/doc payloads generally.
+    *  - 8 MB row groups: the parquet default (128 MB) gives a compacted
+    *    64 MB file ONE row group, and Spark's scan can only assign a row
+    *    group to the split holding its midpoint — a compacted table
+    *    scanned with 6/32 cores (measured: full-scan 0.71 s → 0.33 s at
+    *    bench scale, restoring parity with the pre-compaction layout).
+    *    Scale-independent: intra-file parallelism at ANY cluster size
+    *    (a 512 MB production file gets 64 independently scannable groups);
+    *    cost measured +1 % file bytes. Override via
+    *    SPARK_GRAFT_ROWGROUP_BYTES. */
+  private[graft] def segmentWriteOptions: Map[String, String] = {
+    val rowGroupBytes = sys.env.getOrElse("SPARK_GRAFT_ROWGROUP_BYTES",
+      (8L * 1024 * 1024).toString)
+    Map(
+      "compression" -> "zstd",
+      "parquet.block.size" -> rowGroupBytes) ++
+    (clusterSpec.map(_.columns.last) match {
       case Some(key) => Map(
         s"parquet.bloom.filter.enabled#$key" -> "true",
         "parquet.bloom.filter.adaptive.enabled" -> "true")
       case None => Map.empty
-    }
+    })
+  }
 
   /** The column KeyBloom pruning can test, when blooms are being written. */
   private[graft] def bloomKeyColumn: Option[String] = clusterSpec.map(_.columns.last)
