@@ -27,12 +27,15 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Round-robin the rows of a single-file fixture table across the
-    * cluster before per-row heavy kernels (md5/minhash/shingle/dot
-    * product): the testdata tables are ONE parquet file ⇒ one input split
-    * ⇒ one task, so without this every signature pipeline ran serially on
-    * a single core (guide §2.5, input skew: "one huge unsplittable file —
-    * repartition immediately after the read"). Value-deterministic ops
-    * only — results never depend on row placement. */
+    * cluster before per-row heavy kernels: the testdata tables are ONE
+    * parquet file ⇒ one input split ⇒ one task (guide §2.5, input skew:
+    * "one huge unsplittable file — repartition immediately after the
+    * read"). Measured per query (MicroBench4, warm interleaved minima):
+    * pays ONLY where per-row compute dominates the added exchange — q22's
+    * per-word MD5 (2.17→1.93 s). For q21/q24/q25/q38 the kernel work is
+    * too cheap at sf0.1 and the exchange was pure overhead (q25 0.43→0.84,
+    * q38 0.52→0.83), so those inputs stay unrepartitioned.
+    * Value-deterministic ops only — results never depend on placement. */
   private def par(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
@@ -808,7 +811,7 @@ object SparkEntry {
     // 0.5 sits in the corpus's similarity gap (background <= 0.4, planted
     // dups >= 0.8, where 16x4 banding recall is ~1 per pair).
     "q21_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashLshPairsVerified(par(s, tbl(s, dir, "documents")), "text", "doc_id",
+      Dedup.minhashLshPairsVerified(tbl(s, dir, "documents"), "text", "doc_id",
         shingleSize = 5, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))),
 
@@ -828,7 +831,7 @@ object SparkEntry {
 
     // exhaustive cosine near-dup on the vec_id%10 subset (oracle-checkable)
     "q24_embed_neardup" -> ((s, dir) => {
-      val sub = par(s, tbl(s, dir, "embeddings").where(col("vec_id") % 10 === 0))
+      val sub = tbl(s, dir, "embeddings").where(col("vec_id") % 10 === 0)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       Dedup.embeddingNearDupPairs(sub, "embedding", "vec_id",
         threshold = 0.0, exhaustive = true)
@@ -838,7 +841,7 @@ object SparkEntry {
 
     // brute-force exact ANN top-5 for queries vec_id%100==0
     "q25_ann_topk" -> ((s, dir) => {
-      val emb = par(s, tbl(s, dir, "embeddings"))
+      val emb = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val qs = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding"))
@@ -853,7 +856,7 @@ object SparkEntry {
     // join, ranking) end to end. Partial-probe recall is measured in
     // OpsSpec; the scale story is the partition-pruned probe join.
     "q26_ivf_ann" -> ((s, dir) => {
-      val emb = par(s, tbl(s, dir, "embeddings"))
+      val emb = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val qs = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding"))
@@ -894,8 +897,11 @@ object SparkEntry {
 
     // GPT-style sequence packing THROUGH THE SCALABLE PATH (two-pass
     // distributed prefix sum; the oracle recomputes with window SQL)
+    // narrow form directly: the packer needs no token arrays, so riding
+    // tokenDf would evaluate nothing but still pay its parallelizing
+    // exchange — the pre-generation projection is already the right input
     "q36_seq_pack" -> ((s, dir) => graft.ops.Packing.packStreamScalable(
-      tokenDf(s, dir).select("source", "doc_id", "n_tok"),
+      tokenNarrow(s, dir, 0L).select("source", "doc_id", "n_tok"),
       "source", "doc_id", "n_tok", maxTokens = 2048)
       .select("source", "doc_id", "stream_pos", "seq_id")),
 
@@ -910,7 +916,7 @@ object SparkEntry {
     // packing. Every stage is an operator from ops/; the oracle
     // recomputes the chain end-to-end in SQL.
     "q38_pipeline_e2e" -> ((s, dir) => {
-      val docs = par(s, tbl(s, dir, "documents"))
+      val docs = tbl(s, dir, "documents")
       val survivors = Dedup.exact(
         docs.select(TextOps.fingerprint(col("text")).as("fp"), col("doc_id")),
         "fp", "doc_id").select("doc_id")
@@ -989,7 +995,7 @@ object SparkEntry {
     // every doc gets its component's min doc_id as cluster_id plus the
     // cluster size (singletons cluster to themselves, size 1)
     "q46_dedup_clusters" -> ((s, dir) => {
-      val docs = par(s, tbl(s, dir, "documents"))
+      val docs = tbl(s, dir, "documents")
       val pairs = Dedup.minhashLshPairsVerified(docs, "text", "doc_id",
         shingleSize = 5, threshold = 0.5)
       val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
