@@ -302,7 +302,7 @@ object MergeInto {
       case None => upd
     }
 
-    val candidates = selectCandidates(spark, table, upd, updCount, key, live)
+    val candidates = selectCandidates(spark, table, upd, updCount, key, live, refineExact = false)
 
     // matched-position pass (only when something can match)
     val plan: Option[DeleteWhere.MorPlan] =
@@ -407,7 +407,7 @@ object MergeInto {
     if (delCount == 0 || live.isEmpty)
       return DeleteWhere.Report(0, live.size, 0, 0L, totalLive, table.version)
 
-    val candidates = selectCandidates(spark, table, del, delCount, key, live)
+    val candidates = selectCandidates(spark, table, del, delCount, key, live, refineExact = false)
     if (candidates.isEmpty)
       return DeleteWhere.Report(0, live.size, 0, 0L, totalLive, table.version)
 
@@ -437,10 +437,22 @@ object MergeInto {
   /** Shared candidate-file selection for [[merge]] and [[mergeDelete]]:
     * stats-range hits refined by footer blooms (small key sets) or an
     * exact distributed semi-join (large ones); stat-less files are always
-    * candidates (sound). */
+    * candidates (sound).
+    *
+    * `refineExact = false` (the merge-on-read callers): above the bloom
+    * cap, the COW rewrite saves full file-BYTES per pruned candidate, so
+    * the exact key-column pre-pass always pays there — but the MOR paths'
+    * next step ([[DeleteWhere.morBase]]) is itself a key-column-projected
+    * scan of the candidates whose join produces no DV for unmatched files.
+    * Running the exact pre-pass first would read the same narrow bytes
+    * TWICE for at most the saving of morBase's tiny join output (round-6
+    * measurement: merge_upsert_mor carries two back-to-back candidate
+    * key scans). Footer blooms (≤ cap) stay on: they prune from metadata
+    * alone, no scan. */
   private def selectCandidates(spark: SparkSession, table: TsTable, upd: DataFrame,
                                updCount: Long, key: String,
-                               live: Seq[SegmentMeta]): Seq[SegmentMeta] = {
+                               live: Seq[SegmentMeta],
+                               refineExact: Boolean = true): Seq[SegmentMeta] = {
     // stats sidecars, footer blooms, and raw candidate files are keyed by
     // the frozen PHYSICAL column name; `key` is logical (identical unless
     // the merge key was renamed)
@@ -512,7 +524,9 @@ object MergeInto {
           val keys: Array[Any] = upd.select(col(key)).collect().map(_.get(0))
           KeyBloom.filterMayContain(spark.sparkContext.hadoopConfiguration,
             files, bloomCol, keys).toSet
-        } else refineCandidatesExact(spark, upd.select(col(key)), key, files, Some(physKey))
+        } else if (refineExact)
+          refineCandidatesExact(spark, upd.select(col(key)), key, files, Some(physKey))
+        else hitIds
       case _ => hitIds
     }
 

@@ -28,7 +28,7 @@ object FooterStats {
     * independent footer open (network/disk latency bound), so a
     * 200-small-file append pays one round trip instead of 200 sequential
     * ones. Result order matches `files`. */
-  def readAll(conf: Configuration, files: Seq[String], parallelism: Int = 16): Seq[(String, FileStats)] = {
+  def readAll(conf: Configuration, files: Seq[String], parallelism: Int = 32): Seq[(String, FileStats)] = {
     if (files.lengthCompare(2) < 0) return files.map(f => f -> read(conf, f))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(files.size, parallelism))
     try {
