@@ -22,7 +22,16 @@ import graft.meta.{ColStats, StatVal}
   */
 object FooterStats {
 
-  final case class FileStats(rowCount: Long, fileSize: Long, stats: Map[String, ColStats])
+  /** `sparkSchemaJson`: the StructType JSON Spark embeds in the footer
+    * key-value metadata of every file IT writes — the exact logical schema
+    * `spark.read.parquet(...).schema` would return for the staging dir,
+    * available for free from the footer this reader already opened.
+    * Absent for foreign (non-Spark) parquet files. */
+  final case class FileStats(rowCount: Long, fileSize: Long, stats: Map[String, ColStats],
+                             sparkSchemaJson: Option[String] = None)
+
+  /** The footer metadata key Spark writes its schema under. */
+  private val SparkSchemaKey = "org.apache.spark.sql.parquet.row.metadata"
 
   /** Footer stats for many files, read concurrently: each read is an
     * independent footer open (network/disk latency bound), so a
@@ -90,7 +99,9 @@ object FooterStats {
       val stats = perCol.collect {
         case (col, (mn, mx, nulls, true)) => col -> ColStats(mn, mx, nulls)
       }.toMap
-      FileStats(rowCount, fileSize, stats)
+      val sparkSchema = Option(
+        footer.getFileMetaData.getKeyValueMetaData.get(SparkSchemaKey))
+      FileStats(rowCount, fileSize, stats, sparkSchema)
     } finally reader.close()
   }
 

@@ -462,8 +462,20 @@ final class TsTable private (val root: String, val store: LogStore) {
     }
 
     // canonical on-disk schema (reference adopts from the Parquet footer,
-    // append.rs:130-151)
-    val diskSchema = spark.read.parquet(stagingAbs).schema
+    // append.rs:130-151). Round 6: Spark embeds the exact StructType JSON
+    // in the footer metadata of every file it writes, and the footers were
+    // just read for stats — reuse that instead of paying a listing + a
+    // schema-inference Spark job per append (driver-tail cost on EVERY
+    // append; the fallback read covers foreign files staged without the
+    // key, and any malformed JSON falls through to inference too)
+    // asNullable: file sources report every field nullable, so the
+    // embedded writer schema must be normalized identically or the
+    // adopt-then-enforce comparison would reject a second append whose
+    // builder pipeline produced non-null columns (e.g. generator kernels)
+    val diskSchema = liveStats.head._2.sparkSchemaJson
+      .flatMap(j => scala.util.Try(org.apache.spark.sql.graft.Bridge.asNullable(
+        org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])).toOption)
+      .getOrElse(spark.read.parquet(stagingAbs).schema)
 
     // (3) time-series extras: coverage bitmaps + entity identity
     val tsExtras = timeSpec.map { spec =>

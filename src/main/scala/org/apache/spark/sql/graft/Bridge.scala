@@ -12,6 +12,14 @@ object Bridge {
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
   def ofExpr(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** StructType.asNullable is private[spark]; the append path needs it to
+    * normalize a footer-embedded writer schema exactly the way
+    * HadoopFsRelation normalizes an inferred one (file sources report
+    * every field nullable), so footer-derived and read-inferred schemas
+    * compare equal. */
+  def asNullable(st: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    st.asNullable
+
   /** Dataset.showString is private[sql] in Spark 4; the shell needs the
     * rendered table as a string for its own output stream. */
   def showString(df: org.apache.spark.sql.DataFrame, numRows: Int, truncate: Int): String =
